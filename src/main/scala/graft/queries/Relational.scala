@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational analytics core: scan→filter→agg, multiway joins,
+  * windows, rollups, semi/anti joins.
+  *
+  * Money is aggregated as DECIMAL(18,2)/(18,4) so sums are exact and
+  * order-independent — a parallel double sum would differ from the
+  * single-threaded oracle in the last ulp and fail the hash compare.
+  * Every query is explicitly ordered for deterministic output.
+  */
+object Relational {
+
+  import org.apache.spark.sql.Column
+
+  /** Exact-decimal money helpers: doubles are snapped to DECIMAL(18,2)
+    * once, all arithmetic stays in decimal, so parallel aggregation is
+    * bit-identical to the single-threaded oracle. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private val one: Column = lit(1).cast("decimal(18,2)")
+  /** l_extendedprice * (1 - l_discount) as DECIMAL(18,4), exact. */
+  private def discPrice: Column =
+    (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).cast("decimal(18,4)")
+
+
+  /** TPC-H Q1-style pricing summary. Single scan, partial aggregation
+    * map-side, one shuffle on the (tiny) grouping key. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+        sum(discPrice).cast("decimal(18,4)").as("sum_disc_price"),
+        sum(discPrice * (one + dec2(col("l_tax")))).cast("decimal(18,6)").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: filter-pushdown on both fact
+    * scans, join on orderkey, top-10. The customer dim is broadcast. */
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00")))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: star join where every
+    * dimension (region→nation→{customer,supplier}) broadcasts and the
+    * only shuffles are fact-fact on orderkey plus the final agg. */
+  def q5StarJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")))
+    val li = Tables.lineitem(spark, sfDir)
+
+    val natreg = nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natreg), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window functions: per-nation customer spend rank + running total.
+    * One shuffle for the agg, one for the window partitioning. */
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val spend = ord.groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("spend").desc, col("o_custkey"))
+    spend
+      .withColumn("rank_in_nation", row_number().over(w))
+      .withColumn("running_spend", sum(col("spend")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(28,2)"))
+      .filter(col("rank_in_nation") <= 3)
+      .select(col("c_nationkey"), col("c_name"), col("spend"), col("n_orders"),
+        col("rank_in_nation"), col("running_spend"))
+      .orderBy(col("c_nationkey"), col("rank_in_nation"))
+  }
+
+  /** Multi-level aggregation (ROLLUP) over order status/priority. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Semi/anti join: customers with an open order but no high-priority
+    * order. Both sides are existence checks — no row multiplication. */
+  def qExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val open = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cust.join(open, col("c_custkey") === open("o_custkey"), "left_semi")
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+}

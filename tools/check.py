@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads each query result parquet written by graft.Verify, runs the
+matching oracle SQL in DuckDB over the same tables, and compares:
+columns sorted by name, rows sorted by all columns, values compared
+exactly (floats via repr). Prints per-query PASS/FAIL.
+"""
+import json
+import sys
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(v)
+            elif isinstance(v, list):
+                v = json.dumps([repr(x) if isinstance(x, float) else x for x in v])
+            else:
+                v = str(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out), [cols[i] for i in order]
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got_rel = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got_cols = [d[0] for d in got_rel.description]
+        got = got_rel.fetchall()
+        exp_rel = con.execute(sql)
+        exp_cols = [d[0] for d in exp_rel.description]
+        exp = exp_rel.fetchall()
+        g, gc = canon(got, got_cols)
+        e, ec = canon(exp, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+            n_fail += 1
+        elif g != e:
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            print(f"FAIL {name}: rows differ ({len(g)} vs {len(e)} rows); first diffs: {diff}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    except Exception as ex:
+        print(f"FAIL {name}: {type(ex).__name__}: {ex}")
+        n_fail += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed")
+sys.exit(1 if n_fail else 0)
