@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -17,7 +18,19 @@ object SparkEntry {
     "q5_starjoin" -> (Relational.q5StarJoin _),
     "q_window" -> (Relational.qWindow _),
     "q_rollup" -> (Relational.qRollup _),
-    "q_exists" -> (Relational.qExists _)
+    "q_exists" -> (Relational.qExists _),
+    // A. reference-pipeline operators
+    "tei_extract" -> (TeiXml.teiExtract _),
+    "name_normalize" -> (ReferenceOps.nameNormalize _),
+    "abbrev_expand" -> (ReferenceOps.abbrevExpand _),
+    "name_classify" -> (ReferenceOps.nameClassify _),
+    "year_extract" -> (ReferenceOps.yearExtract _),
+    "entity_match" -> (EntityMatch.entityMatch _),
+    "match_certitude" -> (EntityMatch.matchCertitude _),
+    "id_dedup" -> (EntityMatch.idDedup _),
+    "enrich_join" -> (EnrichJoin.enrichJoin _),
+    "ref_inject" -> (RefInject.refInject _),
+    "word_count" -> (WordCount.wordCount _)
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -85,6 +98,106 @@ object SparkEntry {
         |FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "tei_extract" ->
+      """SELECT doc_id, 'CAT_' || CAST(doc_id AS VARCHAR) AS xml_id, source AS name,
+        |  substr(text, 1, 40) AS trait, 'author' AS name_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "name_normalize" ->
+      """SELECT c_custkey, c_name,
+        |  trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS name_norm
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "abbrev_expand" ->
+      """SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
+        |  t -> CASE t WHEN 'agg' THEN 'aggregate' WHEN 'dup' THEN 'duplicate'
+        |    WHEN 'col' THEN 'column' WHEN 'val' THEN 'value' WHEN 'cust' THEN 'customer'
+        |    WHEN 'qty' THEN 'quantity' WHEN 'j' THEN 'jean' WHEN 'ch' THEN 'charles'
+        |    WHEN 'fr' THEN 'françois' ELSE t END), ' ') AS text_expanded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "name_classify" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '(?i)(document|divers)') THEN 'document'
+        |    WHEN regexp_matches(text, '(?i)charte') THEN 'charter'
+        |    WHEN regexp_matches(text, '(?i)(table|region|nation)') THEN 'place'
+        |    WHEN regexp_matches(text, '(?i)(stream|event|war|revolution)') THEN 'event'
+        |    ELSE 'person' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "year_extract" ->
+      """WITH t AS (SELECT doc_id,
+        |  'N. ' || CAST(1800 + doc_id % 150 AS VARCHAR) || ' M. ' || CAST(1820 + doc_id % 160 AS VARCHAR) AS trait
+        |  FROM documents)
+        |SELECT doc_id, trait,
+        |  CAST(nullif(regexp_extract(trait, '(?:^|[\s,.])[Nn](?:\.|é|ée)[^0-9]*([0-9]{4})', 1), '') AS int) AS birth_year,
+        |  CAST(nullif(regexp_extract(trait, '(?:^|[\s,.])[Mm](?:\.|ort|orte)[^0-9]*([0-9]{4})', 1), '') AS int) AS death_year
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "entity_match" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, c_name, s_suppkey, s_name,
+        |    levenshtein(c_name, s_name) AS distance,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY levenshtein(c_name, s_name), s_suppkey) AS rk
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+        |SELECT c_custkey, c_name, s_suppkey AS match_id, s_name AS match_name, distance
+        |FROM scored WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
+    "match_certitude" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal,
+        |    levenshtein(c_name, s_name) AS distance,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY levenshtein(c_name, s_name), s_suppkey) AS rk
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+        |best AS (SELECT * FROM scored WHERE rk = 1),
+        |params AS (SELECT c_custkey, s_suppkey AS match_id,
+        |  CAST(distance <= 12 AS int) + CAST(abs(c_acctbal - s_acctbal) < 2000.0 AS int)
+        |    + CAST(c_custkey % 10 = s_suppkey % 10 AS int) AS paramcount
+        |  FROM best)
+        |SELECT c_custkey, match_id, paramcount, paramcount >= 2 AS certitude
+        |FROM params ORDER BY c_custkey""".stripMargin,
+    "id_dedup" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY levenshtein(c_name, s_name), s_suppkey) AS rk
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+        |SELECT DISTINCT s_suppkey AS match_id FROM scored WHERE rk = 1
+        |ORDER BY match_id""".stripMargin,
+    "enrich_join" ->
+      """WITH labels AS (
+        |  SELECT n_nationkey, n_name AS nation_label, r_name AS region_label
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |facts AS (
+        |  SELECT o_custkey, count(*) AS workcount,
+        |    sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS conflictcount,
+        |    list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |    list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, nation_label, region_label,
+        |  coalesce(workcount, 0) AS workcount,
+        |  coalesce(conflictcount, 0) AS conflictcount,
+        |  coalesce(statuses, []) AS statuses,
+        |  coalesce(priorities, []) AS priorities,
+        |  coalesce(spend, CAST(0 AS DECIMAL(18,2))) AS spend
+        |FROM customer
+        |LEFT JOIN labels ON c_nationkey = n_nationkey
+        |LEFT JOIN facts ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "ref_inject" ->
+      """WITH map(term, wd) AS (VALUES ('spark','Q101'),('join','Q102'),('window','Q103'),('stream','Q104'),('customer','Q105')),
+        |cand AS (
+        |  SELECT doc_id, term, wd, ' ' || text || ' ' AS padded,
+        |    strpos(' ' || text || ' ', ' ' || term || ' ') AS pos,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY strpos(' ' || text || ' ', ' ' || term || ' '), term) AS rk
+        |  FROM documents JOIN map ON strpos(' ' || text || ' ', ' ' || term || ' ') > 0)
+        |SELECT doc_id, term, wd,
+        |  trim(substr(padded, 1, pos) || '<name ref="wd:' || wd || '">' || term || '</name>'
+        |    || substr(padded, pos + length(term) + 1)) AS text_ref
+        |FROM cand WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "word_count" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' AND word NOT IN ('the','a','of','and','to','in')
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Entity resolution — the Spark re-expression of the reference's
+  * Wikidata full-text-search cascade (script/itemtoid.py:222
+  * launch_query / relaunch_query): for each source record, find the
+  * best-matching record in an entity catalog and score how certain
+  * the match is (script/itemtoid.py:91-113 request()'s paramcount).
+  *
+  * Spark-first shape: the remote API lookup becomes a **blocked fuzzy
+  * join** — candidates are generated inside an equi-join on a blocking
+  * key (here nationkey; first-token/soundex for free text), scored
+  * with an edit distance, and reduced to rank-1 per source row with a
+  * window. The blocking key bounds the pair count, so the operator
+  * scales linearly in input size instead of quadratically; skewed
+  * blocks split under AQE.
+  */
+object EntityMatch {
+
+  /** Candidate pairs: customer × supplier within a nation block,
+    * scored by levenshtein over normalized names. */
+  private def scoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+      .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
+  }
+
+  /** Best match per customer (rank 1 by distance, deterministic
+    * tiebreak on supplier key). */
+  def entityMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("distance"), col("s_suppkey"))
+    scoredPairs(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_custkey"), col("c_name"), col("s_suppkey").as("match_id"),
+        col("s_name").as("match_name"), col("distance"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Certitude scoring: count matched "parameters" exactly like the
+    * reference counts query parameters present in a successful search
+    * (itemtoid.py:91-113), then threshold. */
+  def matchCertitude(spark: SparkSession, sfDir: String): DataFrame = {
+    entityMatchWithBal(spark, sfDir)
+      .withColumn("param_name", (col("distance") <= 12).cast("int"))
+      .withColumn("param_bal", (abs(col("c_acctbal") - col("s_acctbal")) < lit(2000.0)).cast("int"))
+      .withColumn("param_key", (pmod(col("c_custkey"), lit(10)) === pmod(col("match_id"), lit(10))).cast("int"))
+      .withColumn("paramcount", col("param_name") + col("param_bal") + col("param_key"))
+      .withColumn("certitude", (col("paramcount") >= 2))
+      .select(col("c_custkey"), col("match_id"), col("paramcount"), col("certitude"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** entityMatch keeping the balance columns needed by certitude. */
+  private def entityMatchWithBal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("distance"), col("s_suppkey"))
+    scoredPairs(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_custkey"), col("c_acctbal"), col("s_suppkey").as("match_id"),
+        col("s_acctbal"), col("distance"))
+  }
+
+  /** Deduplicated set of matched entity ids — the reference's
+    * idset.py:11 build_idset, which feeds the enrichment stage. */
+  def idDedup(spark: SparkSession, sfDir: String): DataFrame =
+    entityMatch(spark, sfDir)
+      .select(col("match_id"))
+      .distinct()
+      .orderBy(col("match_id"))
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.NameFunctions
+import graft.sources.Tables
+
+/** Query bindings for the reference-pipeline stage A operators
+  * (SURVEY.md §2.A): each applies a column-level NameFunctions
+  * transform to a test table with deterministic output ordering.
+  */
+object ReferenceOps {
+
+  /** Lowercase/strip/collapse normalization over customer names
+    * (reference: itemtoid_prep.py:289). */
+  def nameNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"),
+        NameFunctions.normalizeName(col("c_name")).as("name_norm"))
+      .orderBy(col("c_custkey"))
+
+  /** Broadcast-map expansion of abbreviated tokens in document text
+    * (reference: rgx.py:120). */
+  def abbrevExpand(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        NameFunctions.expandAbbrev(col("text")).as("text_expanded"))
+      .orderBy(col("doc_id"))
+
+  /** Rule-cascade kind classification over document text
+    * (reference: itemtoid_prep.py:56-205). */
+  def nameClassify(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        NameFunctions.classifyName(col("text")).as("kind"))
+      .orderBy(col("doc_id"))
+
+  /** Birth/death year extraction from a trait string (reference:
+    * itemtoid_prep.py:293-303). The trait is synthesized
+    * deterministically per doc — the parquet corpus carries no dates —
+    * and the regex path is exactly the production one. */
+  def yearExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("trait",
+        concat(lit("N. "), (lit(1800) + pmod(col("doc_id"), lit(150))).cast("string"),
+          lit(" M. "), (lit(1820) + pmod(col("doc_id"), lit(160))).cast("string")))
+      .select(col("doc_id"), col("trait"),
+        NameFunctions.birthYear(col("trait")).cast("int").as("birth_year"),
+        NameFunctions.deathYear(col("trait")).cast("int").as("death_year"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.queries.ReferenceOps
+
+/** Semantic checks for the stage-A (reference pipeline) operators. */
+class ReferenceOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("tei_extract round-trips id/name/trait through xpath") {
+    val rows = TeiXml.teiExtract(spark, sf).limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("xml_id") == s"CAT_${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[String]("name_type") == "author")
+      assert(r.getAs[String]("trait").nonEmpty)
+    }
+  }
+
+  test("name_normalize lowercases and strips punctuation") {
+    val r = ReferenceOps.nameNormalize(spark, sf)
+      .select(col("name_norm")).limit(20).collect()
+    r.foreach(row => assert(!row.getString(0).exists(c => c.isUpper || "#_-".contains(c))))
+  }
+
+  test("abbrev_expand expands known tokens and keeps others") {
+    import spark.implicits._
+    val out = Seq("agg dup zzz").toDF("text")
+      .select(graft.functions.NameFunctions.expandAbbrev(col("text")))
+      .head().getString(0)
+    assert(out == "aggregate duplicate zzz")
+  }
+
+  test("year_extract parses birth/death years from trait") {
+    val r = ReferenceOps.yearExtract(spark, sf).limit(10).collect()
+    r.foreach { row =>
+      assert(row.getAs[Int]("birth_year") >= 1800)
+      assert(row.getAs[Int]("death_year") >= 1820)
+    }
+  }
+
+  test("entity_match yields exactly one best match per customer") {
+    val m = EntityMatch.entityMatch(spark, sf)
+    assert(m.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("ref_inject rewrites exactly one term occurrence") {
+    val r = RefInject.refInject(spark, sf).limit(10).collect()
+    r.foreach { row =>
+      val t = row.getAs[String]("text_ref")
+      assert(t.contains(s"""<name ref="wd:${row.getAs[String]("wd")}">"""))
+      assert("<name ".r.findAllIn(t).size == 1)
+    }
+  }
+
+  test("word_count excludes stopwords") {
+    val words = WordCount.wordCount(spark, sf).select("word")
+      .collect().map(_.getString(0)).toSet
+    assert(WordCount.stopwords.forall(s => !words.contains(s)))
+  }
+}
