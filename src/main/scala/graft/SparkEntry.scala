@@ -30,7 +30,23 @@ object SparkEntry {
     "id_dedup" -> (EntityMatch.idDedup _),
     "enrich_join" -> (EnrichJoin.enrichJoin _),
     "ref_inject" -> (RefInject.refInject _),
-    "word_count" -> (WordCount.wordCount _)
+    "word_count" -> (WordCount.wordCount _),
+    // C. training-data pipeline operators
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram" -> (Dedup.dedupNgram _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_embedding" -> (Dedup.dedupEmbedding _),
+    "ann_bruteforce" -> (Ann.annBruteforce _),
+    "ann_lsh" -> (Ann.annLsh _),
+    "lang_id" -> (TextMetrics.langId _),
+    "quality_score" -> (TextMetrics.qualityScore _),
+    "token_count" -> (TextMetrics.tokenCount _),
+    "doc_fingerprint" -> (Fingerprint.docFingerprint _),
+    "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    // D. streaming operators (batch form; streaming parity in tests)
+    "events_window" -> (Events.eventsWindow _),
+    "events_sessionize" -> (Events.eventsSessionize _)
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -198,6 +214,97 @@ object SparkEntry {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
         |WHERE word <> '' AND word NOT IN ('the','a','of','and','to','in')
-        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |  list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sa, b.shingles AS sb
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM p)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.emb, b.emb)
+        |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
+        |s AS (SELECT q_id, vec_id,
+        |  list_dot_product(q_emb, emb)
+        |    / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))) AS cos
+        |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+        |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "lang_id" ->
+      """WITH marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
+        |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
+        |  ('filter','es'),('join','es'),('vector','zh'),('spark','zh')),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT doc_id, cand_lang, count(*) AS votes FROM w JOIN marks USING (word) GROUP BY 1, 2),
+        |t AS (SELECT doc_id, cand_lang, votes,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rk FROM v)
+        |SELECT d.doc_id, d.lang, coalesce(t.cand_lang, 'und') AS pred_lang,
+        |  coalesce(t.votes, 0) AS votes
+        |FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id AND t.rk = 1
+        |ORDER BY d.doc_id""".stripMargin,
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nw,
+        |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(toks) AS sr
+        |  FROM t)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, awl AS avg_word_len, sr AS stopword_ratio,
+        |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256,
+        |  hex(encode(substr(text, 1, 4))) AS magic,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(16 + doc_id % 48 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_window" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM ev GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH events_us AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num FROM s)
+        |SELECT user_id, session_num, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * The query set (every 100th vector — the ground-truth sampling
+  * pattern a real pipeline uses) is broadcast against the corpus, so
+  * the corpus side streams through codegen'd cosine without a shuffle;
+  * only the (rows × queries) scored pairs shuffle once, on the query
+  * key, for the top-k window.
+  *
+  * The LSH variant is the 100 TB path: a hyperplane bucket equi-join
+  * replaces the full cross product, cutting the scored pairs by
+  * ~2^planes/π-angle factor while keeping high-cosine recall.
+  */
+object Ann {
+
+  private val K = 5
+
+  private def queriesOf(df: DataFrame): DataFrame =
+    df.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Brute-force cosine top-k: exact baseline over a sampled query set. */
+  def annBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queriesOf(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: L independent hyperplane tables; a candidate
+    * shares a bucket with the query in at least one table (classic
+    * multi-table recall amplification). Exact cosine ranks candidates
+    * only — the full cross product never materializes. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val tables = 2
+    val emb = Tables.embeddings(spark, sfDir)
+    // (table, bucket) per vector per table, via one explode
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col("*"), posexplode(array(
+        (0 until tables).map(t => Similarity.lshBucket(col("embedding"), t)): _*))
+        .as(Seq("table", "bucket")))
+    val qs = bucketed(emb.filter(pmod(col("vec_id"), lit(100)) === 0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("table"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    bucketed(emb).join(broadcast(qs), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

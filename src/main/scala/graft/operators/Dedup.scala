@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline, each bounding
+  * its candidate-pair set so nothing materializes O(n²) rows:
+  *
+  *  - exact:     hash groupBy (one shuffle on the 16-byte hash)
+  *  - ngram:     word-trigram Jaccard inside (lang, length-bucket) blocks
+  *  - minhash:   MinHash signatures + LSH banding; pairs only form
+  *               inside a band bucket, then verify by true Jaccard
+  *  - simhash:   SimHash64 + 16-bit chunk blocking (any of 4 chunks
+  *               equal → candidate), verify by hamming distance
+  *  - embedding: cosine similarity inside label blocks
+  *
+  * The band/chunk equi-joins shuffle on the bucket key, so they scale
+  * out and AQE splits skewed buckets; the verify step runs only on
+  * candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 over text groups identical documents; the lowest
+    * doc_id in a group is canonical. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    Tables.documents(spark, sfDir)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), col("text_hash"), col("group_size"),
+        col("canonical_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct word trigrams of a text column (shared shingle def for
+    * ngram/minhash dedup and their oracles). */
+  private[operators] def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs: candidates only form inside
+    * a (lang, n_chars/64) block, so pair count stays linear-ish. */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, sfDir))
+      .withColumn("bucket", floor(col("n_chars") / 64))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("shingles"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
+      col("shingles").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
+      col("shingles").as("sh_b"))
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash+LSH near-dup candidates: 16-hash signature, 8 bands × 2
+    * rows, pairs form inside a band bucket only, then verified by true
+    * shingle Jaccard. Candidate recall at j=0.8 is 1-(1-0.64)^8 ≈ 0.9997
+    * with no unblocked cross join anywhere. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = 8
+    val rows = 2
+    val docs = shingled(Tables.documents(spark, sfDir))
+      .withColumn("sig", Similarity.minhashSig(col("shingles"), bands * rows))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val banded = docs.select(col("doc_id"), col("shingles"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows+1, $rows), b))"))
+          .as(Seq("band", "band_hash")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, blocked on any equal
+    * 16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), then
+    * verified by exact hamming distance. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("sim", Similarity.simhash64(split(col("text"), " ")))
+      .select(col("doc_id"), col("sim"))
+    val chunked = docs.select(col("doc_id"), col("sim"),
+      posexplode(expr("transform(sequence(0, 3), c -> (shiftright(sim, c*16) & 65535))"))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+      col("chunk"), col("chunk_val"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", Similarity.hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs inside label blocks. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Semantic checks for the training-data (stage C) operators. */
+class TrainingOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_exact groups are consistent") {
+    val d = Dedup.dedupExact(spark, sf)
+    // canonical id is never flagged dup; group members share the hash count
+    assert(d.filter(col("doc_id") === col("canonical_id") && col("is_dup")).count() == 0)
+  }
+
+  test("dedup_ngram pairs are all above threshold and blocked") {
+    val p = Dedup.dedupNgram(spark, sf).collect()
+    p.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("dedup_minhash candidates cover the ngram near-dups (same-block)") {
+    val ngram = Dedup.dedupNgram(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding recall at j>=0.5 is probabilistic; require most, not all
+    val covered = ngram.count(mh.contains)
+    assert(ngram.isEmpty || covered >= ngram.size / 2,
+      s"minhash covered $covered of ${ngram.size} ngram pairs")
+  }
+
+  test("dedup_simhash pairs are within hamming bound") {
+    Dedup.dedupSimhash(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("simhash of identical token arrays is identical, near for near") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("a b c d e f g h", "a b c d e f g x")).toDF("t1", "t2")
+      .select(
+        graft.functions.Similarity.simhash64(split(col("t1"), " ")).as("h1"),
+        graft.functions.Similarity.simhash64(split(col("t2"), " ")).as("h2"))
+      .withColumn("ham", graft.functions.Similarity.hamming(col("h1"), col("h2")))
+      .collect()
+    assert(df(0).getAs[Int]("ham") == 0)
+    assert(df(1).getAs[Int]("ham") < 32) // near-dup ⇒ well under random-64-bit expectation
+  }
+
+  test("ann_bruteforce returns k ranked neighbors per query") {
+    val a = Ann.annBruteforce(spark, sf)
+    val perQ = a.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach(r => assert(r.getAs[Long]("count") == 5))
+    // ranks are 1..k with descending cosine
+    val ranks = a.filter(col("q_id") === a.select(min("q_id")).head().getLong(0))
+      .orderBy("rank").collect()
+    val cosines = ranks.map(_.getAs[Double]("cos"))
+    assert(cosines.sameElements(cosines.sorted.reverse))
+  }
+
+  test("ann_lsh neighbors are a subset of same-bucket vectors with correct ranks") {
+    val a = Ann.annLsh(spark, sf)
+    assert(a.count() > 0)
+    a.groupBy("q_id").count().collect().foreach(r => assert(r.getAs[Long]("count") <= 5))
+  }
+
+  test("doc_fingerprint: shared long substring implies shared fingerprint") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val fps = Seq(
+      ("x " + base), (base + " y")).toDF("text")
+      .select(graft.functions.Similarity.winnow(col("text"), 8, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0).intersect(fps(1)).nonEmpty)
+  }
+
+  test("multimodal_meta stub emits deterministic metadata") {
+    val m = Multimodal.multimodalMeta(spark, sf).limit(5).collect()
+    m.foreach { r =>
+      assert(r.getAs[String]("sha256").length == 64)
+      assert(r.getAs[String]("magic").length == 8)
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 80)
+    }
+  }
+
+  test("lang_id prediction is deterministic and covers all docs") {
+    val l = TextMetrics.langId(spark, sf)
+    assert(l.count() == graft.sources.Tables.documents(spark, sf).count())
+  }
+}
