@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event routed into the custom-state sessionizer. */
+case class SessionEvent(user_id: Long, ts_us: Long, value_c: java.math.BigDecimal)
+
+/** Open-session state carried between micro-batches per user. */
+case class OpenSession(startUs: Long, lastUs: Long, n: Long, total: java.math.BigDecimal)
+
+/** A closed session emitted downstream. */
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_value: java.math.BigDecimal)
+
+/** Structured Streaming forms of the event analytics (SURVEY.md §2.D).
+  *
+  * Both transforms are expressed on an unbounded DataFrame from
+  * `readStream`; the batch equivalents in `queries/Events` share the
+  * grouping expressions, and the StreamingSpec asserts batch ≡ stream
+  * on a finite input (Trigger.AvailableNow + complete output).
+  *
+  * At scale: the window agg carries partial aggregates per
+  * (window, type) — state is O(open windows × types); the session
+  * window keeps per-user open-session state, pruned by the watermark
+  * when run in append mode against a live source.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded events source: a parquet directory watched for files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour window counts/sums by event type — the streaming
+    * twin of Events.eventsWindow. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessions per user via session_window (30-min inactivity
+    * gap) — the streaming twin of Events.eventsSessionize. The window
+    * end includes the gap padding, so parity compares on
+    * (user_id, session_start, n_events, total_value). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  private val GapUs = 1800L * 1000000
+
+  /** Microsecond-precise epoch→Timestamp (the ms constructor drops µs). */
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  /** Custom-state sessionization via flatMapGroupsWithState: per-user
+    * open-session state survives micro-batches; a >30-min gap closes
+    * and emits the session. The pattern for session logic Spark's
+    * built-in session_window can't express (e.g. value-dependent gaps,
+    * mid-session triggers). The final open session per user stays in
+    * state awaiting more data — correct streaming semantics for an
+    * unbounded source. */
+  def sessionizedCustomState(spark: SparkSession, events: DataFrame): Dataset[ClosedSession] = {
+    import spark.implicits._
+
+    def step(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+      var open = state.getOption
+      val closed = Seq.newBuilder[ClosedSession]
+      for (e <- sorted) {
+        open match {
+          case Some(s) if e.ts_us - s.lastUs <= GapUs =>
+            open = Some(OpenSession(s.startUs, e.ts_us, s.n + 1, s.total.add(e.value_c)))
+          case Some(s) =>
+            closed += ClosedSession(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n, s.total)
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value_c))
+          case None =>
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value_c))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,2)").as("value_c"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.queries.Events
+import graft.streaming.EventStreams
+
+/** Batch ≡ streaming parity for the event operators: the same finite
+  * input produces identical results through readStream (AvailableNow,
+  * complete mode) and the batch plans the DuckDB oracle certifies. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // re-write events as micros-timestamp parquet (the raw testdata is
+    // TIMESTAMP(NANOS), which the file stream source can't type)
+    graft.sources.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToSet(df: org.apache.spark.sql.DataFrame, name: String): Set[String] = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name).collect().map(_.mkString("|")).toSet
+  }
+
+  private def runToSetAppend(df: org.apache.spark.sql.DataFrame, name: String): Set[String] = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the BigDecimal encoder widens to DECIMAL(38,18); renormalize
+    spark.table(name).withColumn("total_value", col("total_value").cast("decimal(18,2)"))
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  test("streaming tumbling-window agg equals batch") {
+    val streamed = runToSet(
+      EventStreams.windowedAgg(EventStreams.readEvents(spark, streamDir)), "win_stream")
+    val batch = Events.eventsWindow(spark, sf).collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits every closed session") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = runToSetAppend(
+      EventStreams.sessionizedCustomState(spark,
+        EventStreams.readEvents(spark, streamDir)).toDF(), "sess_fmgws")
+    // batch truth minus each user's final session (still open in state)
+    val w = Window.partitionBy(col("user_id"))
+    val batch = Events.eventsSessionize(spark, sf)
+      .withColumn("last_session", max(col("session_num")).over(w))
+      .filter(col("session_num") =!= col("last_session"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization equals batch") {
+    val streamed = runToSet(
+      EventStreams.sessionized(EventStreams.readEvents(spark, streamDir)), "sess_stream")
+    val batch = Events.eventsSessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("total_value"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+}
