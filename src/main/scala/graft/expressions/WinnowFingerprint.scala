@@ -39,25 +39,36 @@ object WinnowFingerprint {
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, 7L)
       i += 1
     }
-    val picked = new java.util.TreeSet[java.lang.Long]()
+    // sliding-window rightmost-min via monotonic deque: O(n) total
     val nWin = math.max(nGrams - w + 1, 1)
-    var j = 0
-    while (j < nWin) {
-      var min = grams(j)
-      var idx = j
-      val end = math.min(j + w, nGrams)
-      var m = j + 1
-      while (m < end) {
-        if (grams(m) <= min) { min = grams(m); idx = m } // rightmost min
-        m += 1
+    val deque = new Array[Int](nGrams) // indices, increasing, values non-decreasing
+    var head = 0
+    var tail = 0
+    val picks = new Array[Long](nWin)
+    var nPicks = 0
+    var lastIdx = -1
+    var m = 0
+    while (m < nGrams) {
+      // rightmost min ⇒ pop equal values too
+      while (tail > head && grams(deque(tail - 1)) >= grams(m)) tail -= 1
+      deque(tail) = m; tail += 1
+      val j = m - w + 1 // window [j, m]
+      if (j >= 0 || m == nGrams - 1) {
+        while (deque(head) < math.max(j, 0)) head += 1
+        val idx = deque(head)
+        if (idx != lastIdx) { picks(nPicks) = grams(idx); nPicks += 1; lastIdx = idx }
       }
-      picked.add(grams(idx))
-      j += 1
+      m += 1
     }
-    val out = new Array[Long](picked.size)
-    val it = picked.iterator()
+    // distinct + sort without a tree
+    val sorted = java.util.Arrays.copyOf(picks, nPicks)
+    java.util.Arrays.sort(sorted)
     var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
-    new GenericArrayData(out)
+    var i2 = 0
+    while (i2 < nPicks) {
+      if (o == 0 || sorted(i2) != sorted(o - 1)) { sorted(o) = sorted(i2); o += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sorted, o))
   }
 }

@@ -28,6 +28,10 @@ object Similarity {
   def lshBucket(vec: Column, table: Int = 0, numPlanes: Int = 8): Column =
     column(HyperplaneLsh(expression(vec), table, numPlanes))
 
+  /** Jaccard of two sorted-distinct long arrays (two-pointer merge). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    column(graft.expressions.SortedJaccard(expression(a), expression(b)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -45,24 +45,23 @@ object Dedup {
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
-  }
-
   /** Blocked n-gram Jaccard near-dup pairs: candidates only form inside
-    * a (lang, n_chars/64) block, so pair count stays linear-ish. */
+    * a (lang, n_chars/64) block, so pair count stays linear-ish.
+    * Shingles are pre-hashed to longs once per doc — the per-pair
+    * intersection then runs over primitive arrays instead of re-hashing
+    * full shingle strings O(pairs) times. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(Tables.documents(spark, sfDir))
       .withColumn("bucket", floor(col("n_chars") / 64))
-      .select(col("doc_id"), col("lang"), col("bucket"), col("shingles"))
+      .withColumn("sh", array_sort(expr("transform(shingles, s -> xxhash64(s))")))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
-      col("shingles").as("sh_a"))
+      col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
-      col("shingles").as("sh_b"))
+      col("sh").as("sh_b"))
     a.join(b, Seq("lang", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -76,20 +75,25 @@ object Dedup {
     val bands = 8
     val rows = 2
     val docs = shingled(Tables.documents(spark, sfDir))
+      .withColumn("sh", array_sort(expr("transform(shingles, s -> xxhash64(s))")))
       .withColumn("sig", Similarity.minhashSig(col("shingles"), bands * rows))
-      .select(col("doc_id"), col("shingles"), col("sig"))
-    val banded = docs.select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"), col("sh"), col("sig"))
+    val banded = docs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows+1, $rows), b))"))
           .as(Seq("band", "band_hash")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    // candidate ids first — the distinct then shuffles bare (id, id)
+    // pairs instead of dragging both shingle arrays through it
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // equi-joins on the id keys; AQE broadcasts when the side is small
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
