@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan invariants — the properties that keep these operators
+  * viable at 100 TB. A regression here (lost pushdown, a surprise
+  * cartesian product, a dropped broadcast) changes cluster cost by
+  * orders of magnitude long before any correctness test notices. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("l_comment"), "scan must prune unused columns")
+  }
+
+  test("q3_join broadcasts dimensions and pushes all three filters") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(l_shipdate"))
+    assert(p.contains("LessThan(o_orderdate"))
+  }
+
+  test("q5_starjoin has no cartesian or nested-loop join") {
+    val p = plan("q5_starjoin")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("entity_match blocks the fuzzy join on an equi-key") {
+    val p = plan("entity_match")
+    // the levenshtein scoring must ride an equi join (hash/merge), never a cross
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup operators never materialize an unblocked cross product") {
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q contains an unblocked join")
+    }
+  }
+
+  test("ann_lsh joins candidates on the bucket equi-key") {
+    val p = plan("ann_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("word_count keeps partial aggregation map-side") {
+    val p = plan("word_count")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("documents scans prune to referenced columns") {
+    val p = plan("token_count")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+}

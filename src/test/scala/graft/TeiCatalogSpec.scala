@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Sinks, TeiCatalog}
+
+/** File-based TEI ingest: every nametable cardinality rule
+  * (nametable.py cases 1-5) against fixture catalogues. */
+class TeiCatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_tei")
+    val cat1 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<TEI xmlns="http://www.tei-c.org/ns/1.0">
+        | <text><body><list>
+        |  <item xml:id="CAT_1_e1"><name>Hugo   (Victor)</name>
+        |   <trait><p>N. 1802  M. 1885. Poète.</p></trait></item>
+        |  <item xml:id="CAT_1_e2"><name>Sand (George)</name></item>
+        |  <item xml:id="CAT_1_e3"><name>Dumas</name><name>Dumas fils</name>
+        |   <trait><p>Romancier.</p></trait></item>
+        | </list></body></text>
+        |</TEI>""".stripMargin
+    val cat2 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<tei:TEI xmlns:tei="http://www.tei-c.org/ns/1.0">
+        | <tei:text><tei:body><tei:list>
+        |  <tei:item xml:id="CAT_2_e1"><tei:name>Verne</tei:name><tei:name>Wells</tei:name>
+        |   <tei:trait><tei:p>Romancier.</tei:p></tei:trait>
+        |   <tei:trait><tei:p>Essayiste.</tei:p></tei:trait></tei:item>
+        |  <tei:item xml:id="CAT_2_e2"><tei:name>Balzac</tei:name><tei:name>Zola</tei:name>
+        |   <tei:trait><tei:p>A.</tei:p></tei:trait><tei:trait><tei:p>B.</tei:p></tei:trait>
+        |   <tei:trait><tei:p>C.</tei:p></tei:trait></tei:item>
+        | </tei:list></tei:body></tei:text>
+        |</tei:TEI>""".stripMargin
+    java.nio.file.Files.writeString(d.resolve("CAT_1.xml"), cat1)
+    java.nio.file.Files.writeString(d.resolve("CAT_2.xml"), cat2)
+    d.toString
+  }
+
+  private lazy val rows: Map[(String, String), String] =
+    TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, dir))
+      .collect()
+      .map(r => (r.getAs[String]("xml_id"), r.getAs[String]("name")) -> r.getAs[String]("trait"))
+      .toMap
+
+  test("1 name + 1 trait zips pairwise with whitespace collapsed") {
+    assert(rows(("CAT_1_e1", "Hugo (Victor)")) == "N. 1802 M. 1885. Poète.")
+  }
+
+  test("no trait yields an empty trait") {
+    assert(rows(("CAT_1_e2", "Sand (George)")) == "")
+  }
+
+  test("1 trait + n names attaches the trait to the first name only") {
+    assert(rows(("CAT_1_e3", "Dumas")) == "Romancier.")
+    assert(rows(("CAT_1_e3", "Dumas fils")) == "")
+  }
+
+  test("equal names and traits zip pairwise (prefixed TEI markup)") {
+    assert(rows(("CAT_2_e1", "Verne")) == "Romancier.")
+    assert(rows(("CAT_2_e1", "Wells")) == "Essayiste.")
+  }
+
+  test("mismatched counts collapse to joined lists") {
+    assert(rows(("CAT_2_e2", "Balzac; Zola")) == "A.; B.; C.")
+  }
+
+  test("nametable TSV sink round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+    val nt = TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, dir))
+    Sinks.writeTsv(nt, out)
+    val back = spark.read.option("sep", "\t").option("header", "true").csv(out)
+    assert(back.count() == nt.count())
+    assert(back.columns.toSeq == nt.columns.toSeq)
+  }
+}
