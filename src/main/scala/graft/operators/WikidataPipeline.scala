@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.NameFunctions
+import graft.sources.{Tables, TeiCatalog}
+
+/** End-to-end composition of the reference pipeline (main.py:1 runs
+  * nametable → itemtoid → sparql → wd2tei sequentially): TEI catalogue
+  * files in, enriched entity table + @ref-annotated XML out — entirely
+  * as one Catalyst plan per output, no intermediate TSV/JSON files.
+  *
+  * Where the reference calls the remote Wikidata API per row, this
+  * engine joins a local entity catalog (any table with id + name
+  * columns); the full-text cascade becomes the blocked fuzzy join of
+  * EntityMatch, and certitude comes from the same parameter-count rule.
+  */
+object WikidataPipeline {
+
+  /** Stage 1+2: nametable from catalogue XML, name prep (normalize,
+    * classify, years), and best-match against the entity catalog. */
+  def itemToId(spark: SparkSession, catalogueDir: String, catalog: DataFrame): DataFrame = {
+    val nt = TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, catalogueDir))
+      .withColumn("name_norm", NameFunctions.normalizeName(col("name")))
+      .withColumn("name_full", NameFunctions.expandAbbrev(col("name_norm")))
+      .withColumn("kind", NameFunctions.classifyName(col("name")))
+      .withColumn("birth_year", NameFunctions.birthYear(col("trait")).cast("int"))
+      .withColumn("death_year", NameFunctions.deathYear(col("trait")).cast("int"))
+    val cat = catalog.select(col("entity_id"), col("entity_name"),
+      NameFunctions.normalizeName(col("entity_name")).as("cat_norm"))
+      // block on the first normalized token — the text analogue of
+      // EntityMatch's nationkey block; bounds the fuzzy pair count
+      .withColumn("block", substring(col("cat_norm"), 1, 1))
+    val w = Window.partitionBy(col("xml_id"), col("name")).orderBy(col("distance"), col("entity_id"))
+    nt.withColumn("block", substring(col("name_full"), 1, 1))
+      .join(cat, Seq("block"), "left")
+      .withColumn("distance", levenshtein(col("name_full"), col("cat_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .withColumn("certitude",
+        (col("distance") <= 12).cast("int")
+          + col("birth_year").isNotNull.cast("int")
+          + (col("kind") === "person").cast("int"))
+      .select(col("xml_id"), col("name"), col("name_full"), col("kind"),
+        col("birth_year"), col("death_year"),
+        col("entity_id").as("wikidata_id"), col("entity_name").as("matched_name"),
+        col("distance"), col("certitude"))
+  }
+
+  /** Stage 3: enrich each matched id from the star schema (the SPARQL
+    * attribute fetch; EnrichJoin documents the join shape). */
+  def enrich(matched: DataFrame, attrs: DataFrame): DataFrame =
+    matched.filter(col("wikidata_id").isNotNull)
+      .select(col("wikidata_id")).distinct()
+      .join(attrs, Seq("wikidata_id"), "left")
+
+  /** Stage 4: wd2tei — set `ref="wd:Qxxx"` on every name element whose
+    * literal text matched an entity (wd2tei.py:34 rewrites each
+    * catalogue the same way, matching names by text). The per-file
+    * rewrite folds the file's matches over the XML string — documents
+    * shard by file, so the rewrite distributes. */
+  def refInjectXml(catalogues: DataFrame, matched: DataFrame): DataFrame = {
+    val best = matched.filter(col("wikidata_id").isNotNull && col("certitude") >= 2)
+      .select(col("name"), col("wikidata_id")).distinct()
+    catalogues.join(best, expr("instr(xml, concat('>', name, '<')) > 0"), "left")
+      .groupBy(col("path"), col("xml"))
+      .agg(array_sort(collect_list(struct(col("name"), col("wikidata_id")))).as("refs"))
+      .withColumn("xml_ref", expr(
+        """aggregate(refs, xml, (acc, r) -> replace(replace(acc,
+          |  concat('<name>', r.name, '</name>'),
+          |  concat('<name ref="wd:', r.wikidata_id, '">', r.name, '</name>')),
+          |  concat('<tei:name>', r.name, '</tei:name>'),
+          |  concat('<tei:name ref="wd:', r.wikidata_id, '">', r.name, '</tei:name>')))
+          |""".stripMargin.replace("\n", " ")))
+      .select(col("path"), col("xml_ref"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions are reachable from plain SQL via
+  * GraftExtensions function registration. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("simhash64 and hamming work from SQL") {
+    val r = spark.sql(
+      "SELECT bit_count(simhash64(array('a','b','c')) ^ simhash64(array('a','b','x'))) AS h").head()
+    assert(r.getAs[Int]("h") >= 0 && r.getAs[Int]("h") <= 64)
+  }
+
+  test("cosine_similarity from SQL is 1 for identical vectors") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c").head()
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+  }
+
+  test("minhash_sig, winnow_fingerprint, sorted_jaccard, hyperplane_lsh resolve") {
+    val r = spark.sql(
+      """SELECT size(minhash_sig(array('x y z'), 16)) AS k,
+        |  size(winnow_fingerprint('abcdefghijklmnop', 8, 4)) AS f,
+        |  sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  hyperplane_lsh(array(CAST(0.5 AS FLOAT)), 0, 8) AS b""".stripMargin).head()
+    assert(r.getAs[Int]("k") == 16)
+    assert(r.getAs[Int]("f") > 0)
+    assert(r.getAs[Double]("j") == 0.5)
+    assert(r.getAs[Int]("b") >= 0 && r.getAs[Int]("b") < 256)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.WikidataPipeline
+import graft.sources.TeiCatalog
+
+/** End-to-end reference pipeline: catalogue XML → matched ids →
+  * enrichment → rewritten XML, against a small local entity catalog. */
+class WikidataPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pipe")
+    java.nio.file.Files.writeString(d.resolve("CAT_9.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item xml:id="CAT_9_e1"><name>hugo victor</name>
+        | <trait><p>N. 1802 M. 1885. Poète.</p></trait></item>
+        |<item xml:id="CAT_9_e2"><name>unmatchable zzz</name>
+        | <trait><p>N. 1900 M. 1950.</p></trait></item>
+        |</list></body></text></TEI>""".stripMargin)
+    d.toString
+  }
+
+  private lazy val catalog = Seq(
+    ("Q535", "Hugo Victor"), ("Q7560", "Sand George"), ("Q502", "Balzac Honore"))
+    .toDF("entity_id", "entity_name")
+
+  private lazy val matched = WikidataPipeline.itemToId(spark, dir, catalog)
+
+  test("itemToId finds the right entity with high certitude") {
+    val hugo = matched.filter(col("xml_id") === "CAT_9_e1").head()
+    assert(hugo.getAs[String]("wikidata_id") == "Q535")
+    assert(hugo.getAs[Int]("distance") == 0)
+    assert(hugo.getAs[Int]("certitude") == 3)
+    assert(hugo.getAs[Int]("birth_year") == 1802)
+  }
+
+  test("unmatchable names keep null id or low certitude") {
+    val z = matched.filter(col("xml_id") === "CAT_9_e2").head()
+    assert(z.getAs[String]("wikidata_id") == null || z.getAs[Int]("distance") > 5)
+  }
+
+  test("enrich joins the attribute store per matched id") {
+    val attrs = Seq(("Q535", "poet", "France")).toDF("wikidata_id", "occupation", "citizenship")
+    val e = WikidataPipeline.enrich(matched, attrs).collect()
+    assert(e.exists(r => r.getAs[String]("wikidata_id") == "Q535"
+      && r.getAs[String]("occupation") == "poet"))
+  }
+
+  test("refInjectXml sets ref on the matched name element only") {
+    val out = WikidataPipeline.refInjectXml(
+      TeiCatalog.readCatalogues(spark, dir), matched).head()
+    val xml = out.getAs[String]("xml_ref")
+    assert(xml.contains("""<name ref="wd:Q535">hugo victor</name>"""))
+    assert(!xml.contains("""ref="wd:Q535">unmatchable"""))
+  }
+}
