@@ -36,7 +36,6 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** LSH-bucketed ANN: L independent hyperplane tables; a candidate
@@ -63,6 +62,5 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 }

@@ -34,7 +34,6 @@ object Dedup {
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), col("text_hash"), col("group_size"),
         col("canonical_id"), col("is_dup"))
-      .orderBy(col("doc_id"))
   }
 
   /** Distinct word trigrams of a text column (shared shingle def for
@@ -64,7 +63,6 @@ object Dedup {
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash+LSH near-dup candidates: 16-hash signature, 8 bands × 2
@@ -96,7 +94,6 @@ object Dedup {
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, blocked on any equal
@@ -120,7 +117,6 @@ object Dedup {
       .withColumn("hamming", Similarity.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-dup pairs inside label blocks. */
@@ -133,6 +129,5 @@ object Dedup {
       .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 }

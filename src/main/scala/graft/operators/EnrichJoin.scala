@@ -48,6 +48,5 @@ object EnrichJoin {
         coalesce(col("statuses"), array()).as("statuses"),
         coalesce(col("priorities"), array()).as("priorities"),
         coalesce(col("spend"), lit(0).cast("decimal(18,2)")).as("spend"))
-      .orderBy(col("c_custkey"))
   }
 }

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Entity resolution — the Spark re-expression of the reference's
@@ -14,10 +13,10 @@ import graft.sources.Tables
   * Spark-first shape: the remote API lookup becomes a **blocked fuzzy
   * join** — candidates are generated inside an equi-join on a blocking
   * key (here nationkey; first-token/soundex for free text), scored
-  * with an edit distance, and reduced to rank-1 per source row with a
-  * window. The blocking key bounds the pair count, so the operator
-  * scales linearly in input size instead of quadratically; skewed
-  * blocks split under AQE.
+  * with an edit distance, and reduced to the best match per source row
+  * by a pack-and-min argmin aggregate. The blocking key bounds the
+  * pair count, so the operator scales linearly in input size instead
+  * of quadratically; skewed blocks split under AQE.
   */
 object EntityMatch {
 
@@ -25,22 +24,37 @@ object EntityMatch {
     * scored by levenshtein over normalized names. */
   private def scoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
     val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
       .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
   }
 
-  /** Best match per customer (rank 1 by distance, deterministic
-    * tiebreak on supplier key). */
-  def entityMatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_custkey"))
-      .orderBy(col("distance"), col("s_suppkey"))
+  /** (distance, suppkey) packed into one long: distance in the high
+    * bits, key in the low 48. min(packed) IS argmin with the
+    * (distance, suppkey) tiebreak — and unlike min_by over a struct
+    * (which degrades to SortAggregate with per-row struct allocation),
+    * a long min runs in codegen'd HashAggregate with full map-side
+    * combine: one row per (partition, customer) reaches the shuffle. */
+  private def packed: Column =
+    (col("distance").cast("long") * lit(1L << 48)) + col("s_suppkey")
+
+  private def bestPacked(spark: SparkSession, sfDir: String): DataFrame =
     scoredPairs(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("c_custkey"), col("c_name"), col("s_suppkey").as("match_id"),
-        col("s_name").as("match_name"), col("distance"))
-      .orderBy(col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .agg(min(packed).as("p"))
+      .withColumn("match_id", col("p").bitwiseAND(lit((1L << 48) - 1)))
+      .withColumn("distance", shiftright(col("p"), 48).cast("int"))
+
+  /** Best match per customer (argmin distance, suppkey tiebreak). */
+  def entityMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("match_id"), col("s_name").as("match_name"))
+    bestPacked(spark, sfDir)
+      .join(broadcast(supp), Seq("match_id"))
+      .select(col("c_custkey"), col("c_name"), col("match_id"),
+        col("match_name"), col("distance"))
   }
 
   /** Certitude scoring: count matched "parameters" exactly like the
@@ -54,25 +68,22 @@ object EntityMatch {
       .withColumn("paramcount", col("param_name") + col("param_bal") + col("param_key"))
       .withColumn("certitude", (col("paramcount") >= 2))
       .select(col("c_custkey"), col("match_id"), col("paramcount"), col("certitude"))
-      .orderBy(col("c_custkey"))
   }
 
   /** entityMatch keeping the balance columns needed by certitude. */
   private def entityMatchWithBal(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_custkey"))
-      .orderBy(col("distance"), col("s_suppkey"))
-    scoredPairs(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("c_custkey"), col("c_acctbal"), col("s_suppkey").as("match_id"),
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("match_id"), col("s_acctbal"))
+    bestPacked(spark, sfDir)
+      .join(broadcast(supp), Seq("match_id"))
+      .select(col("c_custkey"), col("c_acctbal"), col("match_id"),
         col("s_acctbal"), col("distance"))
   }
 
   /** Deduplicated set of matched entity ids — the reference's
     * idset.py:11 build_idset, which feeds the enrichment stage. */
   def idDedup(spark: SparkSession, sfDir: String): DataFrame =
-    entityMatch(spark, sfDir)
+    bestPacked(spark, sfDir)
       .select(col("match_id"))
       .distinct()
-      .orderBy(col("match_id"))
 }

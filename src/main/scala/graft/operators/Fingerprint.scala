@@ -16,5 +16,4 @@ object Fingerprint {
       .select(col("doc_id"),
         Similarity.winnow(col("text"), k = 8, w = 4).as("fingerprints"))
       .withColumn("n_fingerprints", size(col("fingerprints")).cast("long"))
-      .orderBy(col("doc_id"))
 }

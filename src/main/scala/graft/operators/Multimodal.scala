@@ -43,6 +43,5 @@ object Multimodal {
     media
       .mapPartitions(_.map(decodeStub)) // batch boundary = partition
       .toDF()
-      .orderBy(col("doc_id"))
   }
 }

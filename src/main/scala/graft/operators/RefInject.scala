@@ -44,6 +44,5 @@ object RefInject {
           lit("<name ref=\"wd:"), col("wd"), lit("\">"), col("term"),
           lit("</name>"),
           expr("substring(padded, pos + length(term) + 1)"))).as("text_ref"))
-      .orderBy(col("doc_id"))
   }
 }

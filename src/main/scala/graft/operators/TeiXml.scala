@@ -26,14 +26,17 @@ object TeiXml {
       format_string(
         "<item xml:id=\"CAT_%d\"><name type=\"author\">%s</name><trait><p>%s</p></trait></item>",
         col("doc_id"), col("source"), substring(col("text"), 1, 40)).as("xml"))
-    withXml.select(
-        col("doc_id"),
-        // the xml: prefix is unresolvable in Spark's (Hive UDFXPathUtil)
-        // xpath engine — match the reserved-namespace attr by local name
-        expr("xpath_string(xml, \"/item/@*[local-name()='id']\")").as("xml_id"),
-        expr("xpath_string(xml, '/item/name')").as("name"),
-        expr("xpath_string(xml, '/item/trait/p')").as("trait"),
-        expr("xpath_string(xml, '/item/name/@type')").as("name_type"))
-      .orderBy(col("doc_id"))
+    // from_xml parses each item once into a struct — four separate
+    // xpath_string calls would re-parse the document per field
+    // (attributes surface as `_name`; element text as `_VALUE`)
+    withXml
+      .select(col("doc_id"), from_xml(col("xml"), lit(
+        "struct<`_xml:id`:string, name:struct<_VALUE:string,_type:string>, trait:struct<p:string>>"),
+        java.util.Map.of("ignoreSurroundingSpaces", "false")).as("it"))
+      .select(col("doc_id"),
+        col("it.`_xml:id`").as("xml_id"),
+        col("it.name._VALUE").as("name"),
+        col("it.trait.p").as("trait"),
+        col("it.name._type").as("name_type"))
   }
 }

@@ -40,7 +40,6 @@ object TextMetrics {
       .select(col("doc_id"), col("lang"),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
         coalesce(col("votes"), lit(0L)).as("votes"))
-      .orderBy(col("doc_id"))
   }
 
   val stopwords: Seq[String] = WordCount.stopwords
@@ -63,7 +62,6 @@ object TextMetrics {
           + least(col("avg_word_len") / 8.0, lit(1.0)) * 0.3)
       .select(col("doc_id"), col("n_words"), col("avg_word_len"),
         col("stopword_ratio"), col("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   /** Whitespace and BPE-ish token counts. The regex splits letter runs
@@ -75,6 +73,5 @@ object TextMetrics {
       .withColumn("bpe_tokens",
         size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)")).cast("long"))
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
-      .orderBy(col("doc_id"))
   }
 }

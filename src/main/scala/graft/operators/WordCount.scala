@@ -25,6 +25,5 @@ object WordCount {
       .filter(col("word") =!= "" && !col("word").isin(stopwords: _*))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word"))
   }
 }

@@ -21,7 +21,6 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
-      .orderBy(col("window_start"), col("event_type"))
 
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag → new-session flag → running session number → per-session agg.
@@ -39,6 +38,5 @@ object Events {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
-      .orderBy(col("user_id"), col("session_num"))
   }
 }

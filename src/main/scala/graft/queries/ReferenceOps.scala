@@ -17,7 +17,6 @@ object ReferenceOps {
     Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"),
         NameFunctions.normalizeName(col("c_name")).as("name_norm"))
-      .orderBy(col("c_custkey"))
 
   /** Broadcast-map expansion of abbreviated tokens in document text
     * (reference: rgx.py:120). */
@@ -25,7 +24,6 @@ object ReferenceOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         NameFunctions.expandAbbrev(col("text")).as("text_expanded"))
-      .orderBy(col("doc_id"))
 
   /** Rule-cascade kind classification over document text
     * (reference: itemtoid_prep.py:56-205). */
@@ -33,7 +31,6 @@ object ReferenceOps {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         NameFunctions.classifyName(col("text")).as("kind"))
-      .orderBy(col("doc_id"))
 
   /** Birth/death year extraction from a trait string (reference:
     * itemtoid_prep.py:293-303). The trait is synthesized
@@ -47,5 +44,4 @@ object ReferenceOps {
       .select(col("doc_id"), col("trait"),
         NameFunctions.birthYear(col("trait")).cast("int").as("birth_year"),
         NameFunctions.deathYear(col("trait")).cast("int").as("death_year"))
-      .orderBy(col("doc_id"))
 }

