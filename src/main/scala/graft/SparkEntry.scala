@@ -39,6 +39,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLsh _),
+    "ann_ivf" -> (Ann.annIvf _),
     "lang_id" -> (TextMetrics.langId _),
     "quality_score" -> (TextMetrics.qualityScore _),
     "token_count" -> (TextMetrics.tokenCount _),
@@ -46,7 +47,8 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
-    "events_sessionize" -> (Events.eventsSessionize _)
+    "events_sessionize" -> (Events.eventsSessionize _),
+    "events_props" -> (Events.eventsProps _)
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -253,6 +255,30 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
         |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |scored AS (SELECT e.vec_id, e.emb, c.c_id,
+        |  list_dot_product(e.emb, c.c_emb)
+        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos
+        |  FROM e CROSS JOIN c),
+        |rk AS (SELECT vec_id, emb, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rk FROM scored),
+        |assign AS (SELECT vec_id, emb, c_id FROM rk WHERE c_rk = 1),
+        |probes AS (SELECT vec_id AS q_id, emb AS q_emb, c_id FROM rk
+        |  WHERE vec_id % 100 = 0 AND c_rk <= 4),
+        |cand AS (SELECT p.q_id, p.q_emb, a.vec_id, a.emb
+        |  FROM assign a JOIN probes p ON a.c_id = p.c_id WHERE a.vec_id <> p.q_id),
+        |ranked AS (SELECT q_id, vec_id,
+        |  list_dot_product(q_emb, emb)
+        |    / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))) AS cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY
+        |    list_dot_product(q_emb, emb)
+        |      / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))) DESC,
+        |    vec_id) AS rank
+        |  FROM cand)
+        |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "lang_id" ->
       """WITH marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
         |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
@@ -305,6 +331,14 @@ object SparkEntry {
         |SELECT user_id, session_num, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
-        |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin,
+    "events_props" ->
+      """SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, k_mod""".stripMargin
   )
 }

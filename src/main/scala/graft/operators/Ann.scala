@@ -38,6 +38,38 @@ object Ann {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector
+    * to its nearest of `nlist` centroids (here deterministic seed
+    * vectors — a trained k-means drops in without changing the plan);
+    * a query probes its `nprobe` nearest lists and re-ranks candidates
+    * by exact cosine. The scale shape: corpus × small broadcast
+    * centroid set for assignment, then an equi-join on the list id —
+    * candidates shrink by ~nprobe/nlist versus brute force. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val nlist = 16
+    val nprobe = 4
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val byCos = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_rk", row_number().over(byCos))
+    val assign = scored.filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    val probes = scored.filter(pmod(col("vec_id"), lit(100)) === 0 && col("c_rk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    // no distinct needed: a vector lives in exactly one list, so each
+    // (query, vector) pair joins at most once
+    assign.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: L independent hyperplane tables; a candidate
     * shares a bucket with the query in at least one table (classic
     * multi-table recall amplification). Exact cosine ranks candidates

@@ -22,6 +22,18 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Semi-structured props: parse the JSON column once with from_json
+    * (schema'd, codegen-adjacent — no per-field re-parse), then
+    * aggregate typed fields. The pattern for event payloads at scale:
+    * parse → project → never carry the raw string past the scan. */
+  def eventsProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("p", from_json(col("props"), lit("k INT")))
+      .groupBy(col("event_type"), pmod(col("p.k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.k")).as("k_sum"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag → new-session flag → running session number → per-session agg.
     * One shuffle on user_id, reused by both windows and the final agg. */

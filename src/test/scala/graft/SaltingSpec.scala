@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Salting
+import graft.sources.Tables
+
+/** Salted operators must be row-for-row equivalent to their unsalted
+  * forms — salting changes the shuffle layout, never the result. */
+class SaltingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("saltedJoin equals the plain join") {
+    val li = Tables.lineitem(spark, sf)
+    val supp = Tables.supplier(spark, sf)
+    val s = Salting.saltedJoin(
+        li.withColumnRenamed("l_suppkey", "k"),
+        supp.withColumnRenamed("s_suppkey", "k"), "k", "l_orderkey", 4)
+      .select(col("l_orderkey"), col("l_linenumber"), col("k"), col("s_name"))
+      .collect().map(_.mkString("|")).toSet
+    val p = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("s_name"))
+      .collect().map(_.mkString("|")).toSet
+    assert(s == p)
+  }
+
+  test("saltedCollectSet equals the direct collect_set") {
+    val ord = Tables.orders(spark, sf)
+    val s = Salting.saltedCollectSet(ord, "o_custkey", "o_orderpriority", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val p = ord.groupBy(col("o_custkey"))
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("values"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(s == p)
+  }
+}
