@@ -26,16 +26,27 @@ object Ann {
     df.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Reduce scored candidates to the k best per query and number them.
+    * The custom TopKPerGroup operator keeps a bounded heap map-side, so
+    * only k rows per query per partition shuffle — the window that
+    * assigns rank numbers then runs over k×queries rows, not the full
+    * candidate set. */
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .transform(graft.plans.TopK.perGroup(
+        Seq("q_id"), Seq("cos" -> false, "vec_id" -> true), K))
+      .withColumn("rank", row_number().over(w))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Brute-force cosine top-k: exact baseline over a sampled query set. */
   def annBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    emb.crossJoin(broadcast(queriesOf(emb)))
+    rankTopK(emb.crossJoin(broadcast(queriesOf(emb)))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .select(col("q_id"), col("vec_id"), col("cos")))
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector
@@ -59,15 +70,12 @@ object Ann {
       .select(col("vec_id"), col("embedding"), col("c_id"))
     val probes = scored.filter(pmod(col("vec_id"), lit(100)) === 0 && col("c_rk") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_id"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     // no distinct needed: a vector lives in exactly one list, so each
     // (query, vector) pair joins at most once
-    assign.join(broadcast(probes), Seq("c_id"))
+    rankTopK(assign.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .select(col("q_id"), col("vec_id"), col("cos")))
   }
 
   /** LSH-bucketed ANN: L independent hyperplane tables; a candidate
@@ -85,14 +93,11 @@ object Ann {
     val qs = bucketed(emb.filter(pmod(col("vec_id"), lit(100)) === 0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("table"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    bucketed(emb).join(broadcast(qs), Seq("table", "bucket"))
+    rankTopK(bucketed(emb).join(broadcast(qs), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
       .distinct() // a pair may collide in several tables
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+      .select(col("q_id"), col("vec_id"), col("cos")))
   }
 }
