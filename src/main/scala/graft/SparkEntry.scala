@@ -26,6 +26,7 @@ object SparkEntry {
     "name_classify" -> (ReferenceOps.nameClassify _),
     "year_extract" -> (ReferenceOps.yearExtract _),
     "entity_match" -> (EntityMatch.entityMatch _),
+    "entity_cascade" -> (EntityMatch.entityCascade _),
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
     "enrich_join" -> (EnrichJoin.enrichJoin _),
@@ -157,6 +158,27 @@ object SparkEntry {
         |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
         |SELECT c_custkey, c_name, s_suppkey AS match_id, s_name AS match_name, distance
         |FROM scored WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
+    "entity_cascade" ->
+      """WITH exact AS (
+        |  SELECT c_custkey, min(s_suppkey) AS match_id, 'exact' AS method, 2 AS certitude
+        |  FROM customer JOIN supplier
+        |    ON c_nationkey = s_nationkey
+        |    AND substr(c_name, length(c_name) - 4, 5) = substr(s_name, length(s_name) - 4, 5)
+        |  GROUP BY c_custkey),
+        |rest AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM exact)),
+        |fuzzy AS (
+        |  SELECT c_custkey,
+        |    CAST(min(CAST(levenshtein(c_name, s_name) AS BIGINT) * (1::BIGINT << 48) + s_suppkey)
+        |      & ((1::BIGINT << 48) - 1) AS BIGINT) AS match_id,
+        |    'fuzzy' AS method, 1 AS certitude
+        |  FROM rest JOIN supplier ON c_nationkey = s_nationkey
+        |  GROUP BY c_custkey),
+        |matched AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy)
+        |SELECT c.c_custkey, m.match_id,
+        |  coalesce(m.method, 'none') AS method,
+        |  coalesce(m.certitude, 0) AS certitude
+        |FROM customer c LEFT JOIN matched m ON c.c_custkey = m.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     "match_certitude" ->
       """WITH scored AS (
         |  SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal,

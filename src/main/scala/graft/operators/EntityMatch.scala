@@ -80,6 +80,48 @@ object EntityMatch {
         col("s_acctbal"), col("distance"))
   }
 
+  /** Retry cascade — the reference relaunches its search with fewer
+    * parameters when the strict query returns nothing (itemtoid.py:307
+    * relaunch_query), degrading certitude per fallback. Spark form:
+    * pass 1 is a cheap equi-join on a strict key (here the numeric name
+    * tail + nation; certitude 2); only the unmatched remainder pays for
+    * pass 2's fuzzy scoring (certitude 1); rows with no candidate at
+    * all surface with certitude 0. The anti-join between passes keeps
+    * each pass's input shrinking — the distributed shape of a
+    * try-cheapest-first lookup cascade. */
+  def entityCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+
+    val exact = cust.join(broadcast(supp),
+        col("c_nationkey") === col("s_nationkey") &&
+          substring(col("c_name"), -5, 5) === substring(col("s_name"), -5, 5))
+      .groupBy(col("c_custkey"))
+      .agg(min(col("s_suppkey")).as("match_id"))
+      .withColumn("method", lit("exact"))
+      .withColumn("certitude", lit(2))
+
+    val rest = cust.join(exact.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+    val fuzzy = rest.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+      .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
+      .groupBy(col("c_custkey"))
+      .agg(min((col("distance").cast("long") * lit(1L << 48)) + col("s_suppkey")).as("p"))
+      .select(col("c_custkey"),
+        col("p").bitwiseAND(lit((1L << 48) - 1)).as("match_id"),
+        lit("fuzzy").as("method"), lit(1).as("certitude"))
+
+    val matched = exact.select(col("c_custkey"), col("match_id"), col("method"), col("certitude"))
+      .unionByName(fuzzy)
+    cust.select(col("c_custkey"))
+      .join(matched, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        col("match_id"),
+        coalesce(col("method"), lit("none")).as("method"),
+        coalesce(col("certitude"), lit(0)).as("certitude"))
+  }
+
   /** Deduplicated set of matched entity ids — the reference's
     * idset.py:11 build_idset, which feeds the enrichment stage. */
   def idDedup(spark: SparkSession, sfDir: String): DataFrame =

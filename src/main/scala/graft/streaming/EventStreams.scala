@@ -63,6 +63,14 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: every micro-batch joins the unbounded
+    * stream against a static dimension (broadcast — re-resolved per
+    * batch, so a dimension refresh is picked up without restart). The
+    * standard shape for attaching reference data to a live stream. */
+  def enriched(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(streamKey) === dim(dimKey))
+
   private val GapUs = 1800L * 1000000
 
   /** Microsecond-precise epoch→Timestamp (the ms constructor drops µs). */

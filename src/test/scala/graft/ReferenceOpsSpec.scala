@@ -54,6 +54,16 @@ class ReferenceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("entity_cascade degrades certitude per fallback pass") {
+    val c = EntityMatch.entityCascade(spark, sf)
+    val byMethod = c.groupBy("method").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMethod.getOrElse("exact", 0L) > 0, "strict pass should match some rows")
+    assert(byMethod.getOrElse("fuzzy", 0L) > 0, "fallback pass should cover the rest")
+    // every row resolved exactly once
+    assert(c.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("word_count excludes stopwords") {
     val words = WordCount.wordCount(spark, sf).select("word")
       .collect().map(_.getString(0)).toSet

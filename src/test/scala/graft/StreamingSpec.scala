@@ -36,6 +36,29 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSet
   }
 
+  test("stream-static dimension join equals batch join") {
+    val nation = graft.sources.Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+    val streamed = runToSetAppendRaw(
+      EventStreams.enriched(
+        EventStreams.readEvents(spark, streamDir).withColumn("ukey", pmod(col("user_id"), lit(25))),
+        nation, "ukey", "nkey")
+        .select(col("event_id"), col("n_name")), "enrich_stream")
+    val batch = graft.sources.Tables.events(spark, sf)
+      .withColumn("ukey", pmod(col("user_id"), lit(25)))
+      .join(nation, col("ukey") === col("nkey"))
+      .select(col("event_id"), col("n_name"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
+  private def runToSetAppendRaw(df: org.apache.spark.sql.DataFrame, name: String): Set[String] = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name).collect().map(_.mkString("|")).toSet
+  }
+
   test("streaming tumbling-window agg equals batch") {
     val streamed = runToSet(
       EventStreams.windowedAgg(EventStreams.readEvents(spark, streamDir)), "win_stream")
