@@ -25,6 +25,7 @@ object SparkEntry {
     "abbrev_expand" -> (ReferenceOps.abbrevExpand _),
     "name_classify" -> (ReferenceOps.nameClassify _),
     "year_extract" -> (ReferenceOps.yearExtract _),
+    "name_fillforward" -> (ReferenceOps.nameFillforward _),
     "entity_match" -> (EntityMatch.entityMatch _),
     "entity_cascade" -> (EntityMatch.entityCascade _),
     "match_certitude" -> (EntityMatch.matchCertitude _),
@@ -148,6 +149,15 @@ object SparkEntry {
         |SELECT doc_id, trait,
         |  CAST(nullif(regexp_extract(trait, '(?:^|[\s,.])[Nn](?:\.|é|ée)[^0-9]*([0-9]{4})', 1), '') AS int) AS birth_year,
         |  CAST(nullif(regexp_extract(trait, '(?:^|[\s,.])[Mm](?:\.|ort|orte)[^0-9]*([0-9]{4})', 1), '') AS int) AS death_year
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "name_fillforward" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'le même' ELSE source END AS raw_name
+        |  FROM documents)
+        |SELECT doc_id, lang, raw_name,
+        |  coalesce(last_value(CASE WHEN raw_name <> 'le même' THEN raw_name END IGNORE NULLS)
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), raw_name) AS filled_name
         |FROM t ORDER BY doc_id""".stripMargin,
     "entity_match" ->
       """WITH scored AS (

@@ -21,7 +21,8 @@ object WikidataPipeline {
   /** Stage 1+2: nametable from catalogue XML, name prep (normalize,
     * classify, years), and best-match against the entity catalog. */
   def itemToId(spark: SparkSession, catalogueDir: String, catalog: DataFrame): DataFrame = {
-    val nt = TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, catalogueDir))
+    val nt = TeiCatalog.resolveLeMeme(
+        TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, catalogueDir)))
       .withColumn("name_norm", NameFunctions.normalizeName(col("name")))
       .withColumn("name_full", NameFunctions.expandAbbrev(col("name_norm")))
       .withColumn("kind", NameFunctions.classifyName(col("name")))

@@ -32,6 +32,24 @@ object ReferenceOps {
       .select(col("doc_id"),
         NameFunctions.classifyName(col("text")).as("kind"))
 
+  /** "le même" fill-forward as a standalone query (reference:
+    * itemtoid_prep.py:14 CASE 1): rows deterministically marked as
+    * "le même" inherit the nearest preceding real name within their
+    * partition — the sequential carry rewritten as an ordered-window
+    * last-non-null. */
+  def nameFillforward(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = when(pmod(col("doc_id"), lit(7)) === 3, lit("le même")).otherwise(col("source"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, sfDir)
+      .withColumn("raw_name", raw)
+      .withColumn("filled_name",
+        coalesce(last(when(col("raw_name") =!= "le même", col("raw_name")),
+          ignoreNulls = true).over(w), col("raw_name")))
+      .select(col("doc_id"), col("lang"), col("raw_name"), col("filled_name"))
+  }
+
   /** Birth/death year extraction from a trait string (reference:
     * itemtoid_prep.py:293-303). The trait is synthesized
     * deterministically per doc — the parquet corpus carries no dates —

@@ -43,8 +43,9 @@ object TeiCatalog {
         "(</?)tei:", "$1"))
     val items = cleaned
       .select(col("path"),
-        explode(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)")).as("item"))
-      .select(col("path"),
+        posexplode(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)"))
+          .as(Seq("item_pos", "item")))
+      .select(col("path"), col("item_pos"),
         expr("xpath_string(item, \"/item/@*[local-name()='id']\")").as("xml_id"),
         expr("xpath(item, '/item/name/text()')").as("names"),
         expr("xpath(item, '/item/trait//*/text()')").as("traits"))
@@ -64,7 +65,22 @@ object TeiCatalog {
 
     items
       .withColumn("pair", explode(pairs))
-      .select(col("path"), col("xml_id"), lit("").as("wikidata_id"),
+      .select(col("path"), col("item_pos"), col("xml_id"), lit("").as("wikidata_id"),
         ws(col("pair.name")).as("name"), ws(col("pair.trait")).as("trait"))
+  }
+
+  /** "le même" carry-forward (itemtoid_prep.py:14 CASE 1): an item
+    * whose name is "le même / la même" inherits the previous item's
+    * name within its catalogue. Sequential in the reference; here a
+    * fill-forward window — last non-"le même" name over the in-file
+    * item order, partitioned by file so catalogues scale out. */
+  def resolveLeMeme(nametable: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("item_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val isMeme = col("name").rlike("(?i)^(le|la) m[êe]me\\.?$")
+    nametable
+      .withColumn("name",
+        coalesce(last(when(!isMeme, col("name")), ignoreNulls = true).over(w), col("name")))
   }
 }

@@ -66,6 +66,23 @@ class TeiCatalogSpec extends AnyFunSuite {
     assert(rows(("CAT_2_e2", "Balzac; Zola")) == "A.; B.; C.")
   }
 
+  test("le même inherits the previous item's name in file order") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nt = Seq(
+      ("f1", 0, "i1", "", "Hugo (Victor)", "t1"),
+      ("f1", 1, "i2", "", "Le même", "t2"),
+      ("f1", 2, "i3", "", "Sand (George)", "t3"),
+      ("f1", 3, "i4", "", "la même.", "t4"),
+      ("f2", 0, "i5", "", "le même", "t5")) // no predecessor → kept as-is
+      .toDF("path", "item_pos", "xml_id", "wikidata_id", "name", "trait")
+    val filled = TeiCatalog.resolveLeMeme(nt)
+      .collect().map(r => r.getAs[String]("xml_id") -> r.getAs[String]("name")).toMap
+    assert(filled("i2") == "Hugo (Victor)")
+    assert(filled("i4") == "Sand (George)")
+    assert(filled("i5") == "le même")
+  }
+
   test("nametable TSV sink round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft_tsv").toString
     val nt = TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, dir))
