@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.expressions._
+
+/** Property tests for the native expression kernels (no Spark jobs):
+  * 100 deterministic samples per property via seeded ScalaCheck Gens. */
+class ExpressionPropertiesSpec extends AnyFunSuite {
+
+  private def samples[A](gen: Gen[A]): Seq[A] =
+    (1 to 100).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def arr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+  private def larr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+
+  test("sorted_jaccard equals naive set jaccard") {
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+    } yield (a, b)
+    for ((a, b) <- samples(gen)) {
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else sa.toSet.intersect(sb.toSet).size.toDouble / sa.toSet.union(sb.toSet).size
+      assert(SortedJaccard.compute(larr(sa), larr(sb)) == expected)
+    }
+  }
+
+  test("simhash is token-order invariant") {
+    for (tokens <- samples(Gen.listOf(Gen.alphaStr))) {
+      val h1 = SimHash64.compute(arr(tokens))
+      val h2 = SimHash64.compute(arr(tokens.reverse))
+      assert(h1 == h2) // bit votes commute
+    }
+  }
+
+  test("minhash signature of a superset is elementwise <= the subset's") {
+    val gen = for {
+      base <- Gen.nonEmptyListOf(Gen.alphaNumStr)
+      extra <- Gen.listOf(Gen.alphaNumStr)
+    } yield (base, extra)
+    for ((base, extra) <- samples(gen)) {
+      val k = 8
+      val s1 = MinHashSig.compute(arr(base), k).toLongArray()
+      val s2 = MinHashSig.compute(arr(base ++ extra), k).toLongArray()
+      assert(s1.zip(s2).forall { case (x, y) => y <= x }) // min over more elements
+    }
+  }
+
+  test("minhash is order invariant") {
+    for (xs <- samples(Gen.nonEmptyListOf(Gen.alphaNumStr))) {
+      val k = 8
+      val s1 = MinHashSig.compute(arr(xs), k).toLongArray().toSeq
+      val s2 = MinHashSig.compute(arr(xs.reverse), k).toLongArray().toSeq
+      assert(s1 == s2)
+    }
+  }
+
+  test("winnowing guarantee: shared substring of length >= k+w-1 shares a fingerprint") {
+    val gen = for {
+      shared <- Gen.listOfN(16, Gen.alphaChar).map(_.mkString) // 16 >= k+w-1 = 11
+      p1 <- Gen.alphaStr
+      p2 <- Gen.alphaStr
+    } yield (p1 + shared, shared + p2)
+    for ((t1, t2) <- samples(gen)) {
+      val f1 = WinnowFingerprint.compute(UTF8String.fromString(t1), 8, 4).toLongArray().toSet
+      val f2 = WinnowFingerprint.compute(UTF8String.fromString(t2), 8, 4).toLongArray().toSet
+      assert(f1.intersect(f2).nonEmpty, s"no shared fingerprint for '$t1' / '$t2'")
+    }
+  }
+
+  test("cosine similarity is symmetric and bounded") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+    val gen = for { a <- vecGen; b <- vecGen } yield (a, b)
+    for ((a, b) <- samples(gen)) {
+      val fa = new GenericArrayData(a.toArray)
+      val fb = new GenericArrayData(b.toArray)
+      val c1 = CosineSimilarity.compute(fa, fb)
+      val c2 = CosineSimilarity.compute(fb, fa)
+      assert(c1 == c2)
+      assert(c1 >= -1.0000001 && c1 <= 1.0000001)
+    }
+  }
+
+  test("hyperplane buckets are stable and within range") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+    for (v <- samples(vecGen)) {
+      val fa = new GenericArrayData(v.toArray)
+      val b = HyperplaneLsh.compute(fa, 0, 8)
+      assert(b == HyperplaneLsh.compute(fa, 0, 8))
+      assert(b >= 0 && b < 256)
+      // different tables decorrelate: at least sometimes differ handled statistically elsewhere
+    }
+  }
+}
