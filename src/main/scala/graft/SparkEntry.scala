@@ -45,6 +45,9 @@ object SparkEntry {
     "lang_id" -> (TextMetrics.langId _),
     "quality_score" -> (TextMetrics.qualityScore _),
     "token_count" -> (TextMetrics.tokenCount _),
+    "unigram_score" -> (TextMetrics.unigramScore _),
+    "text_redact" -> (TextMetrics.textRedact _),
+    "corpus_stats" -> (TextMetrics.corpusStats _),
     "doc_fingerprint" -> (Fingerprint.docFingerprint _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     // D. streaming operators (batch form; streaming parity in tests)
@@ -337,6 +340,35 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "unigram_score" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |w AS (SELECT * FROM words WHERE word <> ''),
+        |freqs AS (SELECT word, count(*) AS wc FROM w GROUP BY word)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  sum(wc) AS sum_wc,
+        |  sum(CAST(wc = 1 AS BIGINT)) AS hapax_tokens,
+        |  min(wc) AS rarest_wc,
+        |  CAST(sum(wc) AS DOUBLE) / count(*) AS mean_wc
+        |FROM w JOIN freqs USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com code '
+        |    || CAST(doc_id * 37 + 1234567890 AS VARCHAR) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars,
+        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  avg(n_chars) AS avg_chars,
+        |  count(DISTINCT md5(text)) AS distinct_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha256,

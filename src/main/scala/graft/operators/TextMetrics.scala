@@ -64,6 +64,56 @@ object TextMetrics {
         col("stopword_ratio"), col("quality_score"))
   }
 
+  /** Unigram rarity scoring: word frequencies learned from the corpus
+    * itself (one agg), broadcast back, and every document scored by its
+    * tokens' corpus frequencies — the cheap fluency proxy pretraining
+    * filters use (integer-exact aggregates, so parallel summation is
+    * bit-stable; a log-prob variant would be order-sensitive doubles).
+    * The self-derived-model shape: aggregate → broadcast join → score,
+    * no driver round-trip. */
+  def unigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val freqs = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    words.join(broadcast(freqs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("wc")).as("sum_wc"),
+        sum((col("wc") === 1).cast("long")).as("hapax_tokens"),
+        min(col("wc")).as("rarest_wc"))
+      .withColumn("mean_wc", col("sum_wc").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_wc"),
+        col("hapax_tokens"), col("rarest_wc"), col("mean_wc"))
+  }
+
+  /** PII-style redaction: masks email-shaped tokens, long digit runs,
+    * and phone-shaped sequences via codegen'd regexp chains (the
+    * pattern set is a stand-in; a production list drops in). */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      // the corpus is clean lowercase words; synthesize findable PII
+      // deterministically so the redaction path is exercised
+      .withColumn("dirty", concat(col("text"),
+        lit(" user"), col("doc_id"), lit("@example.com code "),
+        (col("doc_id") * 37 + 1234567890L).cast("string")))
+    docs.select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("dirty"), "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "[0-9]{7,}", "<NUM>").as("redacted"))
+  }
+
+  /** Per-language corpus summary: the profiling table a pipeline run
+    * emits before/after filtering. */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        avg(col("n_chars")).as("avg_chars"),
+        count_distinct(md5(col("text"))).as("distinct_texts"))
+
   /** Whitespace and BPE-ish token counts. The regex splits letter runs
     * of ≤4 chars, digits, and single non-alphanumerics — a rough
     * stand-in for a byte-pair vocabulary's subword lengths. */

@@ -66,6 +66,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("append mode with watermark emits exactly the closed windows") {
+    val streamed = runToSetAppendRaw(
+      EventStreams.windowedAgg(
+        EventStreams.readEvents(spark, streamDir).withWatermark("ts", "1 hour")),
+      "win_append")
+    // with AvailableNow the final watermark = max(ts) - 1h: windows
+    // ending after it are withheld as still-open — everything emitted
+    // must match batch, and only the trailing windows may be absent
+    val batch = Events.eventsWindow(spark, sf).collect().map(_.mkString("|")).toSet
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 24) // at most the last day's open tail differs
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer emits every closed session") {
     import org.apache.spark.sql.expressions.Window
     val streamed = runToSetAppend(
