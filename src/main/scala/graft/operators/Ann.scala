@@ -26,6 +26,12 @@ object Ann {
     df.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Spread the corpus side before the scoring stage: the test file is
+    * one row group, so cosine scoring would otherwise run single-task
+    * (no-op at cluster scale). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Reduce scored candidates to the k best per query and number them.
     * The custom TopKPerGroup operator keeps a bounded heap map-side, so
     * only k rows per query per partition shuffle — the window that
@@ -43,7 +49,7 @@ object Ann {
   /** Brute-force cosine top-k: exact baseline over a sampled query set. */
   def annBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    rankTopK(emb.crossJoin(broadcast(queriesOf(emb)))
+    rankTopK(spread(emb).crossJoin(broadcast(queriesOf(emb)))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
       .select(col("q_id"), col("vec_id"), col("cos")))
@@ -63,7 +69,7 @@ object Ann {
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val byCos = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val scored = emb.crossJoin(broadcast(cents))
+    val scored = spread(emb).crossJoin(broadcast(cents))
       .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
       .withColumn("c_rk", row_number().over(byCos))
     val assign = scored.filter(col("c_rk") === 1)
@@ -93,7 +99,7 @@ object Ann {
     val qs = bucketed(emb.filter(pmod(col("vec_id"), lit(100)) === 0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("table"), col("bucket"))
-    rankTopK(bucketed(emb).join(broadcast(qs), Seq("table", "bucket"))
+    rankTopK(bucketed(spread(emb)).join(broadcast(qs), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
       .distinct() // a pair may collide in several tables

@@ -37,9 +37,13 @@ object Dedup {
   }
 
   /** Distinct word trigrams of a text column (shared shingle def for
-    * ngram/minhash dedup and their oracles). */
+    * ngram/minhash dedup and their oracles). Repartitions first: the
+    * test corpus is one row group, and shingling + signature hashing
+    * are the compute-heavy stages — without the spread they run as a
+    * single task (no-op at cluster scale where scans split naturally). */
   private[operators] def shingled(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
@@ -101,6 +105,7 @@ object Dedup {
     * verified by exact hamming distance. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .withColumn("sim", Similarity.simhash64(split(col("text"), " ")))
       .select(col("doc_id"), col("sim"))
     val chunked = docs.select(col("doc_id"), col("sim"),

@@ -25,6 +25,11 @@ object EntityMatch {
   private def scoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      // the probe side arrives as a single row group at test scale —
+      // without this the whole scoring stage runs as ONE task; at
+      // cluster scale the scan is already many partitions and this
+      // round-robin is a cheap no-op relative to the scoring
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val supp = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
@@ -104,6 +109,7 @@ object EntityMatch {
       .withColumn("certitude", lit(2))
 
     val rest = cust.join(exact.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val fuzzy = rest.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
       .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
       .groupBy(col("c_custkey"))
