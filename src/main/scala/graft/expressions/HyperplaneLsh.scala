@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -21,6 +22,19 @@ case class HyperplaneLsh(child: Expression, table: Int, numPlanes: Int)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_lsh"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+      child.dataType.asInstanceOf[ArrayType].elementType != FloatType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> input, got ${child.dataType}")
+    else if (table < 0 || table >= HyperplaneLsh.MaxTables)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName table must be in [0, ${HyperplaneLsh.MaxTables}), got $table")
+    else if (numPlanes <= 0 || numPlanes > HyperplaneLsh.MaxPlanes)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName planes must be in [1, ${HyperplaneLsh.MaxPlanes}], got $numPlanes")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(input: Any): Any =
     HyperplaneLsh.compute(input.asInstanceOf[ArrayData], table, numPlanes)

@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -17,6 +18,14 @@ import org.apache.spark.sql.types._
 case class SortedJaccard(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType).collectFirst {
+      case t if !t.isInstanceOf[ArrayType] ||
+        t.asInstanceOf[ArrayType].elementType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> inputs, got $t")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SortedJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

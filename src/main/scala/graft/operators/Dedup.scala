@@ -80,6 +80,9 @@ object Dedup {
       .withColumn("sh", array_sort(expr("transform(shingles, s -> xxhash64(s))")))
       .withColumn("sig", Similarity.minhashSig(col("shingles"), bands * rows))
       .select(col("doc_id"), col("sh"), col("sig"))
+      // reused by the banding explode AND both verify joins: without
+      // the persist the shingle+signature subtree recomputes 3x
+      .persist()
     val banded = docs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows+1, $rows), b))"))
           .as(Seq("band", "band_hash")))

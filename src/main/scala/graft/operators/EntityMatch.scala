@@ -32,7 +32,8 @@ object EntityMatch {
       .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val supp = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
-    cust.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+    // supplier is SF-proportional: no hint, AQE broadcasts when small
+    cust.join(supp, col("c_nationkey") === col("s_nationkey"))
       .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
   }
 
@@ -57,7 +58,7 @@ object EntityMatch {
     val supp = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey").as("match_id"), col("s_name").as("match_name"))
     bestPacked(spark, sfDir)
-      .join(broadcast(supp), Seq("match_id"))
+      .join(supp, Seq("match_id"))
       .select(col("c_custkey"), col("c_name"), col("match_id"),
         col("match_name"), col("distance"))
   }
@@ -80,7 +81,7 @@ object EntityMatch {
     val supp = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey").as("match_id"), col("s_acctbal"))
     bestPacked(spark, sfDir)
-      .join(broadcast(supp), Seq("match_id"))
+      .join(supp, Seq("match_id"))
       .select(col("c_custkey"), col("c_acctbal"), col("match_id"),
         col("s_acctbal"), col("distance"))
   }
@@ -100,7 +101,7 @@ object EntityMatch {
     val supp = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
 
-    val exact = cust.join(broadcast(supp),
+    val exact = cust.join(supp,
         col("c_nationkey") === col("s_nationkey") &&
           substring(col("c_name"), -5, 5) === substring(col("s_name"), -5, 5))
       .groupBy(col("c_custkey"))
@@ -110,7 +111,7 @@ object EntityMatch {
 
     val rest = cust.join(exact.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
       .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val fuzzy = rest.join(broadcast(supp), col("c_nationkey") === col("s_nationkey"))
+    val fuzzy = rest.join(supp, col("c_nationkey") === col("s_nationkey"))
       .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
       .groupBy(col("c_custkey"))
       .agg(min((col("distance").cast("long") * lit(1L << 48)) + col("s_suppkey")).as("p"))

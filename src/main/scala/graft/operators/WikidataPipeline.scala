@@ -39,10 +39,15 @@ object WikidataPipeline {
       .withColumn("distance", levenshtein(col("name_full"), col("cat_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .withColumn("certitude",
-        (col("distance") <= 12).cast("int")
-          + col("birth_year").isNotNull.cast("int")
-          + (col("kind") === "person").cast("int"))
+      // certitude measures MATCH quality (the reference's matched-param
+      // count): a near-exact name hit, a plausible edit distance, and
+      // corroborating life dates only count when the name itself is
+      // close. Block misses (null distance) are certitude 0, not null.
+      .withColumn("certitude", coalesce(
+        (col("distance") <= 4).cast("int")
+          + (col("distance") <= 12).cast("int")
+          + (col("birth_year").isNotNull && col("distance") <= 12).cast("int"),
+        lit(0)))
       .select(col("xml_id"), col("name"), col("name_full"), col("kind"),
         col("birth_year"), col("death_year"),
         col("entity_id").as("wikidata_id"), col("entity_name").as("matched_name"),
@@ -67,8 +72,11 @@ object WikidataPipeline {
     catalogues.join(best, expr("instr(xml, concat('>', name, '<')) > 0"), "left")
       .groupBy(col("path"), col("xml"))
       .agg(array_sort(collect_list(struct(col("name"), col("wikidata_id")))).as("refs"))
+      // a file with no match joins (null, null): filter those structs
+      // out before folding, else the null search string nulls the
+      // whole document away
       .withColumn("xml_ref", expr(
-        """aggregate(refs, xml, (acc, r) -> replace(replace(acc,
+        """aggregate(filter(refs, r -> r.name IS NOT NULL), xml, (acc, r) -> replace(replace(acc,
           |  concat('<name>', r.name, '</name>'),
           |  concat('<name ref="wd:', r.wikidata_id, '">', r.name, '</name>')),
           |  concat('<tei:name>', r.name, '</tei:name>'),

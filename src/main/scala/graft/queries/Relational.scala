@@ -63,7 +63,9 @@ object Relational {
       .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00")))
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    // no broadcast hints: orders JOIN customer is SF-proportional —
+    // AQE broadcasts it at test scale, shuffles it at cluster scale
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sumFixed(discPriceE4, 10000L, 4).as("revenue"))
@@ -84,9 +86,11 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
 
     val natreg = nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    // only the bounded dims (nation x region) are hinted; customer and
+    // supplier scale with SF and are left to AQE
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(natreg), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -101,7 +105,7 @@ object Relational {
     val spend = ord.groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("spend"),
         count(lit(1)).as("n_orders"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("spend").desc, col("o_custkey"))
     spend
       .withColumn("rank_in_nation", row_number().over(w))
