@@ -19,6 +19,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
   }
 
+  test("type mismatches fail at analysis, not silently at runtime") {
+    // double arrays would silently read half of each 8-byte slot
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0, 2.0), array(1.0, 2.0))").collect()
+    }
+    assert(e1.getMessage.contains("array<float>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hyperplane_lsh(array(CAST(1.0 AS FLOAT)), 99, 8)").collect()
+    }
+    assert(e2.getMessage.contains("table"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(1, 2, 3))").collect()
+    }
+    assert(e3.getMessage.contains("array<string>"))
+  }
+
   test("minhash_sig, winnow_fingerprint, sorted_jaccard, hyperplane_lsh resolve") {
     val r = spark.sql(
       """SELECT size(minhash_sig(array('x y z'), 16)) AS k,

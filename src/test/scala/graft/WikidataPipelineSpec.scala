@@ -49,6 +49,23 @@ class WikidataPipelineSpec extends AnyFunSuite {
       && r.getAs[String]("occupation") == "poet"))
   }
 
+  test("refInjectXml keeps a file intact when nothing matches") {
+    import spark.implicits._
+    val cats = Seq(("f0", "<TEI><text><body><list><item><name>nobody here</name></item></list></body></text></TEI>"))
+      .toDF("path", "xml")
+    val noMatches = Seq(("x1", "nobody here", null.asInstanceOf[String], 0))
+      .toDF("xml_id", "name", "wikidata_id", "certitude")
+    val out = WikidataPipeline.refInjectXml(cats, noMatches).head()
+    assert(out.getAs[String]("xml_ref") != null)
+    assert(out.getAs[String]("xml_ref").contains("<name>nobody here</name>"))
+  }
+
+  test("block misses get certitude 0, not null") {
+    val z = matched.filter(col("xml_id") === "CAT_9_e2").head()
+    assert(!z.isNullAt(z.fieldIndex("certitude")))
+    assert(z.getAs[Int]("certitude") <= 1)
+  }
+
   test("refInjectXml sets ref on the matched name element only") {
     val out = WikidataPipeline.refInjectXml(
       TeiCatalog.readCatalogues(spark, dir), matched).head()
