@@ -127,9 +127,17 @@ object SparkEntry {
         |  substr(text, 1, 40) AS trait, 'author' AS name_type
         |FROM documents ORDER BY doc_id""".stripMargin,
     "name_normalize" ->
-      """SELECT c_custkey, c_name,
-        |  trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS name_norm
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """WITH t AS (SELECT c_custkey,
+        |  c_name || ' (nr ' || CAST(c_custkey AS VARCHAR) || ')' AS cat_name FROM customer),
+        |n AS (SELECT c_custkey, cat_name,
+        |  regexp_extract(cat_name, '\(([^)]*)\)?', 1) AS raw_fname,
+        |  trim(regexp_replace(cat_name, '\([^)]*\)?', ' ', 'g')) AS raw_lname
+        |  FROM t)
+        |SELECT c_custkey, cat_name,
+        |  trim(regexp_replace(regexp_replace(lower(cat_name), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS name_norm,
+        |  trim(regexp_replace(regexp_replace(lower(raw_lname), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS lname,
+        |  trim(regexp_replace(regexp_replace(lower(raw_fname), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS fname
+        |FROM n ORDER BY c_custkey""".stripMargin,
     "abbrev_expand" ->
       """SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
         |  t -> CASE t WHEN 'agg' THEN 'aggregate' WHEN 'dup' THEN 'duplicate'

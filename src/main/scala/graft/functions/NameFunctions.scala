@@ -17,6 +17,16 @@ object NameFunctions {
   def normalizeName(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9à-ÿ ]", " "), "\\s+", " "))
 
+  /** The parenthetical part of a catalogue name — "Hugo (Victor)" keeps
+    * first names in parens (itemtoid_prep.py:47 extracts it to build
+    * the query's fname). Empty when no parens. */
+  def parentheticalName(c: Column): Column =
+    regexp_extract(c, "\\(([^)]*)\\)?", 1)
+
+  /** The name with any parenthetical stripped — the lname side. */
+  def mainName(c: Column): Column =
+    trim(regexp_replace(c, "\\([^)]*\\)?", " "))
+
   /** Abbreviation→full-form expansion table. The reference ships
     * hand-curated French first-name tables (script/tables/matching.py);
     * ours maps the test corpus's clipped tokens. Swappable per domain. */

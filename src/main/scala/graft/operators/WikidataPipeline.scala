@@ -23,8 +23,15 @@ object WikidataPipeline {
   def itemToId(spark: SparkSession, catalogueDir: String, catalog: DataFrame): DataFrame = {
     val nt = TeiCatalog.resolveLeMeme(
         TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, catalogueDir)))
+      // catalogue names carry first names in parens: split, expand the
+      // abbreviated fname, and search on "lname fname" like the
+      // reference's prep_query builds its API query
+      .withColumn("lname", NameFunctions.normalizeName(NameFunctions.mainName(col("name"))))
+      .withColumn("fname", NameFunctions.expandAbbrev(
+        NameFunctions.normalizeName(NameFunctions.parentheticalName(col("name")))))
       .withColumn("name_norm", NameFunctions.normalizeName(col("name")))
-      .withColumn("name_full", NameFunctions.expandAbbrev(col("name_norm")))
+      .withColumn("name_full",
+        trim(concat(col("lname"), lit(" "), col("fname"))))
       .withColumn("kind", NameFunctions.classifyName(col("name")))
       .withColumn("birth_year", NameFunctions.birthYear(col("trait")).cast("int"))
       .withColumn("death_year", NameFunctions.deathYear(col("trait")).cast("int"))

@@ -11,12 +11,18 @@ import graft.sources.Tables
   */
 object ReferenceOps {
 
-  /** Lowercase/strip/collapse normalization over customer names
-    * (reference: itemtoid_prep.py:289). */
+  /** Lowercase/strip/collapse normalization + parenthetical split over
+    * customer names (reference: itemtoid_prep.py:47,289). The input is
+    * recast to catalogue shape — "lname (fname)" — so the split path
+    * is exercised on every row. */
   def nameNormalize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_name"),
-        NameFunctions.normalizeName(col("c_name")).as("name_norm"))
+      .withColumn("cat_name",
+        concat(col("c_name"), lit(" (nr "), col("c_custkey").cast("string"), lit(")")))
+      .select(col("c_custkey"), col("cat_name"),
+        NameFunctions.normalizeName(col("cat_name")).as("name_norm"),
+        NameFunctions.normalizeName(NameFunctions.mainName(col("cat_name"))).as("lname"),
+        NameFunctions.normalizeName(NameFunctions.parentheticalName(col("cat_name"))).as("fname"))
 
   /** Broadcast-map expansion of abbreviated tokens in document text
     * (reference: rgx.py:120). */
