@@ -142,7 +142,8 @@ object SparkEntry {
       """SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
         |  t -> CASE t WHEN 'agg' THEN 'aggregate' WHEN 'dup' THEN 'duplicate'
         |    WHEN 'col' THEN 'column' WHEN 'val' THEN 'value' WHEN 'cust' THEN 'customer'
-        |    WHEN 'qty' THEN 'quantity' WHEN 'j' THEN 'jean' WHEN 'ch' THEN 'charles'
+        |    WHEN 'qty' THEN 'quantity' WHEN 'j' THEN 'jean' WHEN 'b' THEN 'baptiste'
+        |    WHEN 'p' THEN 'pierre' WHEN 'm' THEN 'marie' WHEN 'ch' THEN 'charles'
         |    WHEN 'fr' THEN 'françois' ELSE t END), ' ') AS text_expanded
         |FROM documents ORDER BY doc_id""".stripMargin,
     "name_classify" ->

@@ -38,6 +38,9 @@ object NameFunctions {
     "cust" -> "customer",
     "qty" -> "quantity",
     "j" -> "jean",
+    "b" -> "baptiste",
+    "p" -> "pierre",
+    "m" -> "marie",
     "ch" -> "charles",
     "fr" -> "françois"
   )

@@ -32,6 +32,17 @@ class ReferenceOpsSpec extends AnyFunSuite {
     assert(out == "aggregate duplicate zzz")
   }
 
+  test("compound abbreviations expand through normalize + expand (rgx.py namebuild)") {
+    import spark.implicits._
+    import graft.functions.NameFunctions._
+    val out = Seq("Dupont (J.-B.)").toDF("name")
+      .select(expandAbbrev(normalizeName(parentheticalName(col("name")))).as("fname"),
+        normalizeName(mainName(col("name"))).as("lname"))
+      .head()
+    assert(out.getAs[String]("fname") == "jean baptiste")
+    assert(out.getAs[String]("lname") == "dupont")
+  }
+
   test("year_extract parses birth/death years from trait") {
     val r = ReferenceOps.yearExtract(spark, sf).limit(10).collect()
     r.foreach { row =>
