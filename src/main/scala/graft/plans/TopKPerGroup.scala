@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -46,6 +46,8 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // no grouping = global top-k: all partial heaps meet in one place
+    else if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -97,10 +99,18 @@ object TopK {
 
   def perGroup(groupCols: Seq[String], orderCols: Seq[(String, Boolean)], k: Int)(
       df: DataFrame): DataFrame = {
-    // self-register in sessions not built with GraftExtensions
-    val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.exists(_ eq TopKStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    require(k >= 1, s"topKPerGroup requires k >= 1, got $k")
+    require(orderCols.nonEmpty, "topKPerGroup requires at least one order column")
+    // self-register in sessions not built with GraftExtensions; the
+    // planner.strategies check also sees an extension-injected copy,
+    // and the lock keeps concurrent callers from double-appending
+    TopK.synchronized {
+      val alreadyPlanned =
+        df.sparkSession.sessionState.planner.strategies.exists(_ eq TopKStrategy)
+      val exp = df.sparkSession.experimental
+      if (!alreadyPlanned && !exp.extraStrategies.exists(_ eq TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    }
     val child = Bridge.logicalPlan(df)
     def attr(n: String): Attribute = child.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(

@@ -20,7 +20,7 @@ object Bucketing {
   /** Join two bucketed tables on their bucket key. With equal bucket
     * counts the planner proves co-partitioning: sort-merge join, zero
     * Exchange (PlanSpec asserts it). */
-  def cocatedJoin(spark: SparkSession, left: String, right: String,
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
       leftKey: String, rightKey: String): DataFrame = {
     val l = spark.table(left)
     val r = spark.table(right)

@@ -64,8 +64,10 @@ object TeiCatalog {
       .otherwise(expr("zip_with(names, traits, (n, t) -> struct(n as name, t as trait))"))
 
     items
-      .withColumn("pair", explode(pairs))
-      .select(col("path"), col("item_pos"), col("xml_id"), lit("").as("wikidata_id"),
+      .select(col("path"), col("item_pos"), col("xml_id"),
+        posexplode(pairs).as(Seq("pair_pos", "pair")))
+      .select(col("path"), col("item_pos"), col("pair_pos"), col("xml_id"),
+        lit("").as("wikidata_id"),
         ws(col("pair.name")).as("name"), ws(col("pair.trait")).as("trait"))
   }
 
@@ -75,10 +77,13 @@ object TeiCatalog {
     * fill-forward window — last non-"le même" name over the in-file
     * item order, partitioned by file so catalogues scale out. */
   def resolveLeMeme(nametable: DataFrame): DataFrame = {
+    // (item_pos, pair_pos) totally orders rows within a file — a bare
+    // item_pos ties on multi-name items and would carry an arbitrary
+    // one of them. Prefix match (no $), like the reference's re.match.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("path")).orderBy(col("item_pos"))
+      .partitionBy(col("path")).orderBy(col("item_pos"), col("pair_pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val isMeme = col("name").rlike("(?i)^(le|la) m[êe]me\\.?$")
+    val isMeme = col("name").rlike("(?i)^(le|la)\\sm[êe]me")
     nametable
       .withColumn("name",
         coalesce(last(when(!isMeme, col("name")), ignoreNulls = true).over(w), col("name")))

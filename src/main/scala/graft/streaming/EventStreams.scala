@@ -54,10 +54,15 @@ object EventStreams {
   /** Gap-based sessions per user via session_window (30-min inactivity
     * gap) — the streaming twin of Events.eventsSessionize. The window
     * end includes the gap padding, so parity compares on
-    * (user_id, session_start, n_events, total_value). */
+    * (user_id, session_start, n_events, total_value).
+    *
+    * Gap is 30 min + 1 µs: session_window merges on `diff < gap` while
+    * the batch twin merges on `diff <= 30 min`; with µs-quantized
+    * timestamps the +1 µs makes the two conventions exactly equal
+    * (an exactly-30-minute gap merges in both). */
   def sessionized(events: DataFrame): DataFrame =
     events
-      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .groupBy(session_window(col("ts"), "30 minutes 1 microsecond").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
@@ -90,6 +95,10 @@ object EventStreams {
   def sessionizedCustomState(spark: SparkSession, events: DataFrame): Dataset[ClosedSession] = {
     import spark.implicits._
 
+    val zero = java.math.BigDecimal.ZERO
+    def plus(total: java.math.BigDecimal, v: java.math.BigDecimal) =
+      if (v == null) total else total.add(v) // null value counts the event, adds nothing
+
     def step(userId: Long, rows: Iterator[SessionEvent],
         state: GroupState[OpenSession]): Iterator[ClosedSession] = {
       val sorted = rows.toSeq.sortBy(e => (e.ts_us))
@@ -97,13 +106,17 @@ object EventStreams {
       val closed = Seq.newBuilder[ClosedSession]
       for (e <- sorted) {
         open match {
+          // late data from an unordered source can precede the stored
+          // session: a negative gap still merges, widening boundaries
+          // with min/max instead of walking lastUs backwards
           case Some(s) if e.ts_us - s.lastUs <= GapUs =>
-            open = Some(OpenSession(s.startUs, e.ts_us, s.n + 1, s.total.add(e.value_c)))
+            open = Some(OpenSession(math.min(s.startUs, e.ts_us),
+              math.max(s.lastUs, e.ts_us), s.n + 1, plus(s.total, e.value_c)))
           case Some(s) =>
             closed += ClosedSession(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n, s.total)
-            open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value_c))
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1, plus(zero, e.value_c)))
           case None =>
-            open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value_c))
+            open = Some(OpenSession(e.ts_us, e.ts_us, 1, plus(zero, e.value_c)))
         }
       }
       open.foreach(state.update)
@@ -111,6 +124,7 @@ object EventStreams {
     }
 
     events
+      .filter(col("ts").isNotNull) // a null ts has no place on a timeline
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("value").cast("decimal(18,2)").as("value_c"))
       .as[SessionEvent]

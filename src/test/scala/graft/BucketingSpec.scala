@@ -19,7 +19,7 @@ class BucketingSpec extends AnyFunSuite {
 
   test("co-located join has no Exchange in the plan") {
     ready
-    val j = Bucketing.cocatedJoin(spark, "orders_b", "customer_b", "o_custkey", "cust_id")
+    val j = Bucketing.colocatedJoin(spark, "orders_b", "customer_b", "o_custkey", "cust_id")
     val plan = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("SortMergeJoin"))
     assert(!plan.contains("Exchange"), "bucketed join must not shuffle")
@@ -28,7 +28,7 @@ class BucketingSpec extends AnyFunSuite {
 
   test("bucketed join result equals the shuffled join") {
     ready
-    val bucketed = Bucketing.cocatedJoin(spark, "orders_b", "customer_b", "o_custkey", "cust_id")
+    val bucketed = Bucketing.colocatedJoin(spark, "orders_b", "customer_b", "o_custkey", "cust_id")
       .select(col("o_orderkey"), col("cust_id")).collect().map(_.mkString("|")).toSet
     val plain = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))

@@ -70,15 +70,16 @@ class TeiCatalogSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val nt = Seq(
-      ("f1", 0, "i1", "", "Hugo (Victor)", "t1"),
-      ("f1", 1, "i2", "", "Le même", "t2"),
-      ("f1", 2, "i3", "", "Sand (George)", "t3"),
-      ("f1", 3, "i4", "", "la même.", "t4"),
-      ("f2", 0, "i5", "", "le même", "t5")) // no predecessor → kept as-is
-      .toDF("path", "item_pos", "xml_id", "wikidata_id", "name", "trait")
+      ("f1", 0, 0, "i1", "", "Hugo (Victor)", "t1"),
+      ("f1", 0, 1, "i1b", "", "Dumas", "t1b"), // multi-name item: last pair carries
+      ("f1", 1, 0, "i2", "", "Le même", "t2"),
+      ("f1", 2, 0, "i3", "", "Sand (George)", "t3"),
+      ("f1", 3, 0, "i4", "", "la même.", "t4"),
+      ("f2", 0, 0, "i5", "", "le même", "t5")) // no predecessor → kept as-is
+      .toDF("path", "item_pos", "pair_pos", "xml_id", "wikidata_id", "name", "trait")
     val filled = TeiCatalog.resolveLeMeme(nt)
       .collect().map(r => r.getAs[String]("xml_id") -> r.getAs[String]("name")).toMap
-    assert(filled("i2") == "Hugo (Victor)")
+    assert(filled("i2") == "Dumas") // the item's LAST pair is the previous row
     assert(filled("i4") == "Sand (George)")
     assert(filled("i5") == "le même")
   }
