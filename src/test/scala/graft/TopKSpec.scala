@@ -36,6 +36,34 @@ class TopKSpec extends AnyFunSuite {
     assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage"), plan)
   }
 
+  test("empty grouping gives a global top-k") {
+    val ord = Tables.orders(spark, sf)
+    val global = ord.transform(TopK.perGroup(
+        Seq.empty, Seq("o_totalprice" -> false, "o_orderkey" -> true), 5))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val expected = ord.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(global == expected)
+  }
+
+  test("unpartitioned rank filter also rewrites safely") {
+    val ord = Tables.orders(spark, sf)
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = ord.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("o_orderkey")
+    // whether or not the rule fires, the result must be the true top-5
+    val expected = ord.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet == expected)
+  }
+
+  test("invalid k is rejected eagerly") {
+    val ord = Tables.orders(spark, sf)
+    intercept[IllegalArgumentException] {
+      ord.transform(TopK.perGroup(Seq("o_custkey"), Seq("o_orderkey" -> true), 0))
+    }
+  }
+
   test("k larger than any group returns everything") {
     val ord = Tables.orders(spark, sf)
     val n = ord.count()
