@@ -68,11 +68,18 @@ object WikidataPipeline {
       .select(col("wikidata_id")).distinct()
       .join(attrs, Seq("wikidata_id"), "left")
 
+  /** The prefixDef block wd2tei.py:34 appends to the encodingDesc: it
+    * declares how a `wd:Qxxx` ref expands to a full Wikidata URL. */
+  val listPrefixDef: String =
+    """<listPrefixDef><prefixDef ident="wd" matchPattern="(Q[0-9]+)" """ +
+      """replacementPattern="https://www.wikidata.org/wiki/$1"/></listPrefixDef>"""
+
   /** Stage 4: wd2tei — set `ref="wd:Qxxx"` on every name element whose
-    * literal text matched an entity (wd2tei.py:34 rewrites each
-    * catalogue the same way, matching names by text). The per-file
-    * rewrite folds the file's matches over the XML string — documents
-    * shard by file, so the rewrite distributes. */
+    * literal text matched an entity, and declare the `wd:` prefix in
+    * the header (wd2tei.py:34 rewrites each catalogue the same way,
+    * matching names by text). The per-file rewrite folds the file's
+    * matches over the XML string — documents shard by file, so the
+    * rewrite distributes. */
   def refInjectXml(catalogues: DataFrame, matched: DataFrame): DataFrame = {
     val best = matched.filter(col("wikidata_id").isNotNull && col("certitude") >= 2)
       .select(col("name"), col("wikidata_id")).distinct()
@@ -89,6 +96,14 @@ object WikidataPipeline {
           |  concat('<tei:name>', r.name, '</tei:name>'),
           |  concat('<tei:name ref="wd:', r.wikidata_id, '">', r.name, '</tei:name>')))
           |""".stripMargin.replace("\n", " ")))
+      // declare the wd: prefix once per rewritten file, right after the
+      // encodingDesc opens (only when the file actually gained a ref
+      // and carries a header to declare it in)
+      .withColumn("xml_ref",
+        when(col("xml_ref").contains("ref=\"wd:") &&
+            expr("instr(xml_ref, '<encodingDesc>')") > 0,
+          expr(s"replace(xml_ref, '<encodingDesc>', concat('<encodingDesc>', '$listPrefixDef'))"))
+          .otherwise(col("xml_ref")))
       .select(col("path"), col("xml_ref"))
   }
 }

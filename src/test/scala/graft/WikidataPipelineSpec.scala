@@ -49,6 +49,20 @@ class WikidataPipelineSpec extends AnyFunSuite {
       && r.getAs[String]("occupation") == "poet"))
   }
 
+  test("refInjectXml declares the wd: prefix in the header of rewritten files") {
+    import spark.implicits._
+    val cats = Seq(("fh",
+      "<TEI><teiHeader><encodingDesc></encodingDesc></teiHeader>" +
+        "<text><body><list><item><name>hugo victor</name></item></list></body></text></TEI>"))
+      .toDF("path", "xml")
+    val m = Seq(("h1", "hugo victor", "Q535", 3)).toDF("xml_id", "name", "wikidata_id", "certitude")
+    val xml = WikidataPipeline.refInjectXml(cats, m).head().getAs[String]("xml_ref")
+    assert(xml.contains("""<name ref="wd:Q535">hugo victor</name>"""))
+    assert(xml.contains("""<listPrefixDef><prefixDef ident="wd""""))
+    // the declaration lands inside the encodingDesc, once
+    assert("listPrefixDef".r.findAllIn(xml).size == 2) // open + close tag
+  }
+
   test("refInjectXml keeps a file intact when nothing matches") {
     import spark.implicits._
     val cats = Seq(("f0", "<TEI><text><body><list><item><name>nobody here</name></item></list></body></text></TEI>"))
