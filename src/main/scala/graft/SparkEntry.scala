@@ -53,7 +53,8 @@ object SparkEntry {
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_sessionize" -> (Events.eventsSessionize _),
-    "events_props" -> (Events.eventsProps _)
+    "events_props" -> (Events.eventsProps _),
+    "events_asof" -> (AsOfJoin.eventsAsof _)
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -405,6 +406,19 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin,
+    "events_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |s AS (SELECT user_id, ts, max(event_id) AS signup_id FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id, ts),
+        |signups AS (SELECT s.user_id, s.ts, s.signup_id,
+        |  CAST(e.value AS DECIMAL(18,2)) AS signup_val
+        |  FROM s JOIN ev e ON e.event_id = s.signup_id)
+        |SELECT ev.event_id, ev.user_id, ev.ts, ev.event_type,
+        |  signups.signup_id AS signup_event_id,
+        |  signups.signup_val AS signup_value
+        |FROM ev ASOF LEFT JOIN signups
+        |  ON ev.user_id = signups.user_id AND ev.ts >= signups.ts
+        |ORDER BY ev.event_id""".stripMargin,
     "events_props" ->
       """SELECT event_type,
         |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,

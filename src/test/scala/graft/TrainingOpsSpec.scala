@@ -86,6 +86,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join attaches the latest at-or-before right row per key") {
+    import spark.implicits._
+    val left = Seq((1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 12:00:00", "b"),
+      (2L, "2024-01-01 09:00:00", "c"))
+      .toDF("k", "ts_s", "tag").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq((1L, "2024-01-01 09:30:00", 100L), (1L, "2024-01-01 11:00:00", 200L),
+      (2L, "2024-01-01 09:30:00", 300L)) // after left's only row for k=2
+      .toDF("k", "ts_s", "payload").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", Seq("payload"))
+      .select("tag", "asof_payload").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a") == Some(100L)) // 09:30 is latest <= 10:00
+    assert(out("b") == Some(200L)) // 11:00 is latest <= 12:00
+    assert(out("c") == None)       // nothing at or before 09:00
+  }
+
   test("lang_id prediction is deterministic and covers all docs") {
     val l = TextMetrics.langId(spark, sf)
     assert(l.count() == graft.sources.Tables.documents(spark, sf).count())
