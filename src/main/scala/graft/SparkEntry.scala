@@ -54,7 +54,8 @@ object SparkEntry {
     "events_window" -> (Events.eventsWindow _),
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_props" -> (Events.eventsProps _),
-    "events_asof" -> (AsOfJoin.eventsAsof _)
+    "events_asof" -> (AsOfJoin.eventsAsof _),
+    "events_range" -> (RangeJoin.eventsRange _)
   )
 
   /** DuckDB-runnable oracle for each query (same tables, same column
@@ -406,6 +407,14 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin,
+    "events_range" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |  a.event_type AS a_type, b.event_type AS b_type,
+        |  b.us - a.us AS gap_us
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 300000000
+        |ORDER BY a_id, b_id""".stripMargin,
     "events_asof" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |s AS (SELECT user_id, ts, max(event_id) AS signup_id FROM ev

@@ -102,6 +102,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out("c") == None)       // nothing at or before 09:00
   }
 
+  test("banded range join finds exactly the in-range pairs") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"), (2L, 10L, "2024-01-01 10:03:00"),
+      (3L, 10L, "2024-01-01 10:04:59"), (4L, 10L, "2024-01-01 10:10:00"),
+      (5L, 11L, "2024-01-01 10:01:00")) // other user: never pairs
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).withColumn("event_type", lit("x"))
+    val pairs = RangeJoin.bandJoin(ev, widthSec = 300)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1→2 (3min), 1→3 (4:59), 2→3 (1:59), 3→4 (5:01 → out), 4 pairs with none after
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("lang_id prediction is deterministic and covers all docs") {
     val l = TextMetrics.langId(spark, sf)
     assert(l.count() == graft.sources.Tables.documents(spark, sf).count())
