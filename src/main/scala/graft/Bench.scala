@@ -23,18 +23,25 @@ object Bench {
     // warm-up: touch every table and exercise codegen once
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach(t => graft.sources.Tables.table(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min of two passes: the steady-state cost, insulated from the
+    // multi-second swings a busy host injects into single shots
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd forces every output column to materialize — a plain
       // count() would let Catalyst prune the very expressions under test
       try {
         fn(spark, sfDir).queryExecution.toRdd.count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         // a broken query must read as a failure, not a fast success
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+        -1.0
       }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = timeOnce(name, fn)
+      val t2 = if (t1 >= 0) timeOnce(name, fn) else t1
+      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
