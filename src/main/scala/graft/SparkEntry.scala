@@ -17,6 +17,7 @@ object SparkEntry {
     "q3_join" -> (Relational.q3Join _),
     "q5_starjoin" -> (Relational.q5StarJoin _),
     "q_window" -> (Relational.qWindow _),
+    "q_promo" -> (Relational.qPromo _),
     "q_rollup" -> (Relational.qRollup _),
     "q_exists" -> (Relational.qExists _),
     // A. reference-pipeline operators
@@ -112,6 +113,20 @@ object SparkEntry {
         |)
         |SELECT * FROM ranked WHERE rank_in_nation <= 3
         |ORDER BY c_nationkey, rank_in_nation""".stripMargin,
+    "q_promo" ->
+      """WITH li AS (SELECT * FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'),
+        |j AS (SELECT p_type, p_brand,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_e4
+        |  FROM li JOIN part ON l_partkey = p_partkey)
+        |SELECT p_type, count(*) AS n_items,
+        |  CAST(CAST(sum(disc_e4) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS revenue,
+        |  CAST(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN disc_e4 ELSE 0 END) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS brand1_revenue,
+        |  CAST(CAST(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN disc_e4 ELSE 0 END) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE)
+        |    / CAST(CAST(CAST(sum(disc_e4) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS brand1_share
+        |FROM j GROUP BY p_type ORDER BY p_type""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total

@@ -97,6 +97,25 @@ object Relational {
       .agg(sumFixed(discPriceE4, 10000L, 4).as("revenue"))
   }
 
+  /** TPC-H Q14-style promo effect: one month of lineitem joined to the
+    * part dimension, revenue per part type plus the promo share. The
+    * share divides two exact decimal sums once — a single double
+    * division of exact inputs is bit-stable under any parallelism. */
+  def qPromo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-02-01 00:00:00")))
+    val part = Tables.part(spark, sfDir)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sumFixed(discPriceE4, 10000L, 4).as("revenue"),
+        sumFixed(when(col("p_brand") === "Brand#1", discPriceE4).otherwise(lit(0L)),
+          10000L, 4).as("brand1_revenue"))
+      .withColumn("brand1_share",
+        col("brand1_revenue").cast("double") / col("revenue").cast("double"))
+  }
+
   /** Window functions: per-nation customer spend rank + running total.
     * One shuffle for the agg, one for the window partitioning. */
   def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
