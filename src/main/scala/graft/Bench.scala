@@ -21,7 +21,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: touch every table and exercise codegen once
-    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings", "events")
       .foreach(t => graft.sources.Tables.table(spark, sfDir, t).count())
     // min of two passes: the steady-state cost, insulated from the
     // multi-second swings a busy host injects into single shots

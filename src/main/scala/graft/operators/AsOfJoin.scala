@@ -11,38 +11,48 @@ import graft.sources.Tables
   *
   * Spark-first shape: NOT a range join (whose candidate set is
   * O(left × right per key) before pruning) but the union-and-fill
-  * form — tag both sides, union, and carry the right side's payload
-  * forward with an ordered-window `last(ignoreNulls)`. One shuffle on
-  * the key, O(n log n) in the partition sort, and skew splits under
-  * AQE; the per-key candidate blow-up never materializes.
+  * form — tag both sides, union, and carry the latest right row
+  * forward as ONE struct with an ordered-window `last(ignoreNulls)`.
+  * One shuffle on the key, O(n log n) in the partition sort; the
+  * per-key candidate blow-up never materializes. (A key hot enough to
+  * swamp one window task needs a coarser key or time-chunked salting —
+  * window partitions, unlike joins, are not split by AQE.)
   */
 object AsOfJoin {
 
   /** Generic as-of: attach to each `left` row the latest `right` row
     * (by tsCol, per keyCol) at or before it. Right payload columns
-    * arrive as `asof_<name>`. */
+    * arrive as `asof_<name>`. The payload travels as one struct, so
+    * the output is always a genuine right row — never a per-column
+    * mix of different rows when some payload values are null. Ties
+    * among right rows at the same (key, ts) resolve by a content hash:
+    * arbitrary but stable across runs. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    val reserved = "_src" +: "_asof_payload" +: payloadCols.map(c => s"asof_$c")
+    reserved.foreach(r => require(!left.columns.contains(r),
+      s"asOf reserves column name '$r'; rename it on the left side first"))
+
+    val payloadStruct = struct(payloadCols.map(col): _*)
     val leftTagged = left
       .withColumn("_src", lit(1))
-      .withColumns(payloadCols.map(c => s"asof_$c" -> lit(null).cast(
-        right.schema(c).dataType)).toMap)
+      .withColumn("_asof_payload",
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType))
     val rightTagged = right
-      .select((Seq(col(keyCol), col(tsCol)) ++ payloadCols.map(c => col(c).as(s"asof_$c"))): _*)
+      .select(col(keyCol), col(tsCol), payloadStruct.as("_asof_payload"))
       .withColumn("_src", lit(0))
-    val unioned = leftTagged.select(
-        (Seq(col(keyCol), col(tsCol), col("_src")) ++
-          left.columns.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-          payloadCols.map(c => col(s"asof_$c"))): _*)
+    val unioned = leftTagged
       .unionByName(rightTagged, allowMissingColumns = true)
     // right rows sort before left rows at equal ts, so "at or before"
     // includes the simultaneous right row (ASOF >= semantics)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("_src"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_src"), xxhash64(col("_asof_payload")))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_src") === 1).drop("_src")
+    val filled = unioned.withColumn("_asof_payload",
+      last(col("_asof_payload"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(filled.filter(col("_src") === 1)) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_asof_payload.$c"))
+    }.drop("_src", "_asof_payload")
   }
 
   /** Query binding: every event joined to the same user's most recent

@@ -102,6 +102,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out("c") == None)       // nothing at or before 09:00
   }
 
+  test("as-of join never mixes columns from different right rows") {
+    import spark.implicits._
+    val left = Seq((1L, "2024-01-01 10:00:00"))
+      .toDF("k", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq((1L, "2024-01-01 08:00:00", Some(5L)), (1L, "2024-01-01 09:00:00", None))
+      .toDF("k", "ts_s", "payload").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("rid", monotonically_increasing_id())
+    val r = AsOfJoin.asOf(left, right, "k", "ts", Seq("rid", "payload")).head()
+    // the 09:00 row (payload null) is the true match: its null must NOT
+    // be backfilled from the older 08:00 row
+    assert(r.isNullAt(r.fieldIndex("asof_payload")))
+  }
+
   test("banded range join finds exactly the in-range pairs") {
     import spark.implicits._
     val ev = Seq(
