@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.plans.TopK
+
+/** Randomized differential tests: the distributed operators against
+  * brute-force in-memory references over seeded random data. Catches
+  * the class of bug example-based specs miss — boundary alignment,
+  * bucket edges, tie handling — without any oracle dependency. */
+class DifferentialSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("asOf equals the brute-force latest-at-or-before over random data") {
+    val leftRows = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val rightRows = Seq.fill(150)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextLong()))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts)
+    val left = leftRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("lid", "k", "tsn").withColumn("ts", timestamp_micros(col("tsn") * 1000000))
+      .drop("tsn")
+    val right = rightRows.toDF("k", "tsn", "payload")
+      .withColumn("ts", timestamp_micros(col("tsn") * 1000000)).drop("tsn")
+
+    val got = AsOfJoin.asOf(left, right, "k", "ts", Seq("payload"))
+      .select("lid", "asof_payload").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.zipWithIndex.map { case ((k, t), i) =>
+      i.toLong -> byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t).sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("bandJoin equals the brute-force range predicate over random data") {
+    val rows = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(5000).toLong))
+    val ev = rows.toDF("event_id", "user_id", "tsn")
+      .withColumn("ts", timestamp_micros(col("tsn") * 1000000))
+      .withColumn("event_type", lit("x")).drop("tsn")
+    val width = 37L
+
+    val got = RangeJoin.bandJoin(ev, widthSec = width)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && b._3 > a._3 && b._3 <= a._3 + width
+    } yield (a._1, b._1)).toSet
+    assert(got == expected)
+  }
+
+  test("TopKPerGroup equals brute-force sort-take over random data") {
+    val rows = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(12), rnd.nextInt(100)))
+    val df = rows.toDF("id", "g", "score")
+    val k = 4
+    val got = df.transform(TopK.perGroup(Seq("g"), Seq("score" -> false, "id" -> true), k))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = rows.groupBy(_._2).values.flatMap(
+      _.sortBy(r => (-r._3, r._1)).take(k).map(_._1)).toSet
+    assert(got == expected)
+  }
+}
