@@ -11,7 +11,9 @@ import graft.sources.Tables
   * Money is aggregated as DECIMAL(18,2)/(18,4) so sums are exact and
   * order-independent — a parallel double sum would differ from the
   * single-threaded oracle in the last ulp and fail the hash compare.
-  * Every query is explicitly ordered for deterministic output.
+  * Terminal projections cast money to double (one correctly-rounded
+  * conversion of the exact sum), giving the driver's hasher a single
+  * canonical representation on both engines.
   */
 object Relational {
 
@@ -42,16 +44,21 @@ object Relational {
 
 
   /** TPC-H Q1-style pricing summary. Single scan, partial aggregation
-    * map-side, one shuffle on the (tiny) grouping key. */
+    * map-side, one shuffle on the (tiny) grouping key.
+    *
+    * All money sums are exact decimals internally; only the terminal
+    * projection casts to double (one correctly-rounded conversion of an
+    * exact value is bit-stable under any parallelism), so the driver's
+    * hasher sees a canonical float64 on both engines. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
-        sumFixed(discPriceE4, 10000L, 4).as("sum_disc_price"),
-        sumFixed(chargeE6, 1000000L, 6).as("sum_charge"),
+        sum(dec2(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").cast("double").as("sum_base_price"),
+        sumFixed(discPriceE4, 10000L, 4).cast("double").as("sum_disc_price"),
+        sumFixed(chargeE6, 1000000L, 6).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
 
@@ -94,7 +101,7 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(natreg), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sumFixed(discPriceE4, 10000L, 4).as("revenue"))
+      .agg(sumFixed(discPriceE4, 10000L, 4).cast("double").as("revenue"))
   }
 
   /** TPC-H Q14-style promo effect: one month of lineitem joined to the
@@ -109,11 +116,10 @@ object Relational {
     li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n_items"),
-        sumFixed(discPriceE4, 10000L, 4).as("revenue"),
+        sumFixed(discPriceE4, 10000L, 4).cast("double").as("revenue"),
         sumFixed(when(col("p_brand") === "Brand#1", discPriceE4).otherwise(lit(0L)),
-          10000L, 4).as("brand1_revenue"))
-      .withColumn("brand1_share",
-        col("brand1_revenue").cast("double") / col("revenue").cast("double"))
+          10000L, 4).cast("double").as("brand1_revenue"))
+      .withColumn("brand1_share", col("brand1_revenue") / col("revenue"))
   }
 
   /** Window functions: per-nation customer spend rank + running total.
@@ -126,13 +132,15 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .join(cust, col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("spend").desc, col("o_custkey"))
+    // rank as long (DuckDB row_number is BIGINT); windows order by the
+    // exact decimal spend, only the terminal projection casts to double
     spend
-      .withColumn("rank_in_nation", row_number().over(w))
+      .withColumn("rank_in_nation", row_number().over(w).cast("long"))
       .withColumn("running_spend", sum(col("spend")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(28,2)"))
       .filter(col("rank_in_nation") <= 3)
-      .select(col("c_nationkey"), col("c_name"), col("spend"), col("n_orders"),
-        col("rank_in_nation"), col("running_spend"))
+      .select(col("c_nationkey"), col("c_name"), col("spend").cast("double").as("spend"),
+        col("n_orders"), col("rank_in_nation"), col("running_spend").cast("double").as("running_spend"))
   }
 
   /** Multi-level aggregation (ROLLUP) over order status/priority. */
@@ -140,7 +148,7 @@ object Relational {
     Tables.orders(spark, sfDir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
   }
 
   /** Semi/anti join: customers with an open order but no high-priority
