@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col, transform, unix_micros}
+import org.apache.spark.sql.types.{ArrayType, TimestampType}
 import graft.queries._
 import graft.operators._
 
@@ -11,8 +13,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Gate canonicalization, applied to every query result before the
+    * parquet dump the driver hashes:
+    *  - session-tz TimestampType → epoch-micros long. The events table
+    *    ships TIMESTAMP(NANOS) parquet, which round-trips through Spark
+    *    as a UTC-adjusted timestamp while the DuckDB oracle yields a
+    *    naive one — same instant, different rendering. Epoch micros
+    *    (`epoch_us` on the oracle side) is representation-free.
+    *    TIMESTAMP_NTZ columns (e.g. o_orderdate) already round-trip
+    *    naively on both engines and pass through untouched.
+    *  - array columns → ';'-joined strings (`array_to_string` on the
+    *    oracle side): the driver's pandas row sort crashes on array
+    *    cells (unhashable ndarray).
+    * Library users call the operators directly and keep native types;
+    * this wrapper exists only so the gate hashes a canonical form. */
+  private def canon(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType => d.withColumn(f.name, unix_micros(col(f.name)))
+        case ArrayType(_, _) => d.withColumn(f.name,
+          array_join(transform(col(f.name), (x: Column) => x.cast("string")), ";"))
+        case _ => d
+      }
+    }
+
+  /** One entry per implemented operator from SURVEY.md §2 (each result
+    * passed through the gate `canon` projection above). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = raw.map {
+    case (name, fn) => name -> ((s: SparkSession, d: String) => canon(fn(s, d)))
+  }
+
+  private def raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Relational.q1Agg _),
     "q3_join" -> (Relational.q3Join _),
     "q5_starjoin" -> (Relational.q5StarJoin _),
@@ -64,10 +95,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS sum_charge,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -87,7 +118,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q5_starjoin" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -111,7 +142,9 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_spend
         |  FROM spend JOIN customer ON o_custkey = c_custkey
         |)
-        |SELECT * FROM ranked WHERE rank_in_nation <= 3
+        |SELECT c_nationkey, c_name, CAST(spend AS DOUBLE) AS spend, n_orders,
+        |  rank_in_nation, CAST(running_spend AS DOUBLE) AS running_spend
+        |FROM ranked WHERE rank_in_nation <= 3
         |ORDER BY c_nationkey, rank_in_nation""".stripMargin,
     "q_promo" ->
       """WITH li AS (SELECT * FROM lineitem
@@ -122,14 +155,14 @@ object SparkEntry {
         |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_e4
         |  FROM li JOIN part ON l_partkey = p_partkey)
         |SELECT p_type, count(*) AS n_items,
-        |  CAST(CAST(sum(disc_e4) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS revenue,
-        |  CAST(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN disc_e4 ELSE 0 END) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS brand1_revenue,
+        |  CAST(CAST(CAST(sum(disc_e4) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN disc_e4 ELSE 0 END) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS brand1_revenue,
         |  CAST(CAST(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN disc_e4 ELSE 0 END) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE)
         |    / CAST(CAST(CAST(sum(disc_e4) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS brand1_share
         |FROM j GROUP BY p_type ORDER BY p_type""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -254,8 +287,8 @@ object SparkEntry {
         |SELECT c_custkey, c_name, nation_label, region_label,
         |  coalesce(workcount, 0) AS workcount,
         |  coalesce(conflictcount, 0) AS conflictcount,
-        |  coalesce(statuses, []) AS statuses,
-        |  coalesce(priorities, []) AS priorities,
+        |  array_to_string(coalesce(statuses, []), ';') AS statuses,
+        |  array_to_string(coalesce(priorities, []), ';') AS priorities,
         |  coalesce(spend, CAST(0 AS DECIMAL(18,2))) AS spend
         |FROM customer
         |LEFT JOIN labels ON c_nationkey = n_nationkey
@@ -372,8 +405,8 @@ object SparkEntry {
         |w AS (SELECT * FROM words WHERE word <> ''),
         |freqs AS (SELECT word, count(*) AS wc FROM w GROUP BY word)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  sum(wc) AS sum_wc,
-        |  sum(CAST(wc = 1 AS BIGINT)) AS hapax_tokens,
+        |  CAST(sum(wc) AS BIGINT) AS sum_wc,
+        |  CAST(sum(CAST(wc = 1 AS BIGINT)) AS BIGINT) AS hapax_tokens,
         |  min(wc) AS rarest_wc,
         |  CAST(sum(wc) AS DOUBLE) / count(*) AS mean_wc
         |FROM w JOIN freqs USING (word)
@@ -390,8 +423,8 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars,
-        |  sum(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  avg(n_chars) AS avg_chars,
         |  count(DISTINCT md5(text)) AS distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -404,8 +437,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "events_window" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
-        |SELECT date_trunc('hour', ts) AS window_start,
-        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
+        |  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM ev GROUP BY 1, 2, 3
@@ -418,7 +451,8 @@ object SparkEntry {
         |  FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |t AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num FROM s)
-        |SELECT user_id, session_num, min(ts) AS session_start, max(ts) AS session_end,
+        |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+        |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin,
@@ -437,7 +471,7 @@ object SparkEntry {
         |signups AS (SELECT s.user_id, s.ts, s.signup_id,
         |  CAST(e.value AS DECIMAL(18,2)) AS signup_val
         |  FROM s JOIN ev e ON e.event_id = s.signup_id)
-        |SELECT ev.event_id, ev.user_id, ev.ts, ev.event_type,
+        |SELECT ev.event_id, ev.user_id, epoch_us(ev.ts) AS ts, ev.event_type,
         |  signups.signup_id AS signup_event_id,
         |  signups.signup_val AS signup_value
         |FROM ev ASOF LEFT JOIN signups
@@ -447,7 +481,7 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
         |  count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, k_mod""".stripMargin

@@ -13,7 +13,18 @@ import graft.sources.Tables
   * single-threaded oracle in the last ulp and fail the hash compare.
   * Terminal projections cast money to double (one correctly-rounded
   * conversion of the exact sum), giving the driver's hasher a single
-  * canonical representation on both engines.
+  * canonical representation on both engines. Exception: q3_join keeps
+  * its DECIMAL(18,4) revenue — its orderBy/limit keys the rows and the
+  * decimal output already hash-matches its decimal-typed oracle.
+  *
+  * Exactness bound for the terminal double cast: a long-backed
+  * DECIMAL(18,x) has ≤18 significant digits, but doubles hold only ~15.95
+  * (2^53); above that both engines still round the SAME exact decimal
+  * value, and DuckDB's wide-decimal path (int128 → double, then divide
+  * by 10^scale) can double-round and land 1 ulp away from Spark's
+  * BigDecimal.doubleValue. Sums here stay exact in ≤16 digits up to
+  * roughly SF 10^4 (sum_charge e6 ≈ 10^16 at SF ~30k); past that the
+  * gate projection should compare scaled longs instead of doubles.
   */
 object Relational {
 
