@@ -331,13 +331,93 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(a.emb, b.emb)
-        |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
+      """WITH planes AS (SELECT t, p, d,
+        |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(2) tt(t) CROSS JOIN range(4) pp(p) CROSS JOIN range(64) dd(d)),
+        |qv AS (SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |dots AS (SELECT vec_id, t, p, sum(sgn * q) AS dot FROM qv JOIN planes USING (d) GROUP BY vec_id, t, p),
+        |buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |bl AS (SELECT b.vec_id, e.label, b.t, b.bucket FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bl a JOIN bl b ON a.label = b.label AND a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p2 AS (SELECT vec_a, vec_b,
+        |  list_dot_product(ea.emb, eb.emb)
+        |    / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) AS cos
+        |  FROM cand JOIN ed ea ON ea.vec_id = cand.vec_a JOIN ed eb ON eb.vec_id = cand.vec_b)
+        |SELECT vec_a, vec_b, cos FROM p2 WHERE cos >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |u AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+        |h AS (SELECT doc_id, md5_number_lower(s) % 2305843009213693951 AS hb FROM u),
+        |seeds AS (SELECT i, md5_number_lower('minhash-a-' || i) % 2305843009213693950 + 1 AS a,
+        |  md5_number_lower('minhash-b-' || i) % 2305843009213693951 AS b FROM range(16) r(i)),
+        |sig AS (SELECT doc_id, i, min(CAST((CAST(a AS HUGEINT) * hb + b) % 2305843009213693951 AS BIGINT)) AS m
+        |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band, string_agg(m, ',' ORDER BY i) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+        |    / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))) AS jaccard
+        |  FROM cand JOIN d da ON da.doc_id = cand.doc_a JOIN d db ON db.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+        |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+        |chunks AS (SELECT doc_id, b // 16 AS c, CAST(sum(CASE WHEN v > 0 THEN (1 << (b % 16)) ELSE 0 END) AS BIGINT) AS chunk_val
+        |  FROM votes GROUP BY doc_id, b // 16),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id),
+        |ham AS (SELECT cand.doc_a, cand.doc_b, CAST(sum(bit_count(xor(ca.chunk_val, cb.chunk_val))) AS INT) AS hamming
+        |  FROM cand JOIN chunks ca ON ca.doc_id = cand.doc_a JOIN chunks cb ON cb.doc_id = cand.doc_b AND cb.c = ca.c
+        |  GROUP BY cand.doc_a, cand.doc_b)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ann_lsh" ->
+      """WITH planes AS (SELECT t, p, d,
+        |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(2) tt(t) CROSS JOIN range(8) pp(p) CROSS JOIN range(64) dd(d)),
+        |qv AS (SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |dots AS (SELECT vec_id, t, p, sum(sgn * q) AS dot FROM qv JOIN planes USING (d) GROUP BY vec_id, t, p),
+        |buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |qs AS (SELECT vec_id AS q_id, t, bucket FROM buckets WHERE vec_id % 100 = 0),
+        |cand AS (SELECT DISTINCT q.q_id, b.vec_id
+        |  FROM buckets b JOIN qs q ON b.t = q.t AND b.bucket = q.bucket WHERE b.vec_id <> q.q_id),
+        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (SELECT cand.q_id, cand.vec_id,
+        |  list_dot_product(qe.emb, ve.emb)
+        |    / (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ve.emb, ve.emb))) AS cos
+        |  FROM cand JOIN ed qe ON qe.vec_id = cand.q_id JOIN ed ve ON ve.vec_id = cand.vec_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN n < 8 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_transform(range(1, n - 8 + 2), i ->
+        |    list_reduce(list_transform(range(i, i + 8), j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+        |      (acc, b) -> CAST((CAST(acc AS HUGEINT) * 257 + b) % 2305843009213693951 AS BIGINT)))
+        |  END AS grams FROM t),
+        |w AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_sort(list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1), j ->
+        |    list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])))) END AS fps FROM g)
+        |SELECT doc_id, array_to_string(fps, ';') AS fingerprints,
+        |  CAST(len(fps) AS BIGINT) AS n_fingerprints
+        |FROM w ORDER BY doc_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),

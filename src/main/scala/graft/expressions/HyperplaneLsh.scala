@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,9 +14,15 @@ import org.apache.spark.sql.types._
   * an independent plane set, and unioning candidates over L tables
   * recovers the recall a single bucketing loses.
   *
-  * Planes are derived deterministically from xxhash64, so every
-  * executor materializes identical planes with no broadcast and no
-  * stored model.
+  * Planes are Rademacher (±1) vectors with signs from md5 parity, and
+  * the embedding is quantized to floor(x·2^20) longs before the dot
+  * product — an EXACT integer computation both engines reproduce
+  * bit-for-bit (float→double is exact, ·2^20 shifts the exponent,
+  * floor is exact), so no float-summation-order ambiguity can flip a
+  * near-zero sign. Oracle form per component:
+  *   sign = md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2.
+  * Every executor materializes identical planes with no broadcast and
+  * no stored model.
   */
 case class HyperplaneLsh(child: Expression, table: Int, numPlanes: Int)
     extends UnaryExpression {
@@ -50,28 +56,38 @@ object HyperplaneLsh {
   final val MaxTables = 4
   final val MaxPlanes = 16
   final val MaxDims = 64
+  /** Quantization factor 2^20: float32 has 24 mantissa bits, so
+    * floor(x·2^20) keeps sub-ulp resolution for |x| ≲ 16 while the
+    * 64-dim dot stays far inside long range. */
+  final val Quant = 1048576.0
 
-  // uniform in [-0.5, 0.5); direction-only use, so the distribution
-  // shape is irrelevant beyond symmetry
-  private val planes: Array[Array[Array[Double]]] =
+  // Rademacher plane signs from md5 parity — the oracle regenerates
+  // them inline; direction-only use, so ±1 entries suffice (they lose
+  // nothing vs gaussian planes for sign-projection LSH).
+  private val signs: Array[Array[Array[Long]]] =
     Array.tabulate(MaxTables, MaxPlanes, MaxDims) { (t, p, d) =>
-      java.lang.Math.floorMod(
-        XXH64.hashLong((t.toLong * MaxPlanes + p) * MaxDims + d, 7L), 1000003L)
-        .toDouble / 1000003.0 - 0.5
+      if (java.lang.Long.remainderUnsigned(
+        CrossHash.md5Lower64(s"hp-$t-$p-$d"), 2L) == 0L) 1L else -1L
     }
 
   def compute(a: ArrayData, table: Int, numPlanes: Int): Int = {
     val n = math.min(a.numElements(), MaxDims)
-    val tPlanes = planes(table)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(a.getFloat(i).toDouble * Quant).toLong
+      i += 1
+    }
+    val tSigns = signs(table)
     var bits = 0
     var p = 0
     while (p < numPlanes) {
-      val plane = tPlanes(p)
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        dot += a.getFloat(i).toDouble * plane(i)
-        i += 1
+      val plane = tSigns(p)
+      var dot = 0L
+      var j = 0
+      while (j < n) {
+        dot += plane(j) * q(j)
+        j += 1
       }
       if (dot > 0) bits |= (1 << p)
       p += 1

@@ -2,20 +2,26 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** MinHash signature of a shingle set: k permutations approximated by k
-  * seeded xxhash64 passes, signature element i = min hash under seed i
-  * (Broder's min-wise independent permutations). Jaccard(A,B) ≈
-  * fraction of equal signature positions; LSH banding over the
+/** MinHash signature of a shingle set: one md5-derived base hash per
+  * shingle, then k universal-hash permutations
+  * h_i(x) = (a_i·x + b_i) mod (2^61-1); signature element i = min over
+  * shingles (Broder's min-wise independent permutations). Jaccard(A,B)
+  * ≈ fraction of equal signature positions; LSH banding over the
   * signature yields near-dup candidates without the O(n²) cross join.
   *
-  * Native expression: one pass over the shingle bytes per seed, no
-  * boxing, static-call codegen — the interpreted higher-order
-  * equivalent (transform over seeds × array_min over transform) costs
-  * ~k allocations per element.
+  * The md5 + Mersenne-arithmetic family (CrossHash) is chosen so the
+  * DuckDB oracle recomputes identical signatures — the gate verifies
+  * the LSH candidate set itself, not just row counts. One digest per
+  * shingle; the k permutations are two arithmetic ops each.
+  *
+  * Native expression: one pass over the shingle bytes, no boxing,
+  * static-call codegen — the interpreted higher-order equivalent
+  * (transform over seeds × array_min over transform) costs ~k
+  * allocations per element.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression {
@@ -27,8 +33,9 @@ case class MinHashSig(child: Expression, k: Int)
       child.dataType.asInstanceOf[ArrayType].elementType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires an array<string> input, got ${child.dataType}")
-    else if (k <= 0 || k > 1024)
-      TypeCheckResult.TypeCheckFailure(s"$prettyName k must be in [1, 1024], got $k")
+    else if (k <= 0 || k > CrossHash.MaxPerms)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName k must be in [1, ${CrossHash.MaxPerms}], got $k")
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(input: Any): Any =
@@ -42,18 +49,19 @@ case class MinHashSig(child: Expression, k: Int)
 }
 
 object MinHashSig {
+  import CrossHash._
+
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill[Long](k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val b = arr.getUTF8String(i).getBytes // copy: md5 needs byte[]
+        val base = md5Mod(b, 0, b.length)
         var j = 0
         while (j < k) {
-          // distinct seed per permutation; golden-ratio spread
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes,
-            j * 0x9E3779B97F4A7C15L + 42L)
+          val h = addmod(mulmod(permA(j), base), permB(j))
           if (h < sig(j)) sig(j) = h
           j += 1
         }

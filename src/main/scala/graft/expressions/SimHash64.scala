@@ -2,15 +2,19 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** 64-bit SimHash over a token array — the per-bit vote construction
-  * from Charikar's similarity-estimation scheme: each token's xxhash64
-  * votes +1/-1 per bit, the sign of the tally becomes the output bit.
-  * Near-duplicate documents differ in few bits, so hamming distance
-  * (bit_count(a ^ b)) approximates token-set similarity.
+  * from Charikar's similarity-estimation scheme: each token's 64-bit
+  * hash votes +1/-1 per bit, the sign of the tally becomes the output
+  * bit. Near-duplicate documents differ in few bits, so hamming
+  * distance (bit_count(a ^ b)) approximates token-set similarity.
+  *
+  * The token hash is the lower 64 bits of md5 (CrossHash.md5Lower64 ==
+  * DuckDB `md5_number_lower`), so the oracle recomputes identical
+  * fingerprints and the gate verifies the near-dup pairs exactly.
   *
   * Implemented as a native Catalyst expression: `eval` walks the
   * ArrayData without boxing and `doGenCode` emits a static call, so the
@@ -38,16 +42,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  final val Seed = 42L
-
   def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        val tok = arr.getUTF8String(i).getBytes
+        val h = CrossHash.md5Lower64(tok, 0, tok.length)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

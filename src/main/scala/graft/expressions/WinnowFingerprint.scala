@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,6 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * rightmost minimum per window, return the distinct sorted mins.
   * Guarantees any shared substring of length ≥ k+w-1 yields a shared
   * fingerprint, at ~1/w the storage of full k-gram hashing.
+  *
+  * Gram hash = Rabin-style polynomial, base 257 mod 2^61-1
+  * (CrossHash.polyHash), so the DuckDB oracle recomputes identical
+  * fingerprints with list_reduce over the gram's byte values.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -44,8 +48,7 @@ object WinnowFingerprint {
     val grams = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      grams(i) = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, 7L)
+      grams(i) = CrossHash.polyHash(bytes, i, k)
       i += 1
     }
     // sliding-window rightmost-min via monotonic deque: O(n) total

@@ -96,13 +96,20 @@ object Ann {
       df.select(col("*"), posexplode(array(
         (0 until tables).map(t => Similarity.lshBucket(col("embedding"), t)): _*))
         .as(Seq("table", "bucket")))
-    val qs = bucketed(emb.filter(pmod(col("vec_id"), lit(100)) === 0))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("table"), col("bucket"))
-    rankTopK(bucketed(spread(emb)).join(broadcast(qs), Seq("table", "bucket"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val qs = bucketed(queries)
+      .select(col("vec_id").as("q_id"), col("table"), col("bucket"))
+    // a pair may collide in several tables — dedup bare (q_id, vec_id)
+    // ids, so the distinct's shuffle carries no embedding arrays, then
+    // rejoin both embedding payloads for the exact-cosine rerank
+    val cand = bucketed(spread(emb)).join(broadcast(qs), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct() // a pair may collide in several tables
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    rankTopK(cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        Seq("q_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
       .select(col("q_id"), col("vec_id"), col("cos")))
   }

@@ -83,14 +83,19 @@ object Dedup {
       // reused by the banding explode AND both verify joins: without
       // the persist the shingle+signature subtree recomputes 3x
       .persist()
+    // the band key is the slice VALUES (comma-joined), not a rehash:
+    // bucket equality is then exactly signature-slice equality, which
+    // the DuckDB oracle reproduces (a murmur rehash would add its own
+    // collision pairs the oracle can't see)
     val banded = docs.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rows+1, $rows), b))"))
-          .as(Seq("band", "band_hash")))
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"array_join(transform(slice(sig, b*$rows+1, $rows), x -> cast(x as string)), ','))"))
+          .as(Seq("band", "band_key")))
     // candidate ids first — the distinct then shuffles bare (id, id)
     // pairs instead of dragging both shingle arrays through it
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
-        Seq("band", "band_hash"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
@@ -127,13 +132,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Embedding-cosine near-dup pairs inside label blocks. */
+  /** Embedding-cosine near-dup pairs inside (label, LSH-bucket) blocks.
+    *
+    * Blocking on label alone is quadratic within a label (a hot label
+    * explodes at corpus scale), so each vector is also bucketed by 2
+    * hyperplane-LSH tables × 4 planes; candidates must share a bucket
+    * in SOME table. Candidate ids dedup bare (the embeddings rejoin
+    * after the distinct), then exact cosine verifies. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val tables = 2
+    val planes = 4
     val emb = Tables.embeddings(spark, sfDir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
+    val bucketed = emb.select(col("vec_id"), col("label"),
+      posexplode(array((0 until tables).map(t =>
+        Similarity.lshBucket(col("embedding"), t, planes)): _*)).as(Seq("tbl", "bucket")))
+    val cand = bucketed.select(col("vec_id").as("vec_a"), col("label"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("label"), col("tbl"), col("bucket")),
+        Seq("label", "tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cos", Similarity.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))

@@ -18,6 +18,28 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
   private def larr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
 
+  test("CrossHash primitives match DuckDB reference values") {
+    // duckdb: SELECT md5_number_lower('abc')
+    assert(CrossHash.md5Lower64("abc") == 8250560606382298838L)
+    // duckdb: SELECT (1234567890123456789::HUGEINT * 987654321098765432 + 42)
+    //           % 2305843009213693951
+    assert(CrossHash.addmod(
+      CrossHash.mulmod(1234567890123456789L, 987654321098765432L),
+      42L) == 960075274131157718L)
+    // duckdb: SELECT list_reduce([97,98,99]::BIGINT[],
+    //           (acc,b) -> (acc::HUGEINT*257 + b) % 2305843009213693951)
+    val abc = "abc".getBytes("UTF-8")
+    assert(CrossHash.polyHash(abc, 0, 3) == 6432038L)
+    // mulmod exercises the 128-bit fold: against BigInt for random pairs
+    val P = BigInt(CrossHash.P)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 1000) {
+      val a = rnd.nextLong() & ((1L << 61) - 1)
+      val b = rnd.nextLong() & ((1L << 61) - 1)
+      assert(BigInt(CrossHash.mulmod(a, b)) == (BigInt(a) * BigInt(b)) % P)
+    }
+  }
+
   test("sorted_jaccard equals naive set jaccard") {
     val gen = for {
       a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
