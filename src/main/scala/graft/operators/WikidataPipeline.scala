@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.NameFunctions
 import graft.sources.{Tables, TeiCatalog}
 
@@ -37,15 +36,20 @@ object WikidataPipeline {
       .withColumn("death_year", NameFunctions.deathYear(col("trait")).cast("int"))
     val cat = catalog.select(col("entity_id"), col("entity_name"),
       NameFunctions.normalizeName(col("entity_name")).as("cat_norm"))
-      // block on the first normalized token — the text analogue of
-      // EntityMatch's nationkey block; bounds the fuzzy pair count
-      .withColumn("block", substring(col("cat_norm"), 1, 1))
-    val w = Window.partitionBy(col("xml_id"), col("name")).orderBy(col("distance"), col("entity_id"))
-    nt.withColumn("block", substring(col("name_full"), 1, 1))
+      // block on the soundex of the first normalized token (SURVEY §5's
+      // prescription): ~26 first-char blocks would each hold 1/26th of
+      // the catalog — quadratic inside a block at corpus scale — while
+      // soundex-of-token yields thousands of phonetic blocks and still
+      // catches spelling variants the edit distance is meant to rank
+      .withColumn("block", soundex(substring_index(col("cat_norm"), " ", 1)))
+    nt.withColumn("block", soundex(substring_index(col("name_full"), " ", 1)))
       .join(cat, Seq("block"), "left")
       .withColumn("distance", levenshtein(col("name_full"), col("cat_norm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      // best match per (xml_id, name) via the bounded-heap TopK operator:
+      // only one candidate per group per map partition reaches the
+      // shuffle, vs row_number's full candidate sort
+      .transform(graft.plans.TopK.perGroup(
+        Seq("xml_id", "name"), Seq("distance" -> true, "entity_id" -> true), 1))
       // certitude measures MATCH quality (the reference's matched-param
       // count): a near-exact name hit, a plausible edit distance, and
       // corroborating life dates only count when the name itself is
@@ -84,8 +88,11 @@ object WikidataPipeline {
     val best = matched.filter(col("wikidata_id").isNotNull && col("certitude") >= 2)
       .select(col("name"), col("wikidata_id")).distinct()
     catalogues.join(best, expr("instr(xml, concat('>', name, '<')) > 0"), "left")
-      .groupBy(col("path"), col("xml"))
-      .agg(array_sort(collect_list(struct(col("name"), col("wikidata_id")))).as("refs"))
+      // group by path alone: the XML document is payload, not key — a
+      // whole-file string in the grouping key becomes the shuffle key
+      .groupBy(col("path"))
+      .agg(first(col("xml")).as("xml"),
+        array_sort(collect_list(struct(col("name"), col("wikidata_id")))).as("refs"))
       // a file with no match joins (null, null): filter those structs
       // out before folding, else the null search string nulls the
       // whole document away

@@ -55,6 +55,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedup_embedding blocks on (label, lsh bucket), never label alone") {
+    val p = plan("dedup_embedding")
+    // the candidate equi-join key must include the hyperplane bucket —
+    // label-only blocking is quadratic inside a hot label
+    assert(p.contains("bucket"), "join key must include the LSH bucket")
+    assert(p.contains("hyperplane_lsh"))
+  }
+
+  test("itemToId reduces best-match via the bounded-heap TopK operator") {
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("graft_planspec")
+    java.nio.file.Files.writeString(d.resolve("CAT_1.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item xml:id="CAT_1_e1"><name>hugo victor</name>
+        | <trait><p>N. 1802 M. 1885.</p></trait></item>
+        |</list></body></text></TEI>""".stripMargin)
+    val cat = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("string").as("entity_id"),
+        col("c_name").as("entity_name"))
+    val df = graft.operators.WikidataPipeline.itemToId(spark, d.toString, cat)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TopKPerGroup"), "best-match must plan as TopKPerGroupExec")
+    assert(!p.contains("row_number"), "no window row_number in the match path")
+  }
+
   test("word_count keeps partial aggregation map-side") {
     val p = plan("word_count")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
