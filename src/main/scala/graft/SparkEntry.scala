@@ -56,6 +56,7 @@ object SparkEntry {
     "name_normalize" -> (ReferenceOps.nameNormalize _),
     "abbrev_expand" -> (ReferenceOps.abbrevExpand _),
     "name_classify" -> (ReferenceOps.nameClassify _),
+    "occupation_extract" -> (ReferenceOps.occupationExtract _),
     "year_extract" -> (ReferenceOps.yearExtract _),
     "name_fillforward" -> (ReferenceOps.nameFillforward _),
     "entity_match" -> (EntityMatch.entityMatch _),
@@ -90,8 +91,18 @@ object SparkEntry {
     "events_range" -> (RangeJoin.eventsRange _)
   )
 
+  /** SQL string literal escape for generated oracle fragments. */
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** The geo/event tokenization both engines share (classifyName /
+    * its oracle): strip ". ," and dangling hyphens, split whitespace. */
+  private val geoSplitSql: String =
+    """regexp_split_to_array(regexp_replace(lower(text), '(\.|,|(\s-)|(-\s))+', ' ', 'g'), '\s+')"""
+
   /** DuckDB-runnable oracle for each query (same tables, same column
-    * names, same explicit ordering). */
+    * names, same explicit ordering). Table-driven oracles (abbrev,
+    * classify, occupation) are GENERATED from the same Scala tables the
+    * Spark operators use, so the two sides cannot drift. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -188,22 +199,49 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(raw_lname), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS lname,
         |  trim(regexp_replace(regexp_replace(lower(raw_fname), '[^a-z0-9à-ÿ ]', ' ', 'g'), '\s+', ' ', 'g')) AS fname
         |FROM n ORDER BY c_custkey""".stripMargin,
-    "abbrev_expand" ->
-      """SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
-        |  t -> CASE t WHEN 'agg' THEN 'aggregate' WHEN 'dup' THEN 'duplicate'
-        |    WHEN 'col' THEN 'column' WHEN 'val' THEN 'value' WHEN 'cust' THEN 'customer'
-        |    WHEN 'qty' THEN 'quantity' WHEN 'j' THEN 'jean' WHEN 'b' THEN 'baptiste'
-        |    WHEN 'p' THEN 'pierre' WHEN 'm' THEN 'marie' WHEN 'ch' THEN 'charles'
-        |    WHEN 'fr' THEN 'françois' ELSE t END), ' ') AS text_expanded
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "name_classify" ->
-      """SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '(?i)(document|divers)') THEN 'document'
-        |    WHEN regexp_matches(text, '(?i)charte') THEN 'charter'
-        |    WHEN regexp_matches(text, '(?i)(table|region|nation)') THEN 'place'
-        |    WHEN regexp_matches(text, '(?i)(stream|event|war|revolution)') THEN 'event'
-        |    ELSE 'person' END AS kind
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "abbrev_expand" -> {
+      val whens = graft.functions.NameFunctions.abbrevMap.toSeq.sorted
+        .map { case (k, v) => s"WHEN t = '${sq(k)}' THEN '${sq(v)}'" }.mkString(" ")
+      s"""SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
+         |  t -> CASE $whens ELSE t END), ' ') AS text_expanded
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "name_classify" -> {
+      val geo = graft.functions.NameFunctions.geoTerms.map(t => s"'${sq(t)}'").mkString(", ")
+      val ev = graft.functions.NameFunctions.eventTerms.map(t => s"'${sq(t)}'").mkString(", ")
+      val status = graft.functions.NameFunctions.statusPattern
+      s"""SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '(?i)(document|divers)') THEN 'document'
+         |    WHEN regexp_matches(text, '(?i)charte') THEN 'charter'
+         |    WHEN regexp_matches(text, '(?i)(table|region|nation)')
+         |      OR (list_has_any($geoSplitSql, [$geo])
+         |          AND NOT regexp_matches(lower(text), '$status')) THEN 'place'
+         |    WHEN regexp_matches(text, '(?i)(stream|event|war|revolution)')
+         |      OR list_has_any($geoSplitSql, [$ev]) THEN 'event'
+         |    ELSE 'person' END AS kind
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "occupation_extract" -> {
+      val sample = ReferenceOps.occupationSample.map(t => s"'${sq(t)}'").mkString(", ")
+      val whens = graft.functions.MatchingTables.functions.toSeq.sorted
+        .map { case (k, v) => s"WHEN w = '${sq(k)}' THEN '${sq(v)}'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, 'Né en 1800. ' || ([$sample])[CAST(doc_id % 10 AS INT) + 1]
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' et maréchal' ELSE '' END || ' de France.' AS trait
+         |  FROM documents),
+         |tok AS (SELECT doc_id, trait,
+         |  list_transform(regexp_split_to_array(lower(trait), '\\s+'),
+         |    w -> regexp_replace(w, '^[^a-zà-ÿ''-]+|[^a-zà-ÿ''-]+$$', '', 'g')) AS toks FROM t),
+         |hit AS (SELECT doc_id, trait,
+         |  list_filter(list_transform(toks, w -> CASE $whens ELSE NULL END), h -> h IS NOT NULL) AS hits FROM tok),
+         |dis AS (SELECT doc_id, trait, hits, list_distinct(hits) AS d FROM hit)
+         |SELECT doc_id, trait,
+         |  CASE WHEN len(d) = 0 THEN NULL
+         |    WHEN list_contains(d, 'marshal') AND (list_contains(d, 'general') OR list_contains(d, 'military')) THEN 'marshal'
+         |    WHEN len(d) > 1 AND list_contains(d, 'general') AND list_contains(d, 'military') THEN 'general'
+         |    WHEN len(d) > 1 AND list_contains(d, 'emperor') THEN 'emperor'
+         |    ELSE hits[1] END AS occupation
+         |FROM dis ORDER BY doc_id""".stripMargin
+    },
     "year_extract" ->
       """WITH t AS (SELECT doc_id,
         |  'N. ' || CAST(1800 + doc_id % 150 AS VARCHAR) || ' M. ' || CAST(1820 + doc_id % 160 AS VARCHAR) AS trait

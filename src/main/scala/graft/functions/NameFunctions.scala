@@ -27,10 +27,10 @@ object NameFunctions {
   def mainName(c: Column): Column =
     trim(regexp_replace(c, "\\([^)]*\\)?", " "))
 
-  /** Abbreviation→full-form expansion table. The reference ships
-    * hand-curated French first-name tables (script/tables/matching.py);
-    * ours maps the test corpus's clipped tokens. Swappable per domain. */
-  val abbrevMap: Map[String, String] = Map(
+  /** Abbreviation→full-form expansion table: the reference's curated
+    * French first-name table (MatchingTables.names, matching.py:12)
+    * plus the test corpus's clipped tokens. Swappable per domain. */
+  val abbrevMap: Map[String, String] = MatchingTables.names ++ Map(
     "agg" -> "aggregate",
     "dup" -> "duplicate",
     "col" -> "column",
@@ -40,9 +40,7 @@ object NameFunctions {
     "j" -> "jean",
     "b" -> "baptiste",
     "p" -> "pierre",
-    "m" -> "marie",
-    "ch" -> "charles",
-    "fr" -> "françois"
+    "m" -> "marie"
   )
 
   /** Expand every abbreviated token in a space-separated string via a
@@ -54,16 +52,95 @@ object NameFunctions {
     array_join(transform(split(c, " "), t => coalesce(element_at(m, t), t)), " ")
   }
 
+  /** Composed-name expansion: a whole-string hit in the reference's
+    * comp_names table (matching.py:50) wins — a composed name gives
+    * context the per-initial expansion lacks ("j b" → "jean-baptiste",
+    * not "jean baptiste") — else fall back to token-wise expandAbbrev. */
+  def expandComposed(c: Column): Column =
+    coalesce(element_at(typedlit(MatchingTables.compNames), c), expandAbbrev(c))
+
+  /** Sorted status keys, longest first so regex alternation prefers
+    * "comtesse palatine" over "comtesse" over "comte". */
+  private val statusKeys: Seq[String] =
+    MatchingTables.status.keys.toSeq.sortBy(k => (-k.length, k))
+  /** Regex alternation of every status key — shared with the generated
+    * DuckDB oracle so both engines detect titles identically. */
+  val statusPattern: String = statusKeys.mkString("|")
+  private def statusAlt: String = statusPattern
+
+  /** True when the name carries a nobility/clerical title
+    * (substring scan over MatchingTables.status, itemtoid_prep.py:211). */
+  def hasStatus(c: Column): Column = lower(c).rlike(statusAlt)
+
+  /** The wikidata terms of every translated title present in the name,
+    * space-joined in a deterministic (longest-key-first) order; "" when
+    * none (itemtoid_prep.py:235 builds sts_title the same way). */
+  def statusTitles(c: Column): Column = {
+    val m = typedlit(MatchingTables.status)
+    trim(array_join(transform(
+      filter(typedlit(statusKeys),
+        k => contains(lower(c), k) && element_at(m, k) =!= ""),
+      k => element_at(m, k)), " "))
+  }
+
+  /** Strip titles + particles from a nobility name, leaving the
+    * searchable surname (the regex cascade at itemtoid_prep.py:218-230,
+    * collapsed into one alternation pass + one particle pass). */
+  def stripStatus(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(c),
+      s",?\\s?(le|la|l')?\\s?($statusAlt)(\\s(de|de\\sla|du|d'|,)*(\\s|$$))*", " "),
+      "(^|\\s)(puis|dit|le|la|les|de|des|du|et)(?=\\s|$)|l'|,", " "),
+      "\\s+", " "))
+
+  /** Geography token lists from the reference's tables: departments,
+    * provinces, colonies, and country names (matching.py:190-478). */
+  val geoTerms: Seq[String] = (MatchingTables.dpts ++ MatchingTables.provinces ++
+    MatchingTables.colonies ++ MatchingTables.countries.keys.toSeq).distinct.sorted
+  val eventTerms: Seq[String] = MatchingTables.events.keys.toSeq.sorted
+
+  /** The reference's geo/event tokenization (itemtoid_prep.py:73):
+    * strip ". ," and dangling hyphens to spaces, keep internal hyphens
+    * ("île-de-france" stays one token), split on whitespace. */
+  private def geoTokens(c: Column): Column =
+    split(regexp_replace(lower(c), "(\\.|,|(\\s-)|(-\\s))+", " "), "\\s+")
+
   /** Rule-cascade kind classification, mirroring the reference's
     * if/elif chain over name content (itemtoid_prep.py:56-205):
     * documents / charters / geography / events / persons. First match
-    * wins — order is semantic. */
-  def classifyName(c: Column): Column =
+    * wins — order is semantic. Geography only classifies when no
+    * nobility title is present (CASE 4's guard: "Duc de Bretagne" is a
+    * person, not a province). */
+  def classifyName(c: Column): Column = {
+    val toks = geoTokens(c)
     when(c.rlike("(?i)(document|divers)"), lit("document"))
       .when(c.rlike("(?i)charte"), lit("charter"))
-      .when(c.rlike("(?i)(table|region|nation)"), lit("place"))
-      .when(c.rlike("(?i)(stream|event|war|revolution)"), lit("event"))
+      .when(c.rlike("(?i)(table|region|nation)") ||
+        (arrays_overlap(toks, typedlit(geoTerms)) && !hasStatus(c)), lit("place"))
+      .when(c.rlike("(?i)(stream|event|war|revolution)") ||
+        arrays_overlap(toks, typedlit(eventTerms)), lit("event"))
       .otherwise(lit("person"))
+  }
+
+  /** Occupation extraction from the trait (itemtoid_prep.py:305-341):
+    * each trait token equal to a key of the functions table votes its
+    * wikidata occupation; the distinct hits reduce by the reference's
+    * priority rules (marshal > general > emperor > first extracted). */
+  def occupationExtract(c: Column): Column = {
+    val m = typedlit(MatchingTables.functions)
+    val toks = split(lower(c), "\\s+")
+    val clean = transform(toks, t => regexp_replace(t, "^[^a-zà-ÿ'-]+|[^a-zà-ÿ'-]+$", ""))
+    val hits = filter(transform(clean, t => element_at(m, t)), _.isNotNull)
+    val d = array_distinct(hits)
+    // "first extracted" reads the ordered hit list, never the distinct
+    // list — engines need not agree on distinct's output order
+    when(size(d) === 0, lit(null).cast("string"))
+      .when(array_contains(d, "marshal") &&
+        (array_contains(d, "general") || array_contains(d, "military")), lit("marshal"))
+      .when(size(d) > 1 && array_contains(d, "general") && array_contains(d, "military"),
+        lit("general"))
+      .when(size(d) > 1 && array_contains(d, "emperor"), lit("emperor"))
+      .otherwise(element_at(hits, 1))
+  }
 
   /** Extract a year appearing after a birth marker ("N." / "né") and
     * after a death marker ("M." / "mort"), as the reference does with

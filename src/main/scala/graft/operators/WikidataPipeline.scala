@@ -25,13 +25,21 @@ object WikidataPipeline {
       // catalogue names carry first names in parens: split, expand the
       // abbreviated fname, and search on "lname fname" like the
       // reference's prep_query builds its API query
-      .withColumn("lname", NameFunctions.normalizeName(NameFunctions.mainName(col("name"))))
-      .withColumn("fname", NameFunctions.expandAbbrev(
+      // nobility names ("Duc de Broglie (Victor)") strip the title to
+      // the searchable surname (itemtoid_prep.py:211-240); others split
+      // lname/parenthetical-fname as usual
+      .withColumn("lname", when(NameFunctions.hasStatus(col("name")),
+          NameFunctions.stripStatus(NameFunctions.mainName(col("name"))))
+        .otherwise(NameFunctions.normalizeName(NameFunctions.mainName(col("name")))))
+      // composed-name table first, then per-token expansion
+      .withColumn("fname", NameFunctions.expandComposed(
         NameFunctions.normalizeName(NameFunctions.parentheticalName(col("name")))))
       .withColumn("name_norm", NameFunctions.normalizeName(col("name")))
       .withColumn("name_full",
         trim(concat(col("lname"), lit(" "), col("fname"))))
       .withColumn("kind", NameFunctions.classifyName(col("name")))
+      .withColumn("status_title", NameFunctions.statusTitles(col("name")))
+      .withColumn("occupation", NameFunctions.occupationExtract(col("trait")))
       .withColumn("birth_year", NameFunctions.birthYear(col("trait")).cast("int"))
       .withColumn("death_year", NameFunctions.deathYear(col("trait")).cast("int"))
     val cat = catalog.select(col("entity_id"), col("entity_name"),
@@ -51,15 +59,18 @@ object WikidataPipeline {
       .transform(graft.plans.TopK.perGroup(
         Seq("xml_id", "name"), Seq("distance" -> true, "entity_id" -> true), 1))
       // certitude measures MATCH quality (the reference's matched-param
-      // count): a near-exact name hit, a plausible edit distance, and
-      // corroborating life dates only count when the name itself is
-      // close. Block misses (null distance) are certitude 0, not null.
+      // count, itemtoid_prep.py:344-352 qdata): a near-exact name hit,
+      // a plausible edit distance, and corroborating life dates or an
+      // extracted occupation only count when the name itself is close.
+      // Block misses (null distance) are certitude 0, not null.
       .withColumn("certitude", coalesce(
         (col("distance") <= 4).cast("int")
           + (col("distance") <= 12).cast("int")
-          + (col("birth_year").isNotNull && col("distance") <= 12).cast("int"),
+          + (col("birth_year").isNotNull && col("distance") <= 12).cast("int")
+          + (col("occupation").isNotNull && col("distance") <= 12).cast("int"),
         lit(0)))
       .select(col("xml_id"), col("name"), col("name_full"), col("kind"),
+        col("status_title"), col("occupation"),
         col("birth_year"), col("death_year"),
         col("entity_id").as("wikidata_id"), col("entity_name").as("matched_name"),
         col("distance"), col("certitude"))

@@ -56,6 +56,27 @@ object ReferenceOps {
       .select(col("doc_id"), col("lang"), col("raw_name"), col("filled_name"))
   }
 
+  /** Occupation terms used to synthesize traits for the gate query —
+    * drawn from the reference's functions table so extraction exercises
+    * real keys (one per doc plus a marshal co-mention every 3rd doc to
+    * hit the priority rules). */
+  val occupationSample: Seq[String] = Seq("général", "maréchal", "écrivain",
+    "peintre", "chimiste", "empereur", "député", "musicien", "acteur", "médecin")
+
+  /** Occupation extraction from a synthesized trait (reference:
+    * itemtoid_prep.py:305-341 extracts functions and reduces them by
+    * priority). */
+  def occupationExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = typedlit(occupationSample)
+    Tables.documents(spark, sfDir)
+      .withColumn("trait", concat(
+        lit("Né en 1800. "), element_at(t, (pmod(col("doc_id"), lit(10)) + 1).cast("int")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" et maréchal")).otherwise(lit("")),
+        lit(" de France.")))
+      .select(col("doc_id"), col("trait"),
+        NameFunctions.occupationExtract(col("trait")).as("occupation"))
+  }
+
   /** Birth/death year extraction from a trait string (reference:
     * itemtoid_prep.py:293-303). The trait is synthesized
     * deterministically per doc — the parquet corpus carries no dates —

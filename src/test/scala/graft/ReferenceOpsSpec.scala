@@ -43,6 +43,64 @@ class ReferenceOpsSpec extends AnyFunSuite {
     assert(out.getAs[String]("lname") == "dupont")
   }
 
+  test("nobility titles: detect, translate, and strip to the surname (matching.py status)") {
+    import spark.implicits._
+    import graft.functions.NameFunctions._
+    val rows = Seq(
+      "Reine Marie-Antoinette",
+      "Duc de Broglie",
+      "Comtesse Palatine du Rhin",
+      "Dupont Jean").toDF("name")
+      .select(col("name"), hasStatus(col("name")).as("has"),
+        statusTitles(col("name")).as("titles"),
+        stripStatus(col("name")).as("stripped"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2), r.getString(3)))
+    assert(rows(0)._2 && rows(0)._3 == "queen" && rows(0)._4 == "marie-antoinette")
+    assert(rows(1)._2 && rows(1)._3 == "duke" && rows(1)._4 == "broglie")
+    // "comtesse palatine" (longest key) translates; bare "comtesse"/"comte" do not
+    assert(rows(2)._2 && rows(2)._3.contains("countess palatine"))
+    assert(!rows(3)._2 && rows(3)._3 == "")
+  }
+
+  test("occupation_extract maps trait terms and applies priority rules (itemtoid_prep.py:305)") {
+    import spark.implicits._
+    import graft.functions.NameFunctions._
+    def occ(t: String): String = Seq(t).toDF("trait")
+      .select(occupationExtract(col("trait"))).head().getString(0)
+    assert(occ("Général de division, puis maréchal de France.") == "marshal")
+    assert(occ("Écrivain et journaliste.") == "writer") // first extracted wins
+    assert(occ("Empereur des Français, général.") == "emperor")
+    assert(occ("Peintre.") == "painter")
+    assert(occ("Médecin.") == "physicist") // the reference's own mapping
+    assert(occ("Rien à voir ici.") == null)
+  }
+
+  test("composed names resolve through comp_names before initial expansion") {
+    import spark.implicits._
+    import graft.functions.NameFunctions._
+    def exp(s: String): String = Seq(s).toDF("n")
+      .select(expandComposed(col("n"))).head().getString(0)
+    assert(exp("j b") == "jean-baptiste")   // comp_names whole-string hit
+    assert(exp("j sylvain") == "jean-sylvain")
+    assert(exp("ferd dupont") == "ferdinand dupont") // token-wise fallback
+  }
+
+  test("geo/event names classify as place/event, nobility guard keeps persons (matching.py tables)") {
+    import spark.implicits._
+    import graft.functions.NameFunctions._
+    def kind(s: String): String = Seq(s).toDF("n")
+      .select(classifyName(col("n"))).head().getString(0)
+    assert(kind("Languedoc") == "place")
+    // NB "martinique" is absent from the imported colonies list — the
+    // reference source has a missing comma that fuses it with the next
+    // entry (matching.py:368 colonies); imported faithfully
+    assert(kind("la Guadeloupe") == "place")
+    assert(kind("Italie") == "place")
+    assert(kind("Duc de Languedoc") == "person") // status guard
+    assert(kind("guerre de 1870") == "event")
+    assert(kind("Dupont (Jean)") == "person")
+  }
+
   test("year_extract parses birth/death years from trait") {
     val r = ReferenceOps.yearExtract(spark, sf).limit(10).collect()
     r.foreach { row =>
