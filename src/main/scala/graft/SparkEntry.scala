@@ -57,6 +57,7 @@ object SparkEntry {
     "abbrev_expand" -> (ReferenceOps.abbrevExpand _),
     "name_classify" -> (ReferenceOps.nameClassify _),
     "occupation_extract" -> (ReferenceOps.occupationExtract _),
+    "name_status" -> (ReferenceOps.nameStatus _),
     "year_extract" -> (ReferenceOps.yearExtract _),
     "name_fillforward" -> (ReferenceOps.nameFillforward _),
     "entity_match" -> (EntityMatch.entityMatch _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
     "enrich_join" -> (EnrichJoin.enrichJoin _),
+    "enrich_wide" -> (EnrichJoin.enrichWide _),
     "ref_inject" -> (RefInject.refInject _),
     "word_count" -> (WordCount.wordCount _),
     // C. training-data pipeline operators
@@ -85,6 +87,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
+    "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_props" -> (Events.eventsProps _),
     "events_asof" -> (AsOfJoin.eventsAsof _),
@@ -317,7 +320,7 @@ object SparkEntry {
         |  FROM nation JOIN region ON n_regionkey = r_regionkey),
         |facts AS (
         |  SELECT o_custkey, count(*) AS workcount,
-        |    sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS conflictcount,
+        |    CAST(sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS conflictcount,
         |    list_sort(list(DISTINCT o_orderstatus)) AS statuses,
         |    list_sort(list(DISTINCT o_orderpriority)) AS priorities,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
@@ -332,6 +335,75 @@ object SparkEntry {
         |LEFT JOIN labels ON c_nationkey = n_nationkey
         |LEFT JOIN facts ON c_custkey = o_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "enrich_wide" -> {
+      def ns(s: String) = s"CAST(sum(CAST(o_orderstatus = '$s' AS BIGINT)) AS BIGINT)"
+      def np(p: String) = s"CAST(sum(CAST(o_orderpriority = '$p' AS BIGINT)) AS BIGINT)"
+      s"""WITH labels AS (
+         |  SELECT n_nationkey, n_name AS nation_label, r_name AS region_label
+         |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+         |facts AS (
+         |  SELECT o_custkey, count(*) AS workcount,
+         |    ${np("1-URGENT")} AS conflictcount,
+         |    ${ns("O")} AS n_open, ${ns("F")} AS n_finished, ${ns("P")} AS n_pending,
+         |    ${np("1-URGENT")} AS n_urgent, ${np("2-HIGH")} AS n_high,
+         |    ${np("3-MEDIUM")} AS n_medium, ${np("4-NOT SPECIFIED")} AS n_notspec,
+         |    ${np("5-LOW")} AS n_low,
+         |    min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+         |    CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS active_years,
+         |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
+         |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_spend,
+         |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_spend,
+         |    array_to_string(list_sort(list(DISTINCT o_orderstatus)), ';') AS statuses,
+         |    array_to_string(list_sort(list(DISTINCT o_orderpriority)), ';') AS priorities
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal,
+         |  nation_label, region_label,
+         |  coalesce(workcount, 0) AS workcount,
+         |  coalesce(conflictcount, 0) AS conflictcount,
+         |  coalesce(n_open, 0) AS n_open, coalesce(n_finished, 0) AS n_finished,
+         |  coalesce(n_pending, 0) AS n_pending,
+         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_high, 0) AS n_high,
+         |  coalesce(n_medium, 0) AS n_medium, coalesce(n_notspec, 0) AS n_notspec,
+         |  coalesce(n_low, 0) AS n_low,
+         |  first_order, last_order,
+         |  coalesce(active_years, 0) AS active_years,
+         |  coalesce(total_spend, 0.0) AS total_spend, max_spend, min_spend,
+         |  CASE WHEN workcount > 0 THEN total_spend / workcount END AS avg_spend,
+         |  coalesce(statuses, '') AS statuses, coalesce(priorities, '') AS priorities
+         |FROM customer
+         |LEFT JOIN labels ON c_nationkey = n_nationkey
+         |LEFT JOIN facts ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin
+    },
+    "name_status" -> {
+      val sample = ReferenceOps.statusSample.map(t => s"'${sq(t)}'").mkString(", ")
+      val keys = graft.functions.NameFunctions.statusKeys.map(k => s"'${sq(k)}'").mkString(", ")
+      val valueCase = "CASE k " + graft.functions.MatchingTables.status.toSeq.sorted
+        .map { case (k, v) => s"WHEN '${sq(k)}' THEN '${sq(v)}'" }.mkString(" ") + " END"
+      val parts = graft.functions.NameFunctions.particles.map(p => s"'${sq(p)}'").mkString(", ")
+      val pat = graft.functions.NameFunctions.statusPattern
+      s"""WITH t AS (SELECT c_custkey,
+         |  trim(([$sample])[CAST(c_custkey % 6 AS INT) + 1] || ' ' || c_name) AS name
+         |  FROM customer),
+         |s AS (SELECT c_custkey, name,
+         |  regexp_matches(lower(name), '$pat') AS has_status,
+         |  coalesce(trim(array_to_string(list_transform(
+         |    list_filter([$keys], k -> contains(lower(name), k) AND $valueCase != ''),
+         |    k -> $valueCase), ' ')), '') AS status_title,
+         |  trim(array_to_string(list_filter(
+         |    regexp_split_to_array(
+         |      regexp_replace(regexp_replace(lower(name),
+         |        '\\b($pat)\\b', ' ', 'g'), '[''.,]', ' ', 'g'), '\\s+'),
+         |    w -> w NOT IN ($parts) AND w != ''), ' ')) AS surname
+         |  FROM t)
+         |SELECT c_custkey, name, has_status, status_title, surname
+         |FROM s ORDER BY c_custkey""".stripMargin
+    },
+    "events_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "ref_inject" ->
       """WITH map(term, wd) AS (VALUES ('spark','Q101'),('join','Q102'),('window','Q103'),('stream','Q104'),('customer','Q105')),
         |cand AS (

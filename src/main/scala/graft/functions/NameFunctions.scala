@@ -61,7 +61,9 @@ object NameFunctions {
 
   /** Sorted status keys, longest first so regex alternation prefers
     * "comtesse palatine" over "comtesse" over "comte". */
-  private val statusKeys: Seq[String] =
+  /** Status keys in matching order (longest first) — public so the
+    * generated oracle iterates the identical literal list. */
+  val statusKeys: Seq[String] =
     MatchingTables.status.keys.toSeq.sortBy(k => (-k.length, k))
   /** Regex alternation of every status key — shared with the generated
     * DuckDB oracle so both engines detect titles identically. */
@@ -83,14 +85,21 @@ object NameFunctions {
       k => element_at(m, k)), " "))
   }
 
+  /** Particles dropped when reducing a nobility name to its surname. */
+  val particles: Seq[String] = Seq("le", "la", "les", "l", "de", "des", "du", "d", "et", "puis", "dit")
+
   /** Strip titles + particles from a nobility name, leaving the
-    * searchable surname (the regex cascade at itemtoid_prep.py:218-230,
-    * collapsed into one alternation pass + one particle pass). */
-  def stripStatus(c: Column): Column =
-    trim(regexp_replace(regexp_replace(regexp_replace(lower(c),
-      s",?\\s?(le|la|l')?\\s?($statusAlt)(\\s(de|de\\sla|du|d'|,)*(\\s|$$))*", " "),
-      "(^|\\s)(puis|dit|le|la|les|de|des|du|et)(?=\\s|$)|l'|,", " "),
-      "\\s+", " "))
+    * searchable surname (the regex cascade at itemtoid_prep.py:218-230).
+    * One word-bounded title-alternation pass (the reference's unbounded
+    * regex would eat "duc" out of "Ducros" — intentional fix), then a
+    * token-level particle filter: token filtering has no
+    * adjacent-match blind spot and, unlike a lookahead regex, is
+    * RE2-expressible for the DuckDB oracle. */
+  def stripStatus(c: Column): Column = {
+    val noTitles = regexp_replace(lower(c), s"\\b($statusAlt)\\b", " ")
+    trim(array_join(filter(split(regexp_replace(noTitles, "[',.]", " "), "\\s+"),
+      t => !t.isInCollection(particles) && t =!= ""), " "))
+  }
 
   /** Geography token lists from the reference's tables: departments,
     * provinces, colonies, and country names (matching.py:190-478). */

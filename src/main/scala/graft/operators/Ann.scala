@@ -62,12 +62,10 @@ object Ann {
     * by exact cosine. The scale shape: corpus × small broadcast
     * centroid set for assignment, then an equi-join on the list id —
     * candidates shrink by ~nprobe/nlist versus brute force. */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val nlist = 16
-    val nprobe = 4
-    val emb = Tables.embeddings(spark, sfDir)
-    val cents = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  /** Assign every vector to its list, probe nprobe lists per query,
+    * rerank candidates by exact cosine — the IVF search core, generic
+    * over where the centroids came from. */
+  private def ivfSearch(emb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val byCos = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     val scored = spread(emb).crossJoin(broadcast(cents))
       .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
@@ -82,6 +80,47 @@ object Ann {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
       .select(col("q_id"), col("vec_id"), col("cos")))
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    // deterministic seed centroids keep the gate oracle reproducible;
+    // kmeansCentroids drops in for the trained path (annIvfTrained)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    ivfSearch(emb, cents, nprobe = 4)
+  }
+
+  /** Distributed Lloyd iterations for the IVF coarse quantizer:
+    * init = first nlist vectors; each iteration broadcasts the
+    * centroids, assigns every vector to its best list (TopK argmin —
+    * bounded heaps, no window sort), and recomputes element-wise means
+    * via one posexplode + two-level agg. No driver-side loop over
+    * data; `iters` fixed small (Lloyd converges fast for coarse
+    * quantizers, and a fixed count keeps the plan static). */
+  def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = spread(emb).crossJoin(broadcast(cents))
+        .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
+        .transform(graft.plans.TopK.perGroup(
+          Seq("vec_id"), Seq("c_cos" -> false, "c_id" -> true), 1))
+      cents = assigned
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("c_id"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
+          .as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF with k-means-trained centroids — the production path (the
+    * seed-centroid annIvf stays as the oracle-reproducible gate form). */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    ivfSearch(emb, kmeansCentroids(emb, nlist = 16, iters = 2), nprobe = 4)
   }
 
   /** LSH-bucketed ANN: L independent hyperplane tables; a candidate

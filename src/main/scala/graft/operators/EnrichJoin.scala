@@ -49,4 +49,66 @@ object EnrichJoin {
         coalesce(col("priorities"), array()).as("priorities"),
         coalesce(col("spend"), lit(0).cast("decimal(18,2)")).as("spend"))
   }
+
+  /** The full-breadth enrichment — the analogue of the reference's ~40
+    * optional SPARQL attributes with labels (script/sparql.py:96
+    * config_sparql): one pass over the fact table computes EVERY
+    * conditional aggregate in the same shuffle (each OPTIONAL block a
+    * conditional agg, each DISTINCT-per-variable a collect_set, each
+    * counting sub-query a filtered count), labels broadcast, entity
+    * attributes carried through. Adding an attribute adds a column,
+    * never a pass. */
+  def enrichWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val region = Tables.region(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+
+    val labels = nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name").as("nation_label"),
+        col("r_name").as("region_label"))
+
+    def nStatus(s: String) = sum((col("o_orderstatus") === s).cast("long"))
+    def nPrio(p: String) = sum((col("o_orderpriority") === p).cast("long"))
+    val spend = sum(col("o_totalprice").cast("decimal(18,2)"))
+
+    val facts = ord.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("workcount"),
+      sum((col("o_orderpriority") === "1-URGENT").cast("long")).as("conflictcount"),
+      nStatus("O").as("n_open"), nStatus("F").as("n_finished"), nStatus("P").as("n_pending"),
+      nPrio("1-URGENT").as("n_urgent"), nPrio("2-HIGH").as("n_high"),
+      nPrio("3-MEDIUM").as("n_medium"), nPrio("4-NOT SPECIFIED").as("n_notspec"),
+      nPrio("5-LOW").as("n_low"),
+      min(col("o_orderdate")).as("first_order"), max(col("o_orderdate")).as("last_order"),
+      count_distinct(year(col("o_orderdate"))).as("active_years"),
+      spend.cast("decimal(18,2)").cast("double").as("total_spend"),
+      max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_spend"),
+      min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("min_spend"),
+      array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+      array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
+
+    cust
+      .join(broadcast(labels), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(facts, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("nation_label"), col("region_label"),
+        coalesce(col("workcount"), lit(0L)).as("workcount"),
+        coalesce(col("conflictcount"), lit(0L)).as("conflictcount"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_finished"), lit(0L)).as("n_finished"),
+        coalesce(col("n_pending"), lit(0L)).as("n_pending"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"),
+        coalesce(col("n_medium"), lit(0L)).as("n_medium"),
+        coalesce(col("n_notspec"), lit(0L)).as("n_notspec"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"),
+        col("first_order"), col("last_order"),
+        coalesce(col("active_years"), lit(0L)).as("active_years"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+        col("max_spend"), col("min_spend"),
+        when(col("workcount") > 0, col("total_spend") / col("workcount")).as("avg_spend"),
+        coalesce(col("statuses"), array()).as("statuses"),
+        coalesce(col("priorities"), array()).as("priorities"))
+  }
 }

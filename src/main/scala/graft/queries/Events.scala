@@ -34,6 +34,22 @@ object Events {
         sum(col("p.k")).as("k_sum"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
 
+  /** Exactly-once ingestion in batch form: a source slice is
+    * re-delivered (every 10th event duplicated — the at-least-once
+    * delivery a real bus exhibits), dropDuplicates on the event key
+    * restores one row per event, then the per-type rollup runs on the
+    * deduplicated stream. The streaming twin
+    * (EventStreams.deduplicated) is the same dropDuplicates bounded by
+    * a watermark. */
+  def eventsDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val redelivered = ev.unionByName(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+    redelivered.dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag → new-session flag → running session number → per-session agg.
     * One shuffle on user_id, reused by both windows and the final agg. */

@@ -77,6 +77,27 @@ object ReferenceOps {
         NameFunctions.occupationExtract(col("trait")).as("occupation"))
   }
 
+  /** Title samples for the nobility gate query — real keys of the
+    * reference's status table plus a bare name case. */
+  val statusSample: Seq[String] = Seq("reine", "duc de", "comtesse palatine de",
+    "baron", "cardinal", "")
+
+  /** Nobility-title handling over synthesized catalogue names
+    * (reference: itemtoid_prep.py:211-240 + matching.py:85 status):
+    * detect a title, emit its wikidata translation, strip it plus the
+    * particles to the searchable surname. */
+  def nameStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = typedlit(statusSample)
+    Tables.customer(spark, sfDir)
+      .withColumn("name", trim(concat(
+        element_at(t, (pmod(col("c_custkey"), lit(6)) + 1).cast("int")),
+        lit(" "), col("c_name"))))
+      .select(col("c_custkey"), col("name"),
+        NameFunctions.hasStatus(col("name")).as("has_status"),
+        NameFunctions.statusTitles(col("name")).as("status_title"),
+        NameFunctions.stripStatus(col("name")).as("surname"))
+  }
+
   /** Birth/death year extraction from a trait string (reference:
     * itemtoid_prep.py:293-303). The trait is synthesized
     * deterministically per doc — the parquet corpus carries no dates —

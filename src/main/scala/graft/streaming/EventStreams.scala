@@ -68,6 +68,14 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Exactly-once on an at-least-once source: dropDuplicates on the
+    * event key, state bounded by the watermark (an event re-delivered
+    * more than `horizon` after its first arrival is beyond recovery
+    * anyway — that's the delivery contract, not a dedup limitation).
+    * Streaming twin of Events.eventsDedup. */
+  def deduplicated(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicates("event_id")
+
   /** Stream-static enrichment: every micro-batch joins the unbounded
     * stream against a static dimension (broadcast — re-resolved per
     * batch, so a dimension refresh is picked up without restart). The

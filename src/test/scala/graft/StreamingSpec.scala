@@ -96,6 +96,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dropDuplicates gives exactly-once over a re-delivering source") {
+    // a source that re-delivers: the same events parquet written twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dupDir)
+    ev.write.mode("append").parquet(dupDir)
+    val streamed = runToSetAppendRaw(
+      EventStreams.deduplicated(EventStreams.readEvents(spark, dupDir))
+        .select(col("event_id")), "dedup_stream")
+    val batch = ev.select(col("event_id")).collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization equals batch") {
     val streamed = runToSet(
       EventStreams.sessionized(EventStreams.readEvents(spark, streamDir)), "sess_stream")

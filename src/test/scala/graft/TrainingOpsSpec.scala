@@ -8,6 +8,19 @@ import graft.operators._
 class TrainingOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("kmeans centroids: k rows, full dims, and trained IVF keeps useful recall") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cents = Ann.kmeansCentroids(emb, nlist = 16, iters = 2).collect()
+    assert(cents.length == 16)
+    assert(cents.forall(_.getAs[Seq[Float]]("c_emb").length == 64))
+    val truth = Ann.annBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Ann.annIvfTrained(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & trained).size.toDouble / truth.size
+    assert(recall >= 0.3, s"trained-IVF recall vs brute force = $recall")
+  }
+
   test("dedup_exact groups are consistent") {
     val d = Dedup.dedupExact(spark, sf)
     // canonical id is never flagged dup; group members share the hash count
