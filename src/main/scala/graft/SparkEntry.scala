@@ -85,6 +85,8 @@ object SparkEntry {
     "corpus_stats" -> (TextMetrics.corpusStats _),
     "doc_fingerprint" -> (Fingerprint.docFingerprint _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "corpus_filter" -> (TextMetrics.corpusFilter _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_dedup" -> (Events.eventsDedup _),
@@ -625,6 +627,55 @@ object SparkEntry {
         |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
         |  CAST(16 + doc_id % 48 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, n + 1),
+        |  i -> ord(substr(text, CAST(i AS INT), 1)))) AS byte FROM t),
+        |c AS (SELECT doc_id, byte, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY doc_id, byte),
+        |agg AS (SELECT doc_id, list_sort(list([byte, c])) AS pairs,
+        |  CAST(sum(c) AS BIGINT) AS n, CAST(sum(byte * c) AS BIGINT) AS bsum
+        |  FROM c GROUP BY doc_id),
+        |f AS (SELECT t.doc_id, t.n,
+        |  CASE WHEN t.n = 0 THEN 0.0 ELSE CAST(agg.bsum AS DOUBLE) / t.n END AS mean_byte,
+        |  CASE WHEN t.n = 0 THEN 0.0 ELSE
+        |    round(log2(CAST(t.n AS DOUBLE))
+        |      - list_sum(list_transform(agg.pairs,
+        |          p -> CAST(p[2] AS DOUBLE) * log2(CAST(p[2] AS DOUBLE)))) / t.n, 6)
+        |  END AS entropy,
+        |  CAST(t.n // 16 AS BIGINT) AS n_frames,
+        |  coalesce(array_to_string(list_transform(range(0, greatest((t.n // 16 + 3) // 4, 0)),
+        |    s -> md5_number_lower(substr(t.text, CAST(s * 64 + 1 AS INT), 16)) % 2305843009213693951),
+        |    ';'), '') AS frame_hashes
+        |  FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS byte_len, mean_byte, entropy, n_frames, frame_hashes
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "corpus_filter" ->
+      """WITH qt AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |qm AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nw,
+        |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(toks) AS sr
+        |  FROM qt),
+        |q AS (SELECT doc_id,
+        |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS quality_score
+        |  FROM qm),
+        |marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
+        |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
+        |  ('filter','es'),('join','es'),('vector','zh'),('spark','zh')),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT doc_id, cand_lang, count(*) AS votes FROM w JOIN marks USING (word) GROUP BY 1, 2),
+        |tl AS (SELECT doc_id, cand_lang, votes,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rk FROM v),
+        |l AS (SELECT d.doc_id, coalesce(t.cand_lang, 'und') AS pred_lang,
+        |  coalesce(t.votes, 0) AS votes
+        |  FROM documents d LEFT JOIN tl t ON d.doc_id = t.doc_id AND t.rk = 1),
+        |dd AS (SELECT doc_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |  FROM documents)
+        |SELECT q.doc_id, l.pred_lang, q.quality_score
+        |FROM q JOIN l ON q.doc_id = l.doc_id JOIN dd ON q.doc_id = dd.doc_id
+        |WHERE NOT dd.is_dup AND l.votes >= 1 AND q.quality_score >= 0.5
+        |ORDER BY q.doc_id""".stripMargin,
     "events_window" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT epoch_us(date_trunc('hour', ts)) AS window_start,

@@ -44,4 +44,57 @@ object Multimodal {
       .mapPartitions(_.map(decodeStub)) // batch boundary = partition
       .toDF()
   }
+
+  /** Per-payload feature vector a media pipeline extracts after decode:
+    * byte stats, entropy, and sampled frame fingerprints. */
+  case class MediaFeatures(doc_id: Long, byte_len: Long, mean_byte: Double,
+      entropy: Double, n_frames: Long, frame_hashes: Array[Long])
+
+  private final val FrameBytes = 16
+  private final val FrameStride = 4
+
+  /** Feature extraction over the opaque payload, partition-wise like
+    * the decode: mean byte (exact integer sum → one division), byte
+    * entropy in bits (computed in ascending-byte order and rounded to
+    * 6 dp so both engines agree), frame count, and an md5-derived
+    * fingerprint of every FrameStride-th FrameBytes-slice — the
+    * frame-sampling shape a video pipeline uses, minus the codec. */
+  private def featureStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length
+    var sum = 0L
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < n) {
+      val b = r.payload(i) & 0xff
+      sum += b
+      counts(b) += 1
+      i += 1
+    }
+    // entropy = log2(n) - (Σ_b c_b·log2 c_b)/n, summed ascending b —
+    // the same fold order the oracle's sorted-list reduce uses
+    var acc = 0.0
+    var b = 0
+    while (b < 256) {
+      if (counts(b) > 0) acc += counts(b).toDouble * (math.log(counts(b).toDouble) / math.log(2.0))
+      b += 1
+    }
+    val ent = if (n == 0) 0.0
+      else math.log(n.toDouble) / math.log(2.0) - acc / n
+    val entRounded = BigDecimal(ent).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nFrames = n / FrameBytes
+    val frames = (0 until nFrames by FrameStride).map { f =>
+      graft.expressions.CrossHash.md5Mod(r.payload, f * FrameBytes, FrameBytes)
+    }.toArray
+    MediaFeatures(r.doc_id, n.toLong, if (n == 0) 0.0 else sum.toDouble / n,
+      entRounded, nFrames.toLong, frames)
+  }
+
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(featureStub))
+      .toDF()
+  }
 }

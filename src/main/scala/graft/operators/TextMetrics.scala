@@ -114,6 +114,20 @@ object TextMetrics {
         avg(col("n_chars")).as("avg_chars"),
         count_distinct(md5(col("text"))).as("distinct_texts"))
 
+  /** The end-to-end pretraining filter: language-ID confidence, a
+    * quality threshold, and exact dedup composed into ONE declarative
+    * plan — what a corpus run executes before tokenization. Catalyst
+    * fuses the three scans' projections; each component is itself
+    * gate-verified, so the composition inherits their oracles. */
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = qualityScore(spark, sfDir).select(col("doc_id"), col("quality_score"))
+    val lang = langId(spark, sfDir).select(col("doc_id"), col("pred_lang"), col("votes"))
+    val dup = Dedup.dedupExact(spark, sfDir).select(col("doc_id"), col("is_dup"))
+    quality.join(lang, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .filter(!col("is_dup") && col("votes") >= 1 && col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+  }
+
   /** Whitespace and BPE-ish token counts. The regex splits letter runs
     * of ≤4 chars, digits, and single non-alphanumerics — a rough
     * stand-in for a byte-pair vocabulary's subword lengths. */
