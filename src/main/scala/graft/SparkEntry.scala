@@ -330,8 +330,8 @@ object SparkEntry {
         |SELECT c_custkey, c_name, nation_label, region_label,
         |  coalesce(workcount, 0) AS workcount,
         |  coalesce(conflictcount, 0) AS conflictcount,
-        |  array_to_string(coalesce(statuses, []), ';') AS statuses,
-        |  array_to_string(coalesce(priorities, []), ';') AS priorities,
+        |  coalesce(array_to_string(statuses, ';'), '') AS statuses,
+        |  coalesce(array_to_string(priorities, ';'), '') AS priorities,
         |  coalesce(spend, CAST(0 AS DECIMAL(18,2))) AS spend
         |FROM customer
         |LEFT JOIN labels ON c_nationkey = n_nationkey
@@ -390,13 +390,17 @@ object SparkEntry {
          |s AS (SELECT c_custkey, name,
          |  regexp_matches(lower(name), '$pat') AS has_status,
          |  coalesce(trim(array_to_string(list_transform(
-         |    list_filter([$keys], k -> contains(lower(name), k) AND $valueCase != ''),
+         |    list_filter([$keys], k -> contains(
+         |      ' ' || regexp_replace(lower(name), '[^a-zà-ÿ]+', ' ', 'g') || ' ',
+         |      ' ' || k || ' ') AND $valueCase != ''),
          |    k -> $valueCase), ' ')), '') AS status_title,
-         |  trim(array_to_string(list_filter(
+         |  coalesce(trim(array_to_string(list_filter(
          |    regexp_split_to_array(
-         |      regexp_replace(regexp_replace(lower(name),
-         |        '\\b($pat)\\b', ' ', 'g'), '[''.,]', ' ', 'g'), '\\s+'),
-         |    w -> w NOT IN ($parts) AND w != ''), ' ')) AS surname
+         |      regexp_replace(regexp_replace(regexp_replace(lower(name),
+         |        '(^|[^a-zà-ÿ])($pat)([^a-zà-ÿ]|$$)', '\\1 \\3', 'g'),
+         |        '(^|[^a-zà-ÿ])($pat)([^a-zà-ÿ]|$$)', '\\1 \\3', 'g'),
+         |        '[''.,]', ' ', 'g'), '\\s+'),
+         |    w -> w NOT IN ($parts) AND w != ''), ' ')), '') AS surname
          |  FROM t)
          |SELECT c_custkey, name, has_status, status_title, surname
          |FROM s ORDER BY c_custkey""".stripMargin
@@ -527,7 +531,7 @@ object SparkEntry {
         |w AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[]) ELSE
         |  list_sort(list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1), j ->
         |    list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])))) END AS fps FROM g)
-        |SELECT doc_id, array_to_string(fps, ';') AS fingerprints,
+        |SELECT doc_id, coalesce(array_to_string(fps, ';'), '') AS fingerprints,
         |  CAST(len(fps) AS BIGINT) AS n_fingerprints
         |FROM w ORDER BY doc_id""".stripMargin,
     "ann_bruteforce" ->

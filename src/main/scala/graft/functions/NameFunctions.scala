@@ -52,15 +52,24 @@ object NameFunctions {
     array_join(transform(split(c, " "), t => coalesce(element_at(m, t), t)), " ")
   }
 
+  /** Plain-Scala normalization mirroring normalizeName, for preparing
+    * literal lookup keys at class-init time. */
+  private def normalizeKey(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9à-ÿ ]", " ").replaceAll("\\s+", " ").trim
+
+  /** comp_names with keys normalized the way lookup inputs are — the
+    * raw table carries keys like "fr emm." that normalizeName output
+    * could never equal. */
+  private val compNamesNorm: Map[String, String] =
+    MatchingTables.compNames.map { case (k, v) => normalizeKey(k) -> v }
+
   /** Composed-name expansion: a whole-string hit in the reference's
     * comp_names table (matching.py:50) wins — a composed name gives
     * context the per-initial expansion lacks ("j b" → "jean-baptiste",
     * not "jean baptiste") — else fall back to token-wise expandAbbrev. */
   def expandComposed(c: Column): Column =
-    coalesce(element_at(typedlit(MatchingTables.compNames), c), expandAbbrev(c))
+    coalesce(element_at(typedlit(compNamesNorm), c), expandAbbrev(c))
 
-  /** Sorted status keys, longest first so regex alternation prefers
-    * "comtesse palatine" over "comtesse" over "comte". */
   /** Status keys in matching order (longest first) — public so the
     * generated oracle iterates the identical literal list. */
   val statusKeys: Seq[String] =
@@ -68,35 +77,47 @@ object NameFunctions {
   /** Regex alternation of every status key — shared with the generated
     * DuckDB oracle so both engines detect titles identically. */
   val statusPattern: String = statusKeys.mkString("|")
-  private def statusAlt: String = statusPattern
 
   /** True when the name carries a nobility/clerical title
-    * (substring scan over MatchingTables.status, itemtoid_prep.py:211). */
-  def hasStatus(c: Column): Column = lower(c).rlike(statusAlt)
+    * (substring scan over MatchingTables.status, itemtoid_prep.py:211 —
+    * faithfully substring-based, like the reference's `k in inp`). */
+  def hasStatus(c: Column): Column = lower(c).rlike(statusPattern)
 
-  /** The wikidata terms of every translated title present in the name,
-    * space-joined in a deterministic (longest-key-first) order; "" when
-    * none (itemtoid_prep.py:235 builds sts_title the same way). */
+  /** The wikidata terms of every translated title present in the name
+    * as a WHOLE WORD, space-joined in a deterministic
+    * (longest-key-first) order; "" when none. Whole-word matching
+    * (unlike the reference's substring scan at itemtoid_prep.py:235)
+    * keeps "Duchesse" from also emitting duke via its "duc" substring. */
   def statusTitles(c: Column): Column = {
     val m = typedlit(MatchingTables.status)
+    val padded = concat(lit(" "),
+      regexp_replace(lower(c), "[^a-zà-ÿ]+", " "), lit(" "))
     trim(array_join(transform(
       filter(typedlit(statusKeys),
-        k => contains(lower(c), k) && element_at(m, k) =!= ""),
+        k => contains(padded, concat(lit(" "), k, lit(" "))) && element_at(m, k) =!= ""),
       k => element_at(m, k)), " "))
   }
 
   /** Particles dropped when reducing a nobility name to its surname. */
   val particles: Seq[String] = Seq("le", "la", "les", "l", "de", "des", "du", "d", "et", "puis", "dit")
 
+  /** Boundary-delimited title alternation. NOT `\b`: Java's \b is
+    * Unicode-aware while RE2's (the oracle's) is ASCII-only, so they
+    * disagree at accented edges ("abbé "). An explicit letter-class
+    * boundary means the same thing in both engines. */
+  private val titleSpan = s"(^|[^a-zà-ÿ])($statusPattern)([^a-zà-ÿ]|$$)"
+
   /** Strip titles + particles from a nobility name, leaving the
     * searchable surname (the regex cascade at itemtoid_prep.py:218-230).
-    * One word-bounded title-alternation pass (the reference's unbounded
-    * regex would eat "duc" out of "Ducros" — intentional fix), then a
-    * token-level particle filter: token filtering has no
+    * Two boundary-delimited title-alternation passes (the second catches
+    * a title whose leading boundary the first consumed; the reference's
+    * unbounded regex would eat "duc" out of "Ducros" — intentional
+    * fix), then a token-level particle filter: token filtering has no
     * adjacent-match blind spot and, unlike a lookahead regex, is
     * RE2-expressible for the DuckDB oracle. */
   def stripStatus(c: Column): Column = {
-    val noTitles = regexp_replace(lower(c), s"\\b($statusAlt)\\b", " ")
+    val pass1 = regexp_replace(lower(c), titleSpan, "$1 $3")
+    val noTitles = regexp_replace(pass1, titleSpan, "$1 $3")
     trim(array_join(filter(split(regexp_replace(noTitles, "[',.]", " "), "\\s+"),
       t => !t.isInCollection(particles) && t =!= ""), " "))
   }

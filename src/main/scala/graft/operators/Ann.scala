@@ -106,12 +106,17 @@ object Ann {
         .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
         .transform(graft.plans.TopK.perGroup(
           Seq("vec_id"), Seq("c_cos" -> false, "c_id" -> true), 1))
-      cents = assigned
+      val means = assigned
         .select(col("c_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("c_id"), col("d")).agg(avg(col("x")).as("m"))
         .groupBy(col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(d, m))), s -> cast(s.m as float))")
-          .as("c_emb"))
+          .as("new_emb"))
+      // a list that attracted no vectors keeps its previous centroid —
+      // the groupBy alone would silently shrink nlist
+      cents = cents.select(col("c_id"), col("c_emb").as("prev_emb"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("new_emb"), col("prev_emb")).as("c_emb"))
     }
     cents
   }

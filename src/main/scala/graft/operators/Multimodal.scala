@@ -58,7 +58,13 @@ object Multimodal {
     * entropy in bits (computed in ascending-byte order and rounded to
     * 6 dp so both engines agree), frame count, and an md5-derived
     * fingerprint of every FrameStride-th FrameBytes-slice — the
-    * frame-sampling shape a video pipeline uses, minus the codec. */
+    * frame-sampling shape a video pipeline uses, minus the codec.
+    *
+    * NB the oracle walks CHARACTERS (ord/substr) while this walks
+    * UTF-8 BYTES — equal only because the documents corpus is ASCII
+    * (verified `^[a-z0-9 ]*$` at every SF). Real binary payloads keep
+    * the byte semantics here; an oracle over non-ASCII data would need
+    * DuckDB blob slicing instead. */
   private def featureStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     var sum = 0L

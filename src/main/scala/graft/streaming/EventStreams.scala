@@ -68,13 +68,16 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("total_value"))
 
-  /** Exactly-once on an at-least-once source: dropDuplicates on the
-    * event key, state bounded by the watermark (an event re-delivered
-    * more than `horizon` after its first arrival is beyond recovery
-    * anyway — that's the delivery contract, not a dedup limitation).
+  /** Exactly-once on an at-least-once source: dropDuplicates bounded
+    * by the watermark. MUST be the WithinWatermark variant — plain
+    * dropDuplicates("event_id") keeps state for every key ever seen
+    * (the watermark only evicts when the event-time column is part of
+    * the dedup key), which is an unbounded state store on an unbounded
+    * stream. An event re-delivered more than `horizon` after its first
+    * arrival is beyond recovery anyway — that's the delivery contract.
     * Streaming twin of Events.eventsDedup. */
   def deduplicated(events: DataFrame, horizon: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", horizon).dropDuplicates("event_id")
+    events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: every micro-batch joins the unbounded
     * stream against a static dimension (broadcast — re-resolved per
