@@ -435,16 +435,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
-        |d AS (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+        |d AS (SELECT doc_id, lang, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
         |  list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
         |  FROM t WHERE len(toks) >= 3),
+        |a AS (SELECT doc_id, lang, unnest([bucket, bucket + 1]) AS bucket, shingles FROM d),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sa, b.shingles AS sb
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |  FROM a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
         |j AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
         |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM p)
-        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |SELECT DISTINCT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b, jaccard
+        |FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH planes AS (SELECT t, p, d,
