@@ -80,7 +80,11 @@ object EnrichJoin {
       nPrio("3-MEDIUM").as("n_medium"), nPrio("4-NOT SPECIFIED").as("n_notspec"),
       nPrio("5-LOW").as("n_low"),
       min(col("o_orderdate")).as("first_order"), max(col("o_orderdate")).as("last_order"),
-      count_distinct(year(col("o_orderdate"))).as("active_years"),
+      // size(collect_set) not count_distinct: the exact-distinct agg
+      // plans as a second Expand+Exchange phase, while the set (≤ a few
+      // years per customer) rides the ObjectHashAggregate the
+      // collect_set columns already pay for — one shuffle, not two
+      size(collect_set(year(col("o_orderdate")))).cast("long").as("active_years"),
       spend.cast("decimal(18,2)").cast("double").as("total_spend"),
       max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_spend"),
       min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("min_spend"),
