@@ -79,6 +79,30 @@ object EventStreams {
   def deduplicated(events: DataFrame, horizon: String = "1 hour"): DataFrame =
     events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join with watermarks on BOTH sides: each
+    * purchase joins the same user's signups within the preceding hour
+    * — streaming attribution. The interval condition plus the two
+    * watermarks bound each side's join state (a row is evicted once
+    * the other side's watermark passes its interval), so state stays
+    * proportional to the horizon, not the stream. Batch twins:
+    * events_range (banded pairs) / events_asof (latest-prior). */
+  def attributed(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", horizon)
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"),
+        col("purchase_ts"), col("signup_ts"))
+  }
+
   /** Stream-static enrichment: every micro-batch joins the unbounded
     * stream against a static dimension (broadcast — re-resolved per
     * batch, so a dimension refresh is picked up without restart). The

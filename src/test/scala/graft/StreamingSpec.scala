@@ -109,6 +109,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join (attribution) equals the batch join") {
+    val streamed = runToSetAppendRaw(
+      EventStreams.attributed(EventStreams.readEvents(spark, streamDir)), "attr_stream")
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val batch = p.join(s,
+        col("user_id") === col("s_user") &&
+          col("signup_ts") <= col("purchase_ts") &&
+          col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"),
+        col("purchase_ts"), col("signup_ts"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming sessionization equals batch") {
     val streamed = runToSet(
       EventStreams.sessionized(EventStreams.readEvents(spark, streamDir)), "sess_stream")
