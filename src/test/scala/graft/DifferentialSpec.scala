@@ -64,4 +64,62 @@ class DifferentialSpec extends AnyFunSuite {
       _.sortBy(r => (-r._3, r._1)).take(k).map(_._1)).toSet
     assert(got == expected)
   }
+
+  test("stripStatus equals an independent token-model over random title phrases") {
+    import graft.functions.{MatchingTables, NameFunctions}
+    val titles = MatchingTables.status.keys.toVector
+    val words = Vector("dupont", "broglie", "rohan", "xavier", "ducros", "abbévillier")
+    val parts = Vector("de", "la", "du", "le")
+    def phrase(): String = Seq.fill(2 + rnd.nextInt(4))(rnd.nextInt(4) match {
+      case 0 => titles(rnd.nextInt(titles.size))
+      case 1 => parts(rnd.nextInt(parts.size))
+      case _ => words(rnd.nextInt(words.size))
+    }).mkString(" ")
+    val inputs = Seq.fill(120)(phrase())
+    val got = inputs.toDF("n")
+      .select(NameFunctions.stripStatus(col("n"))).collect().map(_.getString(0))
+    // independent model: drop tokens that are title words (longest-first
+    // multi-word titles consumed first) or particles, keep the rest
+    def model(s: String): String = {
+      var t = " " + s.toLowerCase + " "
+      // two sweeps, like the operator's two regex passes: a repeated
+      // adjacent title ("duc duc") shares its delimiter space, so one
+      // non-overlapping scan only consumes the first occurrence
+      for (_ <- 1 to 2; k <- NameFunctions.statusKeys) // longest first
+        t = t.replace(" " + k + " ", "  ")
+      t.split("\\s+").filter(w => w.nonEmpty && !NameFunctions.particles.contains(w))
+        .mkString(" ")
+    }
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out == model(in), s"stripStatus('$in')")
+    }
+  }
+
+  test("occupationExtract equals an independent model over random traits") {
+    import graft.functions.{MatchingTables, NameFunctions}
+    val keys = MatchingTables.functions.keys.toVector
+    val noise = Vector("né", "en", "1800.", "à", "paris,", "fils", "de")
+    def trait_(): String = Seq.fill(3 + rnd.nextInt(5))(
+      if (rnd.nextBoolean()) keys(rnd.nextInt(keys.size)) else noise(rnd.nextInt(noise.size))
+    ).mkString(" ")
+    val inputs = Seq.fill(150)(trait_())
+    val got = inputs.toDF("t")
+      .select(NameFunctions.occupationExtract(col("t"))).collect()
+      .map(r => Option(r.getString(0)))
+    def model(s: String): Option[String] = {
+      val hits = s.toLowerCase.split("\\s+").toSeq
+        .map(_.replaceAll("^[^a-zà-ÿ'-]+|[^a-zà-ÿ'-]+$", ""))
+        .flatMap(MatchingTables.functions.get)
+      val d = hits.distinct
+      if (d.isEmpty) None
+      else if (d.contains("marshal") && (d.contains("general") || d.contains("military")))
+        Some("marshal")
+      else if (d.size > 1 && d.contains("general") && d.contains("military")) Some("general")
+      else if (d.size > 1 && d.contains("emperor")) Some("emperor")
+      else Some(hits.head)
+    }
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out == model(in), s"occupationExtract('$in')")
+    }
+  }
 }
