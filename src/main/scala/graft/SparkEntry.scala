@@ -84,6 +84,7 @@ object SparkEntry {
     "text_redact" -> (TextMetrics.textRedact _),
     "corpus_stats" -> (TextMetrics.corpusStats _),
     "doc_fingerprint" -> (Fingerprint.docFingerprint _),
+    "contamination_check" -> (Fingerprint.contaminationCheck _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "corpus_filter" -> (TextMetrics.corpusFilter _),
@@ -536,6 +537,28 @@ object SparkEntry {
         |SELECT doc_id, coalesce(array_to_string(fps, ';'), '') AS fingerprints,
         |  CAST(len(fps) AS BIGINT) AS n_fingerprints
         |FROM w ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN n < 8 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_transform(range(1, n - 8 + 2), i ->
+        |    list_reduce(list_transform(range(i, i + 8), j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+        |      (acc, b) -> CAST((CAST(acc AS HUGEINT) * 257 + b) % 2305843009213693951 AS BIGINT)))
+        |  END AS grams FROM t),
+        |w AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_sort(list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1), j ->
+        |    list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])))) END AS fps FROM g),
+        |u AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |e AS (SELECT doc_id AS eval_id, fp FROM u WHERE doc_id % 37 = 0),
+        |es AS (SELECT doc_id AS eval_id, CAST(len(fps) AS BIGINT) AS n_eval_fps
+        |  FROM w WHERE doc_id % 37 = 0),
+        |tr AS (SELECT doc_id AS train_id, fp FROM u WHERE doc_id % 37 <> 0),
+        |j AS (SELECT train_id, eval_id, count(*) AS shared
+        |  FROM tr JOIN e USING (fp) GROUP BY train_id, eval_id),
+        |c AS (SELECT train_id, j.eval_id, shared,
+        |  CAST(shared AS DOUBLE) / n_eval_fps AS coverage
+        |  FROM j JOIN es ON j.eval_id = es.eval_id)
+        |SELECT train_id, eval_id, shared, coverage FROM c WHERE coverage >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),

@@ -16,4 +16,34 @@ object Fingerprint {
       .select(col("doc_id"),
         Similarity.winnow(col("text"), k = 8, w = 4).as("fingerprints"))
       .withColumn("n_fingerprints", size(col("fingerprints")).cast("long"))
+
+  /** Eval-set contamination check — the question every training run
+    * must answer: which training documents share verbatim substrings
+    * with the benchmark set? Winnowing guarantees any shared substring
+    * of length ≥ k+w-1 yields a shared fingerprint, so the check is an
+    * equi-join on exploded fingerprint values: train side shuffles on
+    * the (long) fingerprint, eval side is the small one. Flagging is by
+    * the FRACTION of the eval doc's fingerprints found in the train doc
+    * — an absolute count only measures vocabulary overlap (on this
+    * small-vocabulary corpus nearly every pair shares a few windows);
+    * coverage ≥ 0.5 means half the benchmark document appears verbatim.
+    * Here every 37th doc stands in for the benchmark set. */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Similarity.winnow(col("text"), k = 8, w = 4).as("fps"))
+    val fps = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val eval_ = fps.filter(pmod(col("doc_id"), lit(37)) === 0)
+      .select(col("doc_id").as("eval_id"), col("fp"))
+    val evalSizes = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      .select(col("doc_id").as("eval_id"), size(col("fps")).cast("long").as("n_eval_fps"))
+    val train = fps.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+      .select(col("doc_id").as("train_id"), col("fp"))
+    train.join(eval_, Seq("fp"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .withColumn("coverage", col("shared").cast("double") / col("n_eval_fps"))
+      .filter(col("coverage") >= 0.5)
+      .select(col("train_id"), col("eval_id"), col("shared"), col("coverage"))
+  }
 }
