@@ -435,18 +435,22 @@ object SparkEntry {
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
-        |d AS (SELECT doc_id, lang, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
         |  FROM t WHERE len(toks) >= 3),
-        |a AS (SELECT doc_id, lang, unnest([bucket, bucket + 1]) AS bucket, shingles FROM d),
+        |db AS (SELECT doc_id, lang, shingles,
+        |  CAST(length(bin(len(shingles))) - 1 AS BIGINT) AS bucket FROM d),
+        |a AS (SELECT doc_id, lang, bucket AS orig,
+        |  unnest([bucket, bucket + 1]) AS bucket, shingles FROM db),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sa, b.shingles AS sb
-        |  FROM a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+        |  FROM a JOIN db b ON a.lang = b.lang AND a.bucket = b.bucket
+        |  WHERE (a.orig = b.bucket AND a.doc_id < b.doc_id) OR a.orig <> b.bucket),
         |j AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
         |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM p)
-        |SELECT DISTINCT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b, jaccard
+        |SELECT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b, jaccard
         |FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->

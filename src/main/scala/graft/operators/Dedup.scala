@@ -49,38 +49,41 @@ object Dedup {
         "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
 
   /** Blocked n-gram Jaccard near-dup pairs: candidates form inside a
-    * (lang, log2-length) block OR one bucket over — jaccard ≥ 0.5
-    * bounds the size ratio to ≥ 1/2, so two near-dups' log2 buckets
+    * (lang, log2-shingle-count) block OR one bucket over. jaccard ≥ 0.5
+    * bounds the DISTINCT-SHINGLE-SET size ratio to ≥ 1/2 (|A∩B| ≥
+    * ½|A∪B| ⇒ min ≥ ½max), so two near-dups' floor(log2 |set|) buckets
     * differ by at most 1 and the adjacent-bucket probe makes the
-    * blocking COMPLETE (a fixed-width `n_chars/64` bucket silently
-    * loses pairs straddling an edge). `length(bin(n)) - 1` is exact
-    * integer floor(log2 n) on both engines — no float log at a power
-    * of two. The a-side emits {bucket, bucket+1}, so each unordered
-    * pair joins exactly once. Shingles are pre-hashed to longs once
-    * per doc — the per-pair intersection then runs over primitive
-    * arrays instead of re-hashing full shingle strings O(pairs)
-    * times. */
+    * blocking COMPLETE — the bucket must be over the set size itself:
+    * a char-length bucket would NOT be bounded (a doc repeated 3×
+    * keeps nearly the same shingle set at 3× the chars). A fixed-width
+    * bucket would silently lose pairs straddling an edge.
+    * `length(bin(n)) - 1` is exact integer floor(log2 n) on both
+    * engines — no float log at a power of two.
+    *
+    * The a-side probes {bucket, bucket+1} carrying its origin: a
+    * same-bucket pair (probe = origin) keeps only doc_a < doc_b, a
+    * cross-bucket pair (probe = origin+1) joins exactly once via the
+    * smaller-bucket doc — each unordered pair verifies ONCE, no
+    * dedup pass. Shingles are pre-hashed to longs once per doc — the
+    * per-pair intersection then runs over primitive arrays instead of
+    * re-hashing full shingle strings O(pairs) times. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = shingled(Tables.documents(spark, sfDir))
-      .withColumn("bucket", length(expr("bin(n_chars)")).cast("long") - 1)
+      .withColumn("bucket", length(expr("bin(size(shingles))")).cast("long") - 1)
       .withColumn("sh", array_sort(expr("transform(shingles, s -> xxhash64(s))")))
       .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("bucket").as("orig"),
         explode(array(col("bucket"), col("bucket") + 1)).as("bucket"),
         col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
       col("sh").as("sh_b"))
-    // doc_a < doc_b alone would lose an adjacent-bucket pair whose
-    // longer doc has the smaller id (only the shorter side emits the
-    // +1 bucket) — canonicalize the pair and dedupe the (small)
-    // above-threshold output instead
     a.join(b, Seq("lang", "bucket"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter((col("orig") === col("bucket") && col("doc_a") < col("doc_b")) ||
+        col("orig") =!= col("bucket"))
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
-      .distinct()
   }
 
   /** MinHash+LSH near-dup candidates: 16-hash signature, 8 bands × 2

@@ -86,7 +86,11 @@ object EventStreams {
     * the other side's watermark passes its interval), so state stays
     * proportional to the horizon, not the stream. Batch twins:
     * events_range (banded pairs) / events_asof (latest-prior). */
-  def attributed(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+  def attributed(events: DataFrame, window: String = "1 hour",
+      horizon: String = "2 hours"): DataFrame = {
+    // the watermark must out-last the attribution window plus allowed
+    // lateness, or signup state is evicted before a late purchase's
+    // lookback closes and the pair is silently unattributed
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
@@ -98,7 +102,7 @@ object EventStreams {
     purchases.join(signups,
       col("user_id") === col("s_user") &&
         col("signup_ts") <= col("purchase_ts") &&
-        col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("signup_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
       .select(col("purchase_id"), col("signup_id"), col("user_id"),
         col("purchase_ts"), col("signup_ts"))
   }
