@@ -440,18 +440,26 @@ object SparkEntry {
         |  list_distinct(list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
         |  FROM t WHERE len(toks) >= 3),
-        |db AS (SELECT doc_id, lang, shingles,
-        |  CAST(length(bin(len(shingles))) - 1 AS BIGINT) AS bucket FROM d),
-        |a AS (SELECT doc_id, lang, bucket AS orig,
-        |  unnest([bucket, bucket + 1]) AS bucket, shingles FROM db),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sa, b.shingles AS sb
-        |  FROM a JOIN db b ON a.lang = b.lang AND a.bucket = b.bucket
-        |  WHERE (a.orig = b.bucket AND a.doc_id < b.doc_id) OR a.orig <> b.bucket),
+        |base AS (SELECT doc_id, lang,
+        |  list_sort(list_transform(shingles,
+        |    s -> CAST(md5_number_lower(s) % 2305843009213693951 AS BIGINT))) AS sh
+        |  FROM d),
+        |bn AS (SELECT doc_id, lang, sh, len(sh) AS n FROM base),
+        |u AS (SELECT doc_id, lang, n, unnest(sh) AS h FROM bn),
+        |freq AS (SELECT h, count(*) AS f FROM u GROUP BY h),
+        |rk AS (SELECT doc_id, lang, n, h,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY f, h) AS rk
+        |  FROM u JOIN freq USING (h)),
+        |pfx AS (SELECT doc_id, lang, h FROM rk WHERE rk <= n - ceil(n * 0.5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pfx a JOIN pfx b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b, ba.sh AS sa, bb.sh AS sb
+        |  FROM cand JOIN bn ba ON ba.doc_id = cand.doc_a JOIN bn bb ON bb.doc_id = cand.doc_b
+        |  WHERE least(ba.n, bb.n) * 2 >= greatest(ba.n, bb.n)),
         |j AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
         |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM p)
-        |SELECT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b, jaccard
-        |FROM j WHERE jaccard >= 0.5
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH planes AS (SELECT t, p, d,

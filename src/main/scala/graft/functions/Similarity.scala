@@ -32,6 +32,10 @@ object Similarity {
   def sortedJaccard(a: Column, b: Column): Column =
     column(graft.expressions.SortedJaccard(expression(a), expression(b)))
 
+  /** Cross-engine string hash (md5 lower-64 mod 2^61-1). */
+  def md5Mod(s: Column): Column =
+    column(graft.expressions.Md5Mod61(expression(s)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -48,42 +48,55 @@ object Dedup {
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))")))
 
-  /** Blocked n-gram Jaccard near-dup pairs: candidates form inside a
-    * (lang, log2-shingle-count) block OR one bucket over. jaccard ≥ 0.5
-    * bounds the DISTINCT-SHINGLE-SET size ratio to ≥ 1/2 (|A∩B| ≥
-    * ½|A∪B| ⇒ min ≥ ½max), so two near-dups' floor(log2 |set|) buckets
-    * differ by at most 1 and the adjacent-bucket probe makes the
-    * blocking COMPLETE — the bucket must be over the set size itself:
-    * a char-length bucket would NOT be bounded (a doc repeated 3×
-    * keeps nearly the same shingle set at 3× the chars). A fixed-width
-    * bucket would silently lose pairs straddling an edge.
-    * `length(bin(n)) - 1` is exact integer floor(log2 n) on both
-    * engines — no float log at a power of two.
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin family, Bayardo et al. WWW'07) — COMPLETE for
+    * jaccard ≥ 0.5 with no length blocking at all:
     *
-    * The a-side probes {bucket, bucket+1} carrying its origin: a
-    * same-bucket pair (probe = origin) keeps only doc_a < doc_b, a
-    * cross-bucket pair (probe = origin+1) joins exactly once via the
-    * smaller-bucket doc — each unordered pair verifies ONCE, no
-    * dedup pass. Shingles are pre-hashed to longs once per doc — the
-    * per-pair intersection then runs over primitive arrays instead of
-    * re-hashing full shingle strings O(pairs) times. */
+    * Order every doc's shingle hashes by (corpus frequency, hash) —
+    * rarest first, one global total order. For threshold t, a doc's
+    * PREFIX is its first n - ⌈t·n⌉ + 1 shingles. If jaccard(A,B) ≥ t,
+    * the globally-smallest common shingle must sit in BOTH prefixes
+    * (if it were outside A's prefix, all |A∩B| ≥ t·n_A commons would
+    * have to fit in A's ⌈t·n_A⌉-1 suffix slots — contradiction), so an
+    * equi-join on prefix shingles finds every qualifying pair. Rare-
+    * first ordering makes prefix collisions ≈ genuine near-dups, not
+    * vocabulary noise — candidates stay near-linear where any
+    * complete size-blocked scheme degenerates to all ratio-2 pairs.
+    *
+    * Shingle hashes are md5-based (Md5Mod61) so the DuckDB oracle
+    * reproduces the ordering, the prefixes, and the candidate set
+    * exactly. One shuffle each: frequency agg, per-doc rank, prefix
+    * self-join (bare ids through the distinct), then the two payload
+    * rejoins for the O(n+m) sorted-jaccard verify; an implied
+    * size-ratio prune (min ≥ max/2) runs before it. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(Tables.documents(spark, sfDir))
-      .withColumn("bucket", length(expr("bin(size(shingles))")).cast("long") - 1)
-      .withColumn("sh", array_sort(expr("transform(shingles, s -> xxhash64(s))")))
-      .select(col("doc_id"), col("lang"), col("bucket"), col("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("bucket").as("orig"),
-        explode(array(col("bucket"), col("bucket") + 1)).as("bucket"),
-        col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "bucket"))
-      .filter((col("orig") === col("bucket") && col("doc_a") < col("doc_b")) ||
-        col("orig") =!= col("bucket"))
+    val base = shingled(Tables.documents(spark, sfDir))
+      .withColumn("sh", array_sort(transform(col("shingles"), s => Similarity.md5Mod(s))))
+      .withColumn("n", size(col("sh")))
+      .select(col("doc_id"), col("lang"), col("n"), col("sh"))
+      .persist() // reused by the prefix build and both verify rejoins
+    val u = base.select(col("doc_id"), col("lang"), col("n"), explode(col("sh")).as("h"))
+    val freq = u.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    val pfx = u.join(freq, Seq("h"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= expr("n - ceil(n * 0.5) + 1"))
+      .select(col("doc_id"), col("lang"), col("h"))
+    val cand = pfx.select(col("doc_id").as("doc_a"), col("lang"), col("h"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("lang"), col("h")),
+        Seq("lang", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .filter(least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** MinHash+LSH near-dup candidates: 16-hash signature, 8 bands × 2
