@@ -46,4 +46,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("j") == 0.5)
     assert(r.getAs[Int]("b") >= 0 && r.getAs[Int]("b") < 256)
   }
+
+  test("md5_mod61 resolves and matches the DuckDB reference value") {
+    // duckdb: SELECT md5_number_lower('abc') % 2305843009213693951
+    val v = spark.sql("SELECT md5_mod61('abc') AS h").head().getAs[Long]("h")
+    assert(v == java.lang.Long.remainderUnsigned(8250560606382298838L, (1L << 61) - 1))
+  }
+
+  test("sinks round-trip: TSV and JSON-lines preserve rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinks")
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)).toDF("id", "name", "score")
+    graft.sources.Sinks.writeTsv(df, s"$dir/tsv")
+    graft.sources.Sinks.writeEntityJson(df, s"$dir/json")
+    val tsv = spark.read.option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/tsv")
+    val json = spark.read.json(s"$dir/json")
+    assert(tsv.collect().map(_.mkString("|")).toSet == df.collect().map(_.mkString("|")).toSet)
+    assert(json.select("id", "name", "score").collect().map(_.mkString("|")).toSet ==
+      df.collect().map(_.mkString("|")).toSet)
+  }
 }
