@@ -43,11 +43,26 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup operators never materialize an unblocked cross product") {
-    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding")) {
+    for (q <- Seq("dedup_ngram", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+        "contamination_check", "corpus_filter", "enrich_wide", "name_status")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q contains an unblocked join")
     }
+  }
+
+  test("enrich_wide computes all attributes in a single aggregation shuffle") {
+    val p = plan("enrich_wide")
+    // one hash-partitioned Exchange (the per-customer agg); dimension
+    // joins broadcast, so nothing else shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected at most one shuffle exchange, plan:\n$p")
+  }
+
+  test("contamination_check shuffles on the fingerprint, eval sizes broadcast") {
+    val p = plan("contamination_check")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "eval sizes must broadcast")
   }
 
   test("ann_lsh joins candidates on the bucket equi-key") {
