@@ -559,10 +559,12 @@ object SparkEntry {
         |w AS (SELECT doc_id, CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[]) ELSE
         |  list_sort(list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1), j ->
         |    list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])))) END AS fps FROM g),
-        |u AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |u0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM u0 GROUP BY fp)
+        |  WHERE df <= 256),
+        |u AS (SELECT doc_id, u0.fp FROM u0 JOIN rare ON u0.fp = rare.fp),
         |e AS (SELECT doc_id AS eval_id, fp FROM u WHERE doc_id % 37 = 0),
-        |es AS (SELECT doc_id AS eval_id, CAST(len(fps) AS BIGINT) AS n_eval_fps
-        |  FROM w WHERE doc_id % 37 = 0),
+        |es AS (SELECT eval_id, count(*) AS n_eval_fps FROM e GROUP BY eval_id),
         |tr AS (SELECT doc_id AS train_id, fp FROM u WHERE doc_id % 37 <> 0),
         |j AS (SELECT train_id, eval_id, count(*) AS shared
         |  FROM tr JOIN e USING (fp) GROUP BY train_id, eval_id),
