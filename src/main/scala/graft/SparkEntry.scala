@@ -122,17 +122,21 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin,
+      """WITH g AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY revenue DESC, l_orderkey
+        |  LIMIT 10)
+        |SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(revenue AS DOUBLE) AS revenue
+        |FROM g ORDER BY revenue DESC, l_orderkey""".stripMargin,
     "q5_starjoin" ->
       """SELECT n_name,
         |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
@@ -326,14 +330,14 @@ object SparkEntry {
         |    CAST(sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS conflictcount,
         |    list_sort(list(DISTINCT o_orderstatus)) AS statuses,
         |    list_sort(list(DISTINCT o_orderpriority)) AS priorities,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey)
         |SELECT c_custkey, c_name, nation_label, region_label,
         |  coalesce(workcount, 0) AS workcount,
         |  coalesce(conflictcount, 0) AS conflictcount,
         |  coalesce(array_to_string(statuses, ';'), '') AS statuses,
         |  coalesce(array_to_string(priorities, ';'), '') AS priorities,
-        |  coalesce(spend, CAST(0 AS DECIMAL(18,2))) AS spend
+        |  coalesce(spend, 0.0) AS spend
         |FROM customer
         |LEFT JOIN labels ON c_nationkey = n_nationkey
         |LEFT JOIN facts ON c_custkey = o_custkey
@@ -408,7 +412,7 @@ object SparkEntry {
     },
     "events_dedup" ->
       """SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "ref_inject" ->
@@ -724,7 +728,7 @@ object SparkEntry {
         |SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
         |  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
         |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM ev GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
     "events_sessionize" ->
@@ -738,7 +742,7 @@ object SparkEntry {
         |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
         |  epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM t GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin,
     "events_range" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
@@ -753,7 +757,7 @@ object SparkEntry {
         |s AS (SELECT user_id, ts, max(event_id) AS signup_id FROM ev
         |  WHERE event_type = 'signup' GROUP BY user_id, ts),
         |signups AS (SELECT s.user_id, s.ts, s.signup_id,
-        |  CAST(e.value AS DECIMAL(18,2)) AS signup_val
+        |  e.value AS signup_val
         |  FROM s JOIN ev e ON e.event_id = s.signup_id)
         |SELECT ev.event_id, ev.user_id, epoch_us(ev.ts) AS ts, ev.event_type,
         |  signups.signup_id AS signup_event_id,
@@ -766,7 +770,7 @@ object SparkEntry {
         |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, k_mod""".stripMargin
   )

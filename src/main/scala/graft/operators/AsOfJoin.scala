@@ -67,7 +67,7 @@ object AsOfJoin {
       .agg(max(struct(col("event_id"), col("value"))).as("m"))
       .select(col("user_id"), col("ts"),
         col("m.event_id").as("signup_id"),
-        col("m.value").cast("decimal(18,2)").as("signup_val"))
+        col("m.value").as("signup_val"))
     asOf(
       events.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
       signups, "user_id", "ts", Seq("signup_id", "signup_val"))

@@ -47,7 +47,7 @@ object EnrichJoin {
         coalesce(col("conflictcount"), lit(0L)).as("conflictcount"),
         coalesce(col("statuses"), array()).as("statuses"),
         coalesce(col("priorities"), array()).as("priorities"),
-        coalesce(col("spend"), lit(0).cast("decimal(18,2)")).as("spend"))
+        coalesce(col("spend").cast("double"), lit(0.0)).as("spend"))
   }
 
   /** The full-breadth enrichment — the analogue of the reference's ~40

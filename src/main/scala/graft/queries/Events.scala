@@ -18,7 +18,7 @@ object Events {
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -32,7 +32,7 @@ object Events {
       .groupBy(col("event_type"), pmod(col("p.k"), lit(10)).as("k_mod"))
       .agg(count(lit(1)).as("n"),
         sum(col("p.k")).as("k_sum"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
 
   /** Exactly-once ingestion in batch form: a source slice is
     * re-delivered (every 10th event duplicated — the at-least-once
@@ -47,7 +47,7 @@ object Events {
     redelivered.dropDuplicates("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
   }
 
   /** Gap-based sessionization (30-min inactivity closes a session):
@@ -65,6 +65,6 @@ object Events {
       .groupBy(col("user_id"), col("session_num"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
   }
 }

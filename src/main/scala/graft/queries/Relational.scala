@@ -13,9 +13,11 @@ import graft.sources.Tables
   * single-threaded oracle in the last ulp and fail the hash compare.
   * Terminal projections cast money to double (one correctly-rounded
   * conversion of the exact sum), giving the driver's hasher a single
-  * canonical representation on both engines. Exception: q3_join keeps
-  * its DECIMAL(18,4) revenue — its orderBy/limit keys the rows and the
-  * decimal output already hash-matches its decimal-typed oracle.
+  * canonical representation on both engines — NO query emits a decimal
+  * column (the driver's hasher renders Spark-parquet decimals and
+  * oracle floats differently, e.g. '123.40' vs '123.4'; every r03
+  * hash-fail had a terminal DECIMAL and every terminal-double twin
+  * passed).
   *
   * Exactness bound for the terminal double cast: a long-backed
   * DECIMAL(18,x) has ≤18 significant digits, but doubles hold only ~15.95
@@ -89,6 +91,8 @@ object Relational {
       .agg(sumFixed(discPriceE4, 10000L, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
+      // top-10 keyed on the exact decimal; only the surviving rows cast
+      .withColumn("revenue", col("revenue").cast("double"))
   }
 
   /** TPC-H Q5-style local-supplier volume: star join where every

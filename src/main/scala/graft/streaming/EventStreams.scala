@@ -47,7 +47,7 @@ object EventStreams {
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -64,7 +64,7 @@ object EventStreams {
     events
       .groupBy(session_window(col("ts"), "30 minutes 1 microsecond").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("total_value"))
 

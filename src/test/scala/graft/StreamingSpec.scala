@@ -31,8 +31,10 @@ class StreamingSpec extends AnyFunSuite {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    // the BigDecimal encoder widens to DECIMAL(38,18); renormalize
-    spark.table(name).withColumn("total_value", col("total_value").cast("decimal(18,2)"))
+    // the BigDecimal encoder widens to DECIMAL(38,18); renormalize to
+    // the batch twin's terminal double
+    spark.table(name).withColumn("total_value",
+        col("total_value").cast("decimal(18,2)").cast("double"))
       .collect().map(_.mkString("|")).toSet
   }
 
