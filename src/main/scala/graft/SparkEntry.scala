@@ -88,6 +88,12 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "corpus_filter" -> (TextMetrics.corpusFilter _),
+    "repetition_score" -> (TextMetrics.repetitionScore _),
+    "bigram_lm_score" -> (TextMetrics.bigramLmScore _),
+    "sample_stratified" -> (Sampling.sampleStratified _),
+    "domain_mix" -> (Sampling.domainMix _),
+    "seq_pack" -> (Sampling.seqPack _),
+    "cluster_assign" -> (Cluster.clusterAssign _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_dedup" -> (Events.eventsDedup _),
@@ -723,6 +729,127 @@ object SparkEntry {
         |FROM q JOIN l ON q.doc_id = l.doc_id JOIN dd ON q.doc_id = dd.doc_id
         |WHERE NOT dd.is_dup AND l.votes >= 1 AND q.quality_score >= 0.5
         |ORDER BY q.doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END AS bgs
+        |  FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+        |wmax AS (SELECT doc_id, max(c) AS mw FROM wc GROUP BY doc_id),
+        |bc AS (SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bgs) AS b FROM base) GROUP BY doc_id, b),
+        |bmax AS (SELECT doc_id, max(c) AS mb FROM bc GROUP BY doc_id)
+        |SELECT base.doc_id, n AS n_words,
+        |  CAST(n - len(list_distinct(toks)) AS DOUBLE) / n AS dup_word_ratio,
+        |  CASE WHEN n >= 2
+        |    THEN CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+        |    ELSE CAST(0 AS DOUBLE) END AS dup_bigram_ratio,
+        |  CAST(mw AS DOUBLE) / n AS top_word_frac,
+        |  CASE WHEN n >= 2 THEN CAST(mb AS DOUBLE) / len(bgs)
+        |    ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac
+        |FROM base
+        |JOIN wmax ON base.doc_id = wmax.doc_id
+        |LEFT JOIN bmax ON base.doc_id = bmax.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "bigram_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+        |  FROM t WHERE len(toks) >= 2)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w1 FROM documents) GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(c2.c2) AS BIGINT) AS sum_c2,
+        |    round(list_sum(list_sort(list(
+        |      log2(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)))))
+        |      / count(*), 6) AS mean_logp
+        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(sum_c2, 0) AS sum_c2, mean_logp
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "sample_stratified" -> {
+      val rCase = "CASE lang " + Sampling.strataRates
+        .map { case (l, r) => s"WHEN '${sq(l)}' THEN $r" }.mkString(" ") + " END"
+      s"""WITH t AS (SELECT doc_id, lang, $rCase AS r FROM documents)
+         |SELECT doc_id, lang, CAST(10 AS DOUBLE) / CAST(r AS DOUBLE) AS weight
+         |FROM t
+         |WHERE md5_number_lower('strat-' || doc_id) % 2305843009213693951
+         |  < (2305843009213693951 // 10) * r
+         |ORDER BY doc_id""".stripMargin
+    },
+    "domain_mix" -> {
+      val values = Sampling.mixWeights
+        .map { case (s, w) => s"('${sq(s)}', $w)" }.mkString(", ")
+      val sumW = Sampling.mixWeights.map(_._2).sum
+      s"""WITH tot AS (SELECT count(*) AS n_total FROM documents),
+         |w(source, wt) AS (VALUES $values),
+         |s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+         |p AS (SELECT s.source,
+         |    CAST(wt AS BIGINT) * (n_total // 2) AS k,
+         |    CAST($sumW AS BIGINT) * n_src AS m
+         |  FROM s JOIN w USING (source) CROSS JOIN tot),
+         |thr AS (SELECT source,
+         |    CASE WHEN k >= m THEN 2305843009213693951
+         |      ELSE (2305843009213693951 // m) * k
+         |        + ((2305843009213693951 % m) * k) // m END AS thr,
+         |    greatest(CAST(1 AS DOUBLE), CAST(m AS DOUBLE) / CAST(k AS DOUBLE)) AS sample_weight
+         |  FROM p)
+         |SELECT doc_id, d.source, sample_weight
+         |FROM documents d JOIN thr ON d.source = thr.source
+         |WHERE md5_number_lower('mix-' || doc_id) % 2305843009213693951 < thr
+         |ORDER BY doc_id""".stripMargin
+    },
+    "seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, tok_offset,
+         |  tok_offset // ${Sampling.SeqBudget} AS seq_first,
+         |  (tok_offset + n_tokens - 1) // ${Sampling.SeqBudget} AS seq_last,
+         |  (tok_offset + n_tokens - 1) // ${Sampling.SeqBudget}
+         |    - tok_offset // ${Sampling.SeqBudget} + 1 AS n_seqs
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "cluster_assign" ->
+      """WITH qv AS (SELECT vec_id, d,
+        |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |norms AS (SELECT vec_id, CAST(sum(qd * qd) AS BIGINT) AS qnorm FROM qv GROUP BY vec_id),
+        |c0 AS (SELECT vec_id AS c_id, d, qd FROM qv WHERE vec_id < 16),
+        |c0n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c0 GROUP BY c_id),
+        |dots0 AS (SELECT qv.vec_id, c0.c_id, CAST(sum(qv.qd * c0.qd) AS BIGINT) AS dot
+        |  FROM qv JOIN c0 USING (d) GROUP BY qv.vec_id, c0.c_id),
+        |s0 AS (SELECT vec_id, c_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+        |  FROM dots0 JOIN norms USING (vec_id) JOIN c0n USING (c_id)),
+        |a0 AS (SELECT vec_id, c_id AS cluster0 FROM (
+        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM s0) WHERE rk = 1),
+        |sums AS (SELECT cluster0 AS c_id, d, CAST(sum(qd) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM a0 JOIN qv USING (vec_id) GROUP BY cluster0, d),
+        |c1 AS (SELECT c_id, d, (sq - (((sq % cnt) + cnt) % cnt)) // cnt AS qd FROM sums),
+        |c1n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c1 GROUP BY c_id),
+        |dots1 AS (SELECT qv.vec_id, c1.c_id, CAST(sum(qv.qd * c1.qd) AS BIGINT) AS dot
+        |  FROM qv JOIN c1 USING (d) GROUP BY qv.vec_id, c1.c_id),
+        |s1 AS (SELECT vec_id, c_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+        |  FROM dots1 JOIN norms USING (vec_id) JOIN c1n USING (c_id)),
+        |a1 AS (SELECT vec_id, c_id AS cluster1 FROM (
+        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM s1) WHERE rk = 1)
+        |SELECT a0.vec_id, e.label, cluster0, cluster1, cluster0 <> cluster1 AS moved
+        |FROM a0 JOIN a1 USING (vec_id) JOIN embeddings e ON e.vec_id = a0.vec_id
+        |ORDER BY a0.vec_id""".stripMargin,
     "events_window" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT epoch_us(date_trunc('hour', ts)) AS window_start,

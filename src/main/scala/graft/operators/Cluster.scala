@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Embedding clustering — the topic-bucketing / semantic-dedup-prep
+  * step of a training-data pipeline (assign every vector to a
+  * centroid, then refine centroids distributively).
+  *
+  * Cross-engine float discipline: embeddings quantize to integer
+  * fixed-point (floor(x·2^20), the HyperplaneLsh convention), so dot
+  * products and norms are EXACT longs; cosine is one double divide of
+  * exact inputs, bit-identical on both engines, and the Lloyd update
+  * floor-divides integer sums — the refined centroids are integer
+  * vectors again. No seeded RNG, no order-dependent float sums: the
+  * DuckDB oracle replays the full assign → update → reassign loop and
+  * the gate value-checks every assignment.
+  *
+  * Scale shape: centroids are a 16-row broadcast on both passes; the
+  * Lloyd update is one posexplode → (cluster, dim) sum — shuffle
+  * volume k×64 partial aggregates, not vectors. Swap `SeedK` vectors
+  * for a sampled k-means++ init and loop the update to convergence for
+  * the library path; one deterministic iteration is the oracle form.
+  */
+object Cluster {
+
+  val SeedK = 16
+  val Dims = 64
+
+  /** floor(x·2^20) per dimension — integer-exact quantization. */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1048576).cast("long"))
+
+  /** Exact long dot product of two quantized vectors (zip, left fold —
+    * products ≤ 2^40, 64 terms ≤ 2^46: no overflow). */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from exact integer dot/norms: one double divide. */
+  private def qcos(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Argmax-cosine assignment of every vector against a centroid table
+    * `(c_id, cq, cnorm)`; ties break toward the smaller c_id. */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos", qcos(qdot(col("q"), col("cq")), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("q"), col("qnorm"), col("c_id"))
+  }
+
+  /** Seed assignment (centroids = vectors 0..15) plus one distributed
+    * Lloyd refinement; emits each vector's cluster before/after. */
+  def clusterAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qnorm", qdot(col("q"), col("q")))
+
+    val cents0 = vecs.filter(col("vec_id") < SeedK)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"),
+        col("qnorm").as("cnorm"))
+    val a0 = assign(vecs, cents0)
+
+    // Lloyd update: per-(cluster, dim) integer sums — exact under any
+    // partitioning — then a floor division (via pmod, so negative sums
+    // floor identically on both engines) back to an integer centroid.
+    val sums = a0
+      .select(col("c_id"), col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy(col("c_id"), col("d"))
+      .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
+      // integer `div` (never `/`: double division) on the exact multiple
+      .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
+    val cents1 = sums
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        s => s.getField("cd")).as("cq"))
+      .withColumn("cnorm", qdot(col("cq"), col("cq")))
+    val a1 = assign(a0.select(col("vec_id"), col("q"), col("qnorm")), cents1)
+      .select(col("vec_id"), col("c_id").as("c1_id"))
+
+    a0.select(col("vec_id"), col("c_id").as("cluster0"))
+      .join(a1.withColumnRenamed("c1_id", "cluster1"), Seq("vec_id"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("cluster0"), col("cluster1"),
+        (col("cluster0") =!= col("cluster1")).as("moved"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expressions.CrossHash
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Corpus-composition operators: the sampling / mixing / packing steps
+  * that sit between a filtered corpus and the tokenizer in a training
+  * data pipeline. All randomness is md5-derived (CrossHash), so every
+  * keep/drop decision is reproducible row-local arithmetic both engines
+  * compute identically — no RNG state, no driver round-trip, and the
+  * DuckDB oracle verifies the exact sample, not just its size.
+  */
+object Sampling {
+
+  /** Per-language sampling rates in tenths (lang → keep 10ths). A
+    * literal policy table, broadcast as a CASE expression; the oracle
+    * SQL is generated from the same Seq so the two sides cannot
+    * drift. */
+  val strataRates: Seq[(String, Int)] = Seq(
+    "en" -> 5, "de" -> 4, "es" -> 3, "fr" -> 2, "zh" -> 1)
+
+  /** Stratified hash-sampling: keep a deterministic rate-per-language
+    * subset by thresholding an md5 draw per document. Embarrassingly
+    * parallel — no shuffle, no RNG: u = md5('strat-' || doc_id) mod P
+    * is uniform on [0, P), kept iff u < (P/10)·rate. `weight` is the
+    * Horvitz-Thompson inverse-probability weight downstream
+    * aggregations re-scale by. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val tenth = CrossHash.P / 10 // integer floor; both engines use P//10
+    val thr = strataRates.foldLeft(lit(null).cast("long")) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(tenth * r)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("draw", Similarity.md5Mod(concat(lit("strat-"), col("doc_id"))))
+      .withColumn("thr", thr)
+      .filter(col("draw") < col("thr"))
+      .select(col("doc_id"), col("lang"),
+        (lit(10.0) / strataRates.foldLeft(lit(null).cast("double")) { case (acc, (l, r)) =>
+          when(col("lang") === l, lit(r.toDouble)).otherwise(acc)
+        }).as("weight"))
+  }
+
+  /** Per-source target mixture weights in tenths (source → share). */
+  val mixWeights: Seq[(String, Int)] = Seq.tabulate(20)(i => s"src$i" -> (4 - i % 4))
+
+  /** Domain-mixture subsampling: re-weight the corpus toward target
+    * per-source shares (the "data mixture" step of pretraining). With
+    * N docs total and a target budget T = N/2, source s with weight
+    * w_s gets t_s = w_s·T/Σw docs, i.e. keep-probability
+    * p_s = w_s·T/(Σw·n_s), capped at 1. The md5 threshold
+    * floor(P·p_s) is computed in EXACT 64-bit integer arithmetic via
+    * floor(a·k/m) = (a div m)·k + ((a mod m)·k) div m — no 128-bit
+    * intermediates, no float rounding, so DuckDB lands on the same
+    * integer. Two tiny scalar aggs broadcast; the corpus pass itself
+    * is shuffle-free. */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sumW = mixWeights.map(_._2).sum.toLong
+    val wCase = mixWeights.foldLeft(lit(null).cast("long")) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w.toLong)).otherwise(acc)
+    }
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(total))
+      .withColumn("t_budget", expr("n_total div 2"))             // N div 2, exact
+      .withColumn("k", wCase * col("t_budget"))                  // w_s * T
+      .withColumn("m", lit(sumW) * col("n_src"))                 // Σw * n_s
+      // thr = floor(P * k / m), capped at P (k >= m means p_s >= 1:
+      // keep everything — and guarding FIRST keeps (P div m)*k inside
+      // 64 bits, since k < m implies the product < P). Integer `div`
+      // throughout: Spark's `/` on longs is DOUBLE division, which is
+      // lossy past 2^53 and would break the cross-engine threshold.
+      .withColumn("thr", when(col("k") >= col("m"), lit(CrossHash.P)).otherwise(
+        expr(s"(${CrossHash.P} div m) * k + (((${CrossHash.P} % m) * k) div m)")))
+      // inverse-probability weight; exact-long ratio → one double divide
+      .withColumn("sample_weight",
+        greatest(lit(1.0), col("m").cast("double") / col("k").cast("double")))
+      .select(col("source"), col("thr"), col("sample_weight"))
+    docs
+      .join(broadcast(bySrc), Seq("source"))
+      .withColumn("draw", Similarity.md5Mod(concat(lit("mix-"), col("doc_id"))))
+      .filter(col("draw") < col("thr"))
+      .select(col("doc_id"), col("source"), col("sample_weight"))
+  }
+
+  /** Token budget per packed training sequence. */
+  val SeqBudget: Long = 512L
+
+  /** Range-bucket width for the distributed prefix sum (doc_id div). */
+  val PackBucket: Long = 256L
+
+  /** GPT-style sequence packing: per language, documents are
+    * concatenated in doc_id order and cut into fixed `SeqBudget`-token
+    * sequences; each document reports its global token offset and the
+    * first/last sequence it lands in (documents span cuts — the
+    * concat-and-chunk packing pretraining uses).
+    *
+    * A global running sum is inherently sequential, so a naive
+    * window over `lang` is ONE task per language at 100 TB. This is the
+    * textbook two-phase distributed prefix sum instead:
+    *   1. per (lang, doc_id div 256) bucket: local token sums — a small
+    *      agg whose output is ~N/256 rows;
+    *   2. exclusive prefix over buckets per lang — a window over the
+    *      tiny bucket table;
+    *   3. broadcast the bucket offsets back; a within-bucket window
+    *      (bounded partitions, 256 rows each) finishes the offset.
+    * The only unbounded-partition window runs over buckets, not rows.
+    * All arithmetic is integer-exact; the oracle states the semantics
+    * as the single naive window — same numbers. */
+  def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucket")) // integer div: exact at any id
+
+    val perBucket = docs.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wB = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = perBucket
+      .withColumn("bucket_offset", coalesce(sum(col("bucket_tokens")).over(wB), lit(0L)))
+      .select(col("lang"), col("bucket"), col("bucket_offset"))
+
+    val wD = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .join(broadcast(bucketOffsets), Seq("lang", "bucket"))
+      // "offset" is a reserved word in SQL engines; tok_offset travels safely
+      .withColumn("tok_offset",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_offset div $SeqBudget"))
+      .withColumn("seq_last", expr(s"(tok_offset + n_tokens - 1) div $SeqBudget"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+  }
+}

@@ -128,6 +128,92 @@ object TextMetrics {
       .select(col("doc_id"), col("pred_lang"), col("quality_score"))
   }
 
+  /** Longest equal run in a sorted array = the modal element's count.
+    * A within-row left fold (codegen'd HigherOrderFunction) — no
+    * explode, no shuffle; the oracle states the same number as
+    * unnest → groupBy → max(count). */
+  private def topRun(sorted: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sorted,
+      struct(lit(0).as("cur"), lit(0).as("best"), lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1).otherwise(lit(1))
+        struct(cur.as("cur"), greatest(acc.getField("best"), cur).as("best"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition signals: duplicate-word fraction,
+    * duplicate-bigram fraction, and the modal word/bigram share of the
+    * document. High values mark boilerplate/spam for the pretraining
+    * filter. Entirely row-local column expressions (the per-doc state
+    * never leaves the row, so the operator is shuffle-free at any
+    * scale); every ratio is an exact-integer pair divided once, so
+    * both engines emit the identical double. */
+  def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // sequence() flips to a descending range when n < 2 — guard it
+      .withColumn("bigrams", when(col("n") >= 2,
+        transform(sequence(lit(1), (col("n") - 1).cast("int")),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+    docs.select(
+      col("doc_id"), col("n").as("n_words"),
+      ((col("n") - size(array_distinct(col("toks")))).cast("double") / col("n"))
+        .as("dup_word_ratio"),
+      when(col("n") >= 2,
+        (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double")
+          / size(col("bigrams"))).otherwise(lit(0.0)).as("dup_bigram_ratio"),
+      (topRun(array_sort(col("toks"))).cast("double") / col("n")).as("top_word_frac"),
+      when(col("n") >= 2,
+        topRun(array_sort(col("bigrams"))).cast("double") / size(col("bigrams")))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Self-trained bigram LM scoring: corpus bigram/unigram counts
+    * (two aggs, broadcast back) score every document by its mean
+    * add-one-smoothed conditional log-probability — the n-gram
+    * perplexity filter (CCNet-style) with the model derived from the
+    * corpus itself. Same agg → broadcast → score shape as
+    * unigramScore, one extra explode for the bigram stream.
+    * Float discipline: each log term is a single double divide of
+    * exact longs; the per-doc sum folds in ascending sorted order on
+    * both engines and rounds to 6 dp (the multimodal-entropy pattern),
+    * so parallelism cannot reorder it. */
+  def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bigrams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), (size(col("toks")) - 1).cast("int")),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val scored = bigrams
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log2((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("sum_c2"),
+        sort_array(collect_list(col("logp"))).as("lps"))
+      .withColumn("mean_logp",
+        round(aggregate(col("lps"), lit(0.0), (a, x) => a + x) / col("n_bigrams"), 6))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_c2"), lit(0L)).as("sum_c2"),
+        col("mean_logp"))
+  }
+
   /** Whitespace and BPE-ish token counts. The regex splits letter runs
     * of ≤4 chars, digits, and single non-alphanumerics — a rough
     * stand-in for a byte-pair vocabulary's subword lengths. */

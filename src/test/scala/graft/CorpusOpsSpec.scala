@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Cluster, Sampling, TextMetrics}
+
+/** Semantic checks for the corpus-composition operators (sampling,
+  * mixing, packing, repetition, LM scoring, clustering). */
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("sample_stratified keeps ~rate per language with exact HT weights") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.sampleStratified(spark, sf)
+    val keptPerLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, r) <- Sampling.strataRates; n <- perLang.get(lang)) {
+      val k = keptPerLang.getOrElse(lang, 0L).toDouble
+      val expect = n * r / 10.0
+      // md5 draws are uniform; allow 4 sigma of binomial noise + slack
+      val sigma = math.sqrt(n * (r / 10.0) * (1 - r / 10.0))
+      assert(math.abs(k - expect) <= 4 * sigma + 3,
+        s"$lang kept $k expected ~$expect (n=$n)")
+    }
+    kept.collect().foreach { row =>
+      val r = Sampling.strataRates.toMap.apply(row.getString(1))
+      assert(row.getDouble(2) == 10.0 / r)
+    }
+  }
+
+  test("domain_mix hits per-source budgets and never exceeds the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.domainMix(spark, sf)
+    val keptBySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sumW = Sampling.mixWeights.map(_._2).sum
+    for ((src, w) <- Sampling.mixWeights; nSrc <- bySrc.get(src)) {
+      val target = math.min(nSrc.toDouble, w.toDouble * (n / 2) / sumW)
+      val k = keptBySrc.getOrElse(src, 0L).toDouble
+      val sigma = math.sqrt(target + 1)
+      assert(k <= nSrc, s"$src kept more than exists")
+      assert(math.abs(k - target) <= 4 * sigma + 3,
+        s"$src kept $k, target ~$target of $nSrc")
+    }
+    kept.collect().foreach(r => assert(r.getDouble(2) >= 1.0)) // HT weight
+  }
+
+  test("seq_pack two-phase offsets equal the naive single-window prefix sum") {
+    val naive = {
+      val t = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select("doc_id", "tok_offset").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val packed = Sampling.seqPack(spark, sf).collect()
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("tok_offset") == naive(id), s"offset mismatch doc $id")
+      assert(r.getAs[Long]("seq_first") <= r.getAs[Long]("seq_last"))
+      assert(r.getAs[Long]("n_seqs") ==
+        r.getAs[Long]("seq_last") - r.getAs[Long]("seq_first") + 1)
+      // a straddling doc spans at most floor((n-1)/budget) + 2 sequences
+      assert(r.getAs[Long]("n_seqs") <=
+        (r.getAs[Long]("n_tokens") - 1) / Sampling.SeqBudget + 2)
+    }
+  }
+
+  test("repetition_score matches an explode-side recomputation") {
+    val rep = TextMetrics.repetitionScore(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val topWord = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rep.collect().foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      assert(r.getAs[Double]("top_word_frac") == topWord(r.getAs[Long]("doc_id")).toDouble / n)
+      Seq("dup_word_ratio", "dup_bigram_ratio", "top_word_frac", "top_bigram_frac")
+        .foreach { c =>
+          val v = r.getAs[Double](c)
+          assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+        }
+    }
+  }
+
+  test("bigram_lm_score: bigram counts line up and smoothed log-probs are negative") {
+    val lm = TextMetrics.bigramLmScore(spark, sf)
+    val nWords = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lm.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == math.max(nWords(id) - 1, 0L))
+      if (r.getAs[Long]("n_bigrams") > 0) {
+        assert(r.getAs[Long]("sum_c2") >= r.getAs[Long]("n_bigrams")) // each bigram counts itself
+        assert(r.getAs[Double]("mean_logp") < 0.0) // probabilities < 1
+      }
+    }
+  }
+
+  test("cluster_assign: seeds keep their own cluster and the Lloyd step converges") {
+    val a = Cluster.clusterAssign(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Long]("cluster0") >= 0 && r.getAs[Long]("cluster0") < Cluster.SeedK)
+      assert(r.getAs[Long]("cluster1") >= 0 && r.getAs[Long]("cluster1") < Cluster.SeedK)
+    }
+    // a seed vector has cosine exactly 1 with itself — unbeatable
+    a.filter(_.getAs[Long]("vec_id") < Cluster.SeedK)
+      .foreach(r => assert(r.getAs[Long]("cluster0") == r.getAs[Long]("vec_id")))
+    // one refinement must not reshuffle everything
+    val moved = a.count(_.getAs[Boolean]("moved"))
+    assert(moved < a.length, s"every vector moved ($moved of ${a.length})")
+  }
+}
