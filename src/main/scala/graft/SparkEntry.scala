@@ -72,6 +72,8 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dup_clusters" -> (Dedup.dupClusters _),
+    "doc_keywords" -> (TextMetrics.docKeywords _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
@@ -105,6 +107,30 @@ object SparkEntry {
 
   /** SQL string literal escape for generated oracle fragments. */
   private def sq(s: String): String = s.replace("'", "''")
+
+  /** MinHash+LSH pair oracle — shared verbatim by dedup_minhash and as
+    * the edge source inside dup_clusters' recursive CTE. */
+  private val dedupMinhashSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM t WHERE len(toks) >= 3),
+      |u AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+      |h AS (SELECT doc_id, md5_number_lower(s) % 2305843009213693951 AS hb FROM u),
+      |seeds AS (SELECT i, md5_number_lower('minhash-a-' || i) % 2305843009213693950 + 1 AS a,
+      |  md5_number_lower('minhash-b-' || i) % 2305843009213693951 AS b FROM range(16) r(i)),
+      |sig AS (SELECT doc_id, i, min(CAST((CAST(a AS HUGEINT) * hb + b) % 2305843009213693951 AS BIGINT)) AS m
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 2 AS band, string_agg(m, ',' ORDER BY i) AS band_key
+      |  FROM sig GROUP BY doc_id, i // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |j AS (SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+      |    / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))) AS jaccard
+      |  FROM cand JOIN d da ON da.doc_id = cand.doc_a JOIN d db ON db.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The geo/event tokenization both engines share (classifyName /
     * its oracle): strip ". ," and dangling hyphens, split whitespace. */
@@ -490,27 +516,32 @@ object SparkEntry {
         |  FROM cand JOIN ed ea ON ea.vec_id = cand.vec_a JOIN ed eb ON eb.vec_id = cand.vec_b)
         |SELECT vec_a, vec_b, cos FROM p2 WHERE cos >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM t WHERE len(toks) >= 3),
-        |u AS (SELECT doc_id, unnest(shingles) AS s FROM d),
-        |h AS (SELECT doc_id, md5_number_lower(s) % 2305843009213693951 AS hb FROM u),
-        |seeds AS (SELECT i, md5_number_lower('minhash-a-' || i) % 2305843009213693950 + 1 AS a,
-        |  md5_number_lower('minhash-b-' || i) % 2305843009213693951 AS b FROM range(16) r(i)),
-        |sig AS (SELECT doc_id, i, min(CAST((CAST(a AS HUGEINT) * hb + b) % 2305843009213693951 AS BIGINT)) AS m
-        |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
-        |bands AS (SELECT doc_id, i // 2 AS band, string_agg(m, ',' ORDER BY i) AS band_key
-        |  FROM sig GROUP BY doc_id, i // 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |j AS (SELECT doc_a, doc_b,
-        |  CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
-        |    / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))) AS jaccard
-        |  FROM cand JOIN d da ON da.doc_id = cand.doc_a JOIN d db ON db.doc_id = cand.doc_b)
-        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dup_clusters" ->
+      s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+         |  UNION ALL SELECT doc_b, doc_a FROM mh),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab FROM reach r JOIN e ON e.a = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
+         |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "doc_keywords" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w AS (SELECT * FROM words WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT doc_id, term, tf, df, n_docs,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * log2(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, term""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |th AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),

@@ -189,4 +189,45 @@ object Dedup {
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Near-dup cluster formation: connected components over the verified
+    * minhash pair graph, so a whole family of near-duplicates collapses
+    * to one canonical id (min doc_id in the component) — the step that
+    * turns pairwise dedup output into per-cluster keep/drop decisions.
+    *
+    * Iterative min-label propagation (HashMin): every node adopts the
+    * smallest label among itself and its neighbors until fixpoint —
+    * O(component diameter) rounds of one equi-join + one min-agg, the
+    * scalable CC formulation (GraphX/GraphFrames use the same loop;
+    * near-dup components are shallow, so rounds stay single-digit).
+    * localCheckpoint truncates the growing lineage each round; the
+    * convergence probe is a count() action (an aggregate, not a
+    * driver-side data collection). */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val neighborMin = edges.join(labels, edges("doc_a") === labels("id"))
+        .select(col("doc_b").as("id"), col("lab"))
+      val next = labels.unionByName(neighborMin)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
+        .filter(col("lab") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0, s"dupClusters did not converge in $rounds rounds")
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
+  }
 }

@@ -214,6 +214,31 @@ object TextMetrics {
         col("mean_logp"))
   }
 
+  /** TF-IDF keyword extraction: top-5 terms per document ranked by
+    * (tf desc, df asc, term) — exact integer keys, so the ranking is
+    * engine-independent; the tfidf value itself (one float multiply of
+    * a log) is a rounded payload, never a sort key. The row_number +
+    * filter pair rewrites to the TopKPerGroup operator (bounded
+    * map-side heaps: shuffle volume is 5×docs, not every (doc, term)
+    * pair) via RankFilterToTopK. */
+  def docKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log2(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+  }
+
   /** Whitespace and BPE-ish token counts. The regex splits letter runs
     * of ≤4 chars, digits, and single non-alphanumerics — a rough
     * stand-in for a byte-pair vocabulary's subword lengths. */

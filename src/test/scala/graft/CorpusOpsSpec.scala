@@ -110,6 +110,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_clusters: components are closed over the pair graph and keyed by their min id") {
+    val pairs = graft.operators.Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(clusters.nonEmpty)
+    // both endpoints of every near-dup pair collapse to one cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the cluster id is a member, and it is the smallest member
+    val members = clusters.groupBy(_._2._1).map { case (cid, m) => cid -> m.keys.toSeq }
+    members.foreach { case (cid, ms) =>
+      assert(ms.min == cid, s"cluster $cid not keyed by min member ${ms.min}")
+      ms.foreach(m => assert(clusters(m)._2 == ms.size, s"size mismatch in $cid"))
+    }
+  }
+
+  test("doc_keywords: at most 5 per doc, led by the doc's max term frequency") {
+    val kw = TextMetrics.docKeywords(spark, sf).collect()
+    val byDoc = kw.groupBy(_.getAs[Long]("doc_id"))
+    val topTf = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Long]("tf")).max == topTf(id),
+        s"doc $id keywords miss the modal term")
+      rows.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0))
+    }
+  }
+
   test("cluster_assign: seeds keep their own cluster and the Lloyd step converges") {
     val a = Cluster.clusterAssign(spark, sf).collect()
     assert(a.nonEmpty)

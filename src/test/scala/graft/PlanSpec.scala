@@ -95,6 +95,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), "no window row_number in the match path")
   }
 
+  test("doc_keywords top-5 plans as the bounded-heap TopK operator") {
+    val p = plan("doc_keywords")
+    assert(p.contains("TopKPerGroup"), "rank<=5 filter must rewrite to TopKPerGroupExec")
+    assert(!p.contains("row_number"), "no window row_number in the keyword path")
+  }
+
+  test("sampling operators stay shuffle-free on the corpus pass") {
+    for (q <- Seq("sample_stratified", "repetition_score")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle the corpus")
+    }
+  }
+
+  test("seq_pack windows only over bounded buckets, bucket offsets broadcast") {
+    val p = plan("seq_pack")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bucket offsets must broadcast back")
+    // the within-bucket window partitions by (lang, bucket), never lang alone
+    assert(p.contains("windowspecdefinition(lang") || p.contains("PartitionSpec: [lang"),
+      s"plan must show the window specs:\n$p")
+  }
+
+  test("cluster_assign broadcasts centroid tables on both passes") {
+    val p = plan("cluster_assign")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      "both centroid tables (seed + Lloyd) must broadcast")
+  }
+
   test("word_count keeps partial aggregation map-side") {
     val p = plan("word_count")
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
