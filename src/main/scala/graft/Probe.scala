@@ -2,33 +2,44 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scratch main for timing plan variants (dev tool). */
+/** Scratch main for timing plan variants (dev tool). Current shape:
+  * a 10× scale probe for the corpus-composition operators — unions
+  * ten id-shifted copies of the sf0.1 documents/embeddings tables into
+  * /tmp/sfbig (500k docs / 100k vectors, with every doc duplicated
+  * across shards so the dedup graph gets genuinely dense) and times
+  * each operator end-to-end. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("probe", 32)
     val sf = "/root/testdata/sf0.1"
+    val big = "/tmp/sfbig"
+    val shards = 10
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/documents.parquet"))) {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      (0 until shards).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+      (0 until shards).map(i => emb
+          .withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    }
+
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    val li = graft.sources.Tables.lineitem(spark, sf)
-    li.count() // warm
-    time("q1 full")(graft.queries.Relational.q1Agg(spark, sf).queryExecution.toRdd.count())
-    time("q1 scan only")(li.filter(col("l_shipdate") <= "1998-09-02").queryExecution.toRdd.count())
-    time("q1 double sums")(
-      li.filter(col("l_shipdate") <= "1998-09-02")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))),
-          count(lit(1)))
-        .queryExecution.toRdd.count())
-    time("q1 one decimal sum")(
-      li.filter(col("l_shipdate") <= "1998-09-02")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1)))
-        .queryExecution.toRdd.count())
+    def run(name: String): Unit =
+      time(name)(SparkEntry.queries(name)(spark, big).queryExecution.toRdd.count())
+
+    graft.sources.Tables.documents(spark, big).count() // warm fs cache
+    Seq("sample_stratified", "domain_mix", "seq_pack", "repetition_score",
+      "bigram_lm_score", "doc_keywords", "cluster_assign", "dup_clusters")
+      .foreach(run)
     spark.stop()
   }
 }
