@@ -96,13 +96,19 @@ object SparkEntry {
     "domain_mix" -> (Sampling.domainMix _),
     "seq_pack" -> (Sampling.seqPack _),
     "cluster_assign" -> (Cluster.clusterAssign _),
+    "decontaminate" -> (Fingerprint.decontaminate _),
+    "bpe_pairs" -> (Tokenize.bpePairs _),
+    "col_profile" -> (Profile.colProfile _),
+    "zorder_layout" -> (Layout.zorderLayout _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_props" -> (Events.eventsProps _),
     "events_asof" -> (AsOfJoin.eventsAsof _),
-    "events_range" -> (RangeJoin.eventsRange _)
+    "events_range" -> (RangeJoin.eventsRange _),
+    "events_funnel" -> (Events.eventsFunnel _),
+    "events_retention" -> (Events.eventsRetention _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -930,6 +936,72 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2
-        |ORDER BY event_type, k_mod""".stripMargin
+        |ORDER BY event_type, k_mod""".stripMargin,
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |  OVER (PARTITION BY user_id) AS t_view FROM ev),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |  OVER (PARTITION BY user_id) AS t_click FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |  OVER (PARTITION BY user_id) AS t_purchase FROM s2)
+        |SELECT user_id, epoch_us(max(t_view)) AS t_view, epoch_us(max(t_click)) AS t_click,
+        |  epoch_us(max(t_purchase)) AS t_purchase,
+        |  CAST(CASE WHEN max(t_purchase) IS NOT NULL THEN 3 WHEN max(t_click) IS NOT NULL THEN 2
+        |    WHEN max(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev)
+        |SELECT CAST(date_diff('day', DATE '2024-01-01', cohort_day) // 7 AS BIGINT) AS cohort_week,
+        |  CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE day >= cohort_day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "col_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+         |  CAST(min($c) AS BIGINT) AS min_v, CAST(max($c) AS BIGINT) AS max_v,
+         |  CAST(sum($c) AS BIGINT) AS sum_v FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "bpe_pairs" ->
+      """WITH w AS (SELECT word, count(*) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> substr(word, CAST(i AS INT), 2))) AS pair, wc FROM w)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, md5_number_lower(gram) % 2305843009213693951 AS g
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+        |    i -> array_to_string(toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' '))) AS gram
+        |    FROM t WHERE len(toks) >= 13) u),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0),
+        |hits AS (SELECT doc_id, count(DISTINCT g.g) AS n_shared
+        |  FROM g JOIN ev USING (g) WHERE doc_id % 37 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+        |  coalesce(n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "zorder_layout" ->
+      """WITH b AS (SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+        |    min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi FROM lineitem),
+        |q AS (SELECT l_partkey, l_suppkey,
+        |    ((l_partkey - p_lo) * 65535) // greatest(p_hi - p_lo, 1) AS pq,
+        |    ((l_suppkey - s_lo) * 65535) // greatest(s_hi - s_lo, 1) AS sq
+        |  FROM lineitem CROSS JOIN b),
+        |z AS (SELECT l_partkey, l_suppkey,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (((pq >> i) & 1) << (2 * i)) + (((sq >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |  FROM q)
+        |SELECT z >> 26 AS bucket, count(*) AS n_rows,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -42,7 +42,7 @@ object Ann {
     scored
       .transform(graft.plans.TopK.perGroup(
         Seq("q_id"), Seq("cos" -> false, "vec_id" -> true), K))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 

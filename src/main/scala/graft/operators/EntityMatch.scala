@@ -51,7 +51,7 @@ object EntityMatch {
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .agg(min(packed).as("p"))
       .withColumn("match_id", col("p").bitwiseAND(lit((1L << 48) - 1)))
-      .withColumn("distance", shiftright(col("p"), 48).cast("int"))
+      .withColumn("distance", shiftright(col("p"), 48).cast("long"))
 
   /** Best match per customer (argmin distance, suppkey tiebreak). */
   def entityMatch(spark: SparkSession, sfDir: String): DataFrame = {

@@ -63,4 +63,40 @@ object Fingerprint {
       .filter(col("coverage") >= 0.5)
       .select(col("train_id"), col("eval_id"), col("shared"), col("coverage"))
   }
+
+  /** Exact 13-gram decontamination (the GPT-3 appendix-C recipe): a
+    * training document is contaminated if any of its 13-word grams
+    * appears verbatim in the held-out eval set. Every train doc comes
+    * back with its shared-gram count and keep/drop flag — the
+    * actionable per-document decision, where contaminationCheck above
+    * reports coverage diagnostics.
+    *
+    * Scale shape: the eval side of the join is the distinct gram set
+    * of the BENCHMARK corpus — tiny by construction (benchmarks are
+    * thousands of docs, not billions) — so it broadcasts and the train
+    * side never shuffles: explode grams, hash them (cross-engine
+    * md5Mod so DuckDB recomputes the same keys), broadcast-join,
+    * aggregate per doc on the already-present doc_id. One wide scan,
+    * zero exchanges on the 100 TB side except the final per-doc agg,
+    * which combines map-side. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 13)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 12), i -> concat_ws(' ', slice(toks, i, 13)))"))
+        .as("gram"))
+      .select(col("doc_id"), Similarity.md5Mod(col("gram")).as("g"))
+    val isEval = pmod(col("doc_id"), lit(37)) === 0
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+    val hits = grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared"))
+    Tables.documents(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
 }

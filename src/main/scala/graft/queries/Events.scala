@@ -67,4 +67,49 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
   }
+
+  /** Ordered conversion funnel (view → click → purchase) per user:
+    * first view, first click strictly after that view, first purchase
+    * strictly after that click. Three chained unbounded windows over
+    * the SAME user_id partitioning — Catalyst plans one shuffle and
+    * reuses it, so the sequential time dependency costs no extra
+    * exchange. A self-join formulation would shuffle three times. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
+      .withColumn("steps_reached",
+        when(col("t_purchase").isNotNull, 3L).when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L).otherwise(0L))
+  }
+
+  /** Cohort retention: users grouped by the week of their first signup
+    * (weeks counted from the corpus epoch 2024-01-01), counted distinct
+    * in each later week-offset where they emitted any event. Two
+    * shuffles total: the per-user first-signup agg and the cohort-cell
+    * count-distinct; the (user, day) distinct folds into the first
+    * aggregate's partitioning. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(cohort, Seq("user_id"))
+      .filter(col("day") >= col("cohort_day"))
+      .withColumn("cohort_week",
+        floor(datediff(col("cohort_day"), lit("2024-01-01").cast("date")) / 7).cast("long"))
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }
