@@ -27,6 +27,23 @@ object Probe {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/events.parquet"))) {
+      // 10M events / 1.5k users: ids and users shift per shard so the
+      // funnel/retention state fans out instead of piling on 150 keys
+      val ev = graft.sources.Tables.events(spark, sf)
+      (0 until shards).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/events.parquet")
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/lineitem.parquet"))) {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      (0 until shards).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    }
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -38,7 +55,9 @@ object Probe {
 
     graft.sources.Tables.documents(spark, big).count() // warm fs cache
     Seq("sample_stratified", "domain_mix", "seq_pack", "repetition_score",
-      "bigram_lm_score", "doc_keywords", "cluster_assign", "dup_clusters")
+      "bigram_lm_score", "doc_keywords", "cluster_assign", "dup_clusters",
+      "decontaminate", "bpe_pairs", "col_profile", "zorder_layout",
+      "events_funnel", "events_retention")
       .foreach(run)
     spark.stop()
   }

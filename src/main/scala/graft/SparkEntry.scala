@@ -100,6 +100,7 @@ object SparkEntry {
     "bpe_pairs" -> (Tokenize.bpePairs _),
     "col_profile" -> (Profile.colProfile _),
     "zorder_layout" -> (Layout.zorderLayout _),
+    "inverted_index" -> (Index.invertedIndex _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_dedup" -> (Events.eventsDedup _),
@@ -988,6 +989,14 @@ object SparkEntry {
         |  coalesce(n_shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits USING (doc_id)
         |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |p2 AS (SELECT doc_id, term FROM p WHERE term <> ''),
+        |d AS (SELECT term, count(*) AS df FROM p2 GROUP BY term),
+        |c AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        |    FROM p2) t WHERE rk <= ${graft.operators.Index.PostingsCap} GROUP BY term)
+        |SELECT term, df, postings FROM d JOIN c USING (term) ORDER BY term""".stripMargin,
     "zorder_layout" ->
       """WITH b AS (SELECT min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
         |    min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi FROM lineitem),

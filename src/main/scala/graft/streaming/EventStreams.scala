@@ -15,6 +15,14 @@ case class OpenSession(startUs: Long, lastUs: Long, n: Long, total: java.math.Bi
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long, total_value: java.math.BigDecimal)
 
+/** One event routed into the streaming funnel. */
+case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+
+/** Per-user funnel progress: first view, first click strictly after
+  * it, first purchase strictly after that. Also the state record. */
+case class FunnelProgress(user_id: Long, t_view_us: Option[Long],
+    t_click_us: Option[Long], t_purchase_us: Option[Long], steps_reached: Long)
+
 /** Structured Streaming forms of the event analytics (SURVEY.md §2.D).
   *
   * Both transforms are expressed on an unbounded DataFrame from
@@ -114,6 +122,48 @@ object EventStreams {
   def enriched(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(streamKey) === dim(dimKey))
+
+  /** Streaming funnel (view → click → purchase) via
+    * mapGroupsWithState: per-user progress survives micro-batches and
+    * each batch emits the user's updated funnel row (Update mode).
+    * State is three optional timestamps per user — O(users), pruned
+    * by a state-store TTL in a production deployment.
+    *
+    * Contract: exact under per-key in-order delivery (the guarantee a
+    * Kafka key-partitioned source provides). Each funnel field is
+    * written once, in order — a late-arriving EARLIER view cannot
+    * retroactively unlock clicks that preceded the view we already
+    * accepted (that would require retaining every event, not a
+    * constant-size state). StreamingSpec asserts parity with the
+    * batch plan both single-batch and across chronological slices. */
+  def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelProgress] = {
+    import spark.implicits._
+
+    def step(userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelProgress]): FunnelProgress = {
+      var s = state.getOption.getOrElse(FunnelProgress(userId, None, None, None, 0L))
+      for (e <- rows.toSeq.sortBy(_.ts_us)) e.event_type match {
+        case "view" if s.t_view_us.isEmpty =>
+          s = s.copy(t_view_us = Some(e.ts_us))
+        case "click" if s.t_click_us.isEmpty && s.t_view_us.exists(_ < e.ts_us) =>
+          s = s.copy(t_click_us = Some(e.ts_us))
+        case "purchase" if s.t_purchase_us.isEmpty && s.t_click_us.exists(_ < e.ts_us) =>
+          s = s.copy(t_purchase_us = Some(e.ts_us))
+        case _ =>
+      }
+      s = s.copy(steps_reached =
+        Seq(s.t_view_us, s.t_click_us, s.t_purchase_us).takeWhile(_.isDefined).size.toLong)
+      state.update(s)
+      s
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
 
   private val GapUs = 1800L * 1000000
 

@@ -152,6 +152,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(n == graft.sources.Tables.lineitem(spark, sf).count())
   }
 
+  test("inverted_index: df counts every posting, lists capped and sorted, bounded-heap plan") {
+    val out = graft.operators.Index.invertedIndex(spark, sf)
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "postings cap must run through the bounded-heap operator, not a window sort")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    val model = scala.collection.mutable.Map.empty[String, List[Long]]
+    docs.foreach { r =>
+      r.getString(1).split(" ").filter(_.nonEmpty).distinct.foreach { t =>
+        model(t) = r.getLong(0) :: model.getOrElse(t, Nil)
+      }
+    }
+    val got = out.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet == model.keySet)
+    model.foreach { case (t, ids) =>
+      val sorted = ids.sorted
+      assert(got(t)._1 == sorted.size, s"df of $t")
+      assert(got(t)._2 == sorted.take(graft.operators.Index.PostingsCap).mkString(","),
+        s"postings of $t")
+    }
+  }
+
   test("zorder write path: repartitionByRange on z keeps per-file extents tight") {
     import org.apache.spark.sql.functions.spark_partition_id
     val li = graft.sources.Tables.lineitem(spark, sf)

@@ -130,6 +130,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  /** Batch funnel rendered as (user, view_us, click_us, purchase_us, steps). */
+  private def batchFunnel: Set[String] =
+    Events.eventsFunnel(spark, sf)
+      .select(col("user_id"), unix_micros(col("t_view")), unix_micros(col("t_click")),
+        unix_micros(col("t_purchase")), col("steps_reached"))
+      .collect().map(_.mkString("|")).toSet
+
+  /** Latest funnel update per user from an update-mode memory sink:
+    * progress is monotone in steps_reached and each field is written
+    * once, so the max-steps row per user IS the final state. */
+  private def finalFunnel(name: String): Set[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    spark.table(name)
+      .withColumn("max_steps", max(col("steps_reached")).over(w))
+      .filter(col("steps_reached") === col("max_steps"))
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"), col("steps_reached"))
+      .distinct()
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  test("mapGroupsWithState funnel equals batch funnel (single batch)") {
+    val q = EventStreams.funnelProgress(spark, EventStreams.readEvents(spark, streamDir))
+      .toDF().writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalFunnel("funnel_stream") == batchFunnel)
+  }
+
+  test("mapGroupsWithState funnel equals batch across chronological micro-batches") {
+    // three time slices written as separate files, mod-times forced
+    // ascending so maxFilesPerTrigger=1 replays them in event order —
+    // the per-key in-order delivery the funnel contract assumes
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cuts = Seq("2024-01-10", "2024-01-20")
+    val slices = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val sub = s"$dir/slice_$i"
+      s.coalesce(1).write.parquet(sub)
+      val dirF = new java.io.File(sub)
+      dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(dir, s"slice_$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+    }
+    val src = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val q = EventStreams.funnelProgress(spark, src)
+      .toDF().writeStream.format("memory").queryName("funnel_sliced")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalFunnel("funnel_sliced") == batchFunnel)
+  }
+
   test("streaming sessionization equals batch") {
     val streamed = runToSet(
       EventStreams.sessionized(EventStreams.readEvents(spark, streamDir)), "sess_stream")
