@@ -101,6 +101,7 @@ object SparkEntry {
     "col_profile" -> (Profile.colProfile _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "inverted_index" -> (Index.invertedIndex _),
+    "skew_agg" -> (Salting.skewAgg _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_dedup" -> (Events.eventsDedup _),
@@ -989,6 +990,10 @@ object SparkEntry {
         |  coalesce(n_shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits USING (doc_id)
         |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "skew_agg" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ';') AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "inverted_index" ->
       s"""WITH p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |p2 AS (SELECT doc_id, term FROM p WHERE term <> ''),

@@ -35,4 +35,14 @@ object Salting {
       .agg(collect_set(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(array_sort(array_distinct(flatten(collect_list(col("_partial"))))).as("values"))
+
+  /** Gate form: the holistic collect over orders keyed by
+    * o_orderstatus — 3 values across the whole table, the worst skew a
+    * groupBy can meet. The salt bounds any single reduce task at
+    * (hot key / salts) rows; the oracle certifies the salted plan is
+    * value-identical to the unsalted semantics. */
+  def skewAgg(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    saltedCollectSet(graft.sources.Tables.orders(spark, sfDir),
+        "o_orderstatus", "o_orderpriority", 8)
+      .withColumnRenamed("values", "priorities")
 }

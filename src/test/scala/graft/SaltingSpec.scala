@@ -24,6 +24,19 @@ class SaltingSpec extends AnyFunSuite {
     assert(s == p)
   }
 
+  test("skewAgg gate query: salted plan, unsalted semantics, partial agg bounded") {
+    val out = Salting.skewAgg(spark, sf)
+    // two logical aggregates: (key, salt) partial then key final
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size == 2, "expected the two-phase (key,salt)->key aggregation")
+    val got = out.collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val direct = Tables.orders(spark, sf).groupBy(col("o_orderstatus"))
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == direct)
+  }
+
   test("saltedCollectSet equals the direct collect_set") {
     val ord = Tables.orders(spark, sf)
     val s = Salting.saltedCollectSet(ord, "o_custkey", "o_orderpriority", 4)
