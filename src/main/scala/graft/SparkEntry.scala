@@ -51,6 +51,9 @@ object SparkEntry {
     "q_promo" -> (Relational.qPromo _),
     "q_rollup" -> (Relational.qRollup _),
     "q_exists" -> (Relational.qExists _),
+    "q_pivot" -> (Relational.qPivot _),
+    "q_quantiles" -> (Relational.qQuantiles _),
+    "q_setops" -> (Relational.qSetOps _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -990,6 +993,29 @@ object SparkEntry {
         |  coalesce(n_shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits USING (doc_id)
         |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS p1,
+        |  CAST(sum(CAST(o_orderpriority = '2-HIGH' AS BIGINT)) AS BIGINT) AS p2,
+        |  CAST(sum(CAST(o_orderpriority = '3-MEDIUM' AS BIGINT)) AS BIGINT) AS p3,
+        |  CAST(sum(CAST(o_orderpriority = '4-NOT SPECIFIED' AS BIGINT)) AS BIGINT) AS p4,
+        |  CAST(sum(CAST(o_orderpriority = '5-LOW' AS BIGINT)) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_quantiles" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  quantile_cont($c, 0.125) AS p125, quantile_cont($c, 0.25) AS p25,
+         |  quantile_cont($c, 0.5) AS p50, quantile_cont($c, 0.75) AS p75,
+         |  quantile_cont($c, 0.875) AS p875 FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "q_setops" ->
+      """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
+        |  FROM customer WHERE c_acctbal > 9000),
+        |s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey
+        |  FROM supplier WHERE s_acctbal > 9000)
+        |SELECT nationkey, true AS in_both FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s) t1
+        |UNION ALL
+        |SELECT nationkey, false AS in_both FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s) t2
+        |ORDER BY nationkey""".stripMargin,
     "skew_agg" ->
       """SELECT o_orderstatus,
         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ';') AS priorities

@@ -166,6 +166,53 @@ object Relational {
         sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
   }
 
+  /** Pivot: order counts per status × priority, priorities as columns.
+    * Values are enumerated explicitly, so the plan is ONE pass of
+    * conditional aggregates — no driver-side distinct-value collect
+    * (the two-arg pivot would run one) and no second job at 100 TB. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L, prios)
+      .withColumnsRenamed(prios.map(p => p -> s"p${p.charAt(0)}").toMap)
+  }
+
+  /** Exact interpolated quantiles of the integer key columns. The
+    * probe points are exact binary fractions (k/8), so (n-1)*q, the
+    * interpolation weight, and the blend of two < 2^31 integers are
+    * all exact in double — Spark's percentile() and DuckDB's
+    * quantile_cont() agree bit-for-bit. At 100 TB the library swaps in
+    * approx_percentile (t-digest) — the gate locks the exact path. */
+  def qQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = array(Seq(0.125, 0.25, 0.5, 0.75, 0.875).map(lit): _*)
+    val li = Tables.lineitem(spark, sfDir)
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      li.agg(percentile(col(c), qs).as("q"))
+        .select(lit(c).as("column_name"),
+          col("q")(0).as("p125"), col("q")(1).as("p25"), col("q")(2).as("p50"),
+          col("q")(3).as("p75"), col("q")(4).as("p875"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Set operations: nations with a high-balance customer vs a
+    * high-balance supplier — INTERSECT (both) and EXCEPT
+    * (customer-side only), each a distinct-semantics hash set op,
+    * flagged in one output. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").cast("long").as("nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 9000)
+      .select(col("s_nationkey").cast("long").as("nationkey"))
+    val both = cust.intersect(supp).withColumn("in_both", lit(true))
+    val custOnly = cust.except(supp).withColumn("in_both", lit(false))
+    both.unionByName(custOnly)
+  }
+
   /** Semi/anti join: customers with an open order but no high-priority
     * order. Both sides are existence checks — no row multiplication. */
   def qExists(spark: SparkSession, sfDir: String): DataFrame = {

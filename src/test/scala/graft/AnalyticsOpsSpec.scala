@@ -174,6 +174,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pivot cells partition the orders table") {
+    val rows = graft.queries.Relational.qPivot(spark, sf).collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total == graft.sources.Tables.orders(spark, sf).count())
+    // one spot cell against a direct filter
+    val urgentO = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT").count()
+    val rowO = rows.find(_.getString(0) == "O").get
+    assert(rowO.getLong(1) == urgentO)
+  }
+
+  test("q_quantiles matches a sorted-array interpolation model") {
+    val got = graft.queries.Relational.qQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey")) {
+      val v = li.select(c).collect().map(_.getLong(0)).sorted
+      val expect = Seq(0.125, 0.25, 0.5, 0.75, 0.875).map { q =>
+        val pos = (v.length - 1) * q
+        val lo = pos.toInt
+        val g = pos - lo
+        if (lo + 1 < v.length) v(lo) * (1 - g) + v(lo + 1) * g else v(lo).toDouble
+      }
+      assert(got(c) == expect, s"quantiles of $c")
+    }
+  }
+
+  test("q_setops equals scala set arithmetic") {
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 9000).select("c_nationkey")
+      .collect().map(_.getInt(0).toLong).toSet
+    val supp = graft.sources.Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") > 9000).select("s_nationkey")
+      .collect().map(_.getInt(0).toLong).toSet
+    val got = graft.queries.Relational.qSetOps(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expect = (cust & supp).map(_ -> true).toMap ++ (cust -- supp).map(_ -> false).toMap
+    assert(got == expect)
+  }
+
   test("zorder write path: repartitionByRange on z keeps per-file extents tight") {
     import org.apache.spark.sql.functions.spark_partition_id
     val li = graft.sources.Tables.lineitem(spark, sf)
