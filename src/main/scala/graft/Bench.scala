@@ -27,6 +27,10 @@ object Bench {
     // min of two passes: the steady-state cost, insulated from the
     // multi-second swings a busy host injects into single shots
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // each measurement starts cache-clean: operators persist() their
+      // reused subtrees, and 60+ accumulated caches otherwise build
+      // memory pressure that spills the later queries' shuffles
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       // toRdd forces every output column to materialize — a plain
       // count() would let Catalyst prune the very expressions under test
