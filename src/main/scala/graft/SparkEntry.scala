@@ -54,6 +54,14 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     "q_quantiles" -> (Relational.qQuantiles _),
     "q_setops" -> (Relational.qSetOps _),
+    "q_cube" -> (Relational.qCube _),
+    "q_corr" -> (Stats.qCorr _),
+    "scd2_dim" -> (Scd.scd2Dim _),
+    "merge_upsert" -> (Scd.mergeUpsert _),
+    "bloom_prune" -> (BloomPrune.bloomPrune _),
+    "sample_group" -> (Sampling.sampleGroup _),
+    "bm25_rank" -> (Search.bm25Rank _),
+    "graph_triangles" -> (Graph.graphTriangles _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -113,7 +121,9 @@ object SparkEntry {
     "events_asof" -> (AsOfJoin.eventsAsof _),
     "events_range" -> (RangeJoin.eventsRange _),
     "events_funnel" -> (Events.eventsFunnel _),
-    "events_retention" -> (Events.eventsRetention _)
+    "events_retention" -> (Events.eventsRetention _),
+    "events_anomaly" -> (Events.eventsAnomaly _),
+    "events_gapfill" -> (Events.eventsGapfill _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -1042,6 +1052,146 @@ object SparkEntry {
         |SELECT z >> 26 AS bucket, count(*) AS n_rows,
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(round(l_quantity * 100) AS HUGEINT)) AS sx,
+        |  sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+        |  sum(CAST(round(l_quantity * 100) AS HUGEINT) * CAST(round(l_quantity * 100) AS HUGEINT)) AS sxx,
+        |  sum(CAST(round(l_extendedprice * 100) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+        |  sum(CAST(round(l_quantity * 100) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(sy AS DOUBLE) / 100.0 AS sum_price,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0, 6) AS covar_qty_price,
+        |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+        |    * sqrt(CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6) AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "scd2_dim" ->
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |  lag(o_orderstatus) OVER w AS prev_status FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (SELECT * FROM c WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+        |v AS (SELECT o_custkey AS custkey,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  o_orderstatus AS status, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to
+        |  FROM ch WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT custkey, version, status, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY custkey, version""".stripMargin,
+    "merge_upsert" ->
+      """WITH target AS (SELECT c_custkey AS key, c_name AS name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, c_mktsegment AS segment
+        |  FROM customer),
+        |upd AS (SELECT o_custkey AS key,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS delta,
+        |    max(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) = 0 AND o_custkey % 7 = 0 AS del
+        |  FROM orders GROUP BY o_custkey),
+        |ins AS (SELECT DISTINCT o_custkey + 1000000 AS key,
+        |    CAST(0 AS DECIMAL(18,2)) AS delta, false AS del
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |m AS (SELECT coalesce(t.key, s.key) AS key, t.name, t.acctbal, t.segment,
+        |    s.delta, s.del,
+        |    CASE WHEN t.name IS NULL THEN 'insert' WHEN s.del THEN 'delete'
+        |      WHEN s.delta IS NOT NULL THEN 'update' ELSE 'keep' END AS action
+        |  FROM target t FULL OUTER JOIN src s ON t.key = s.key)
+        |SELECT key, coalesce(name, 'Prospect#' || key) AS name,
+        |  CAST(CAST(coalesce(acctbal, CAST(0 AS DECIMAL(18,2)))
+        |    + coalesce(delta, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+        |  coalesce(segment, 'PROSPECT') AS segment, action
+        |FROM m WHERE action <> 'delete' ORDER BY key""".stripMargin,
+    "bloom_prune" ->
+      """SELECT p_type, count(*) AS n_items,
+        |  CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#1'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "sample_group" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  md5_number_lower('rsv-' || doc_id) % 2305843009213693951 AS draw FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM t)
+         |SELECT doc_id, lang, draw FROM r WHERE rk <= ${graft.operators.Sampling.ReservoirK}
+         |ORDER BY lang, doc_id""".stripMargin,
+    "bm25_rank" -> {
+      import graft.operators.Search
+      val terms = Search.bm25Queries.flatMap(_._2).distinct
+      val dfSel = terms.map(t =>
+        s"sum(CASE WHEN list_contains(toks, '${sq(t)}') THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+      // constants round-trip through Scala double toString, so DuckDB
+      // parses the bit-identical value Spark computes with
+      def score(qterms: Seq[String]): String = qterms.map { t =>
+        s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))" +
+          s" * (CAST(len(list_filter(toks, x -> x = '${sq(t)}')) AS DOUBLE) * ${Search.K1 + 1.0})" +
+          s" / (CAST(len(list_filter(toks, x -> x = '${sq(t)}')) AS DOUBLE) + ${Search.K1}" +
+          s" * (${1.0 - Search.B} + ${Search.B} * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+      }.mkString(" + ")
+      val branches = Search.bm25Queries.map { case (qid, qterms) =>
+        s"SELECT '${sq(qid)}' AS query_id, doc_id, round(${score(qterms)}, 6) AS score FROM dd CROSS JOIN st"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |dd AS (SELECT doc_id, toks, CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM dd),
+         |scored AS ($branches),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM scored WHERE score > 0)
+         |SELECT query_id, doc_id, score FROM r WHERE rk <= ${Search.TopN}
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |verts AS (SELECT x AS partkey FROM t
+        |  UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+        |SELECT partkey, count(*) AS n_triangles FROM verts
+        |GROUP BY partkey ORDER BY partkey""".stripMargin,
+    "events_anomaly" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS sc, CAST(sum(cnt * cnt) AS BIGINT) AS scc
+        |  FROM hourly GROUP BY 1),
+        |st2 AS (SELECT *, n_hours * scc - sc * sc AS var_num FROM st
+        |  WHERE n_hours * scc - sc * sc > 0),
+        |j AS (SELECT h.event_type, h.hr, h.cnt,
+        |    CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_cnt,
+        |    round((CAST(cnt AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |      / (sqrt(CAST(var_num AS DOUBLE)) / CAST(n_hours AS DOUBLE)), 6) AS z
+        |  FROM hourly h JOIN st2 USING (event_type))
+        |SELECT event_type, epoch_us(hr) AS hr, cnt, round(mean_cnt, 6) AS mean_cnt, z
+        |FROM j WHERE abs(z) > 2 ORDER BY event_type, hr""".stripMargin,
+    "events_gapfill" ->
+      """WITH ev AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS hr_value
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hr) AS hr_min, max(hr) AS hr_max FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(hr_min, hr_max, INTERVAL 1 HOUR)) AS hr
+        |  FROM span),
+        |f AS (SELECT g.user_id, g.hr, coalesce(h.n_events, 0) AS n_events,
+        |    CAST(last_value(h.hr_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+        |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, epoch_us(hr) AS hr, n_events, filled_value
+        |FROM f ORDER BY user_id, hr""".stripMargin
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed graph analytics over a derived co-occurrence graph.
+  * (dup_clusters already covers connected components via HashMin label
+  * propagation; this adds the other classic: triangle counting.)
+  *
+  * Graph: parts are vertices; an edge connects two parts bought in the
+  * same order (high-quantity lines only, so edge count stays ~linear
+  * in orders — per-order pair fan-out is C(items,2) with small items).
+  *
+  * Triangle counting uses DEGREE ORIENTATION, the standard distributed
+  * trick: orient every edge from its (degree, id)-smaller endpoint to
+  * the larger, enumerate wedges only at each edge's source, and close
+  * them against the canonical edge set. Out-degrees are bounded by
+  * O(√m), so the wedge intermediate is O(m^1.5) worst-case instead of
+  * Σdeg² — a hub vertex (the skew killer in the naive join) generates
+  * NO wedges because all its edges point inward. Three shuffles total:
+  * edge distinct, degree agg, wedge-close join. */
+object Graph {
+
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .distinct()
+    // canonical undirected edges, keyed (u < v) by part id
+    val edges = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = smaller endpoint in that total order
+    val withDeg = edges
+      .join(deg.select(col("p").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("src"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("dst"))
+    // wedges at each source, dst pair in canonical (pk) order
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val triangles = wedges.join(edges,
+      col("y") === col("u") && col("z") === col("v"))
+    triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("partkey"))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

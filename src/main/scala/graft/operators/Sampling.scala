@@ -87,6 +87,27 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("sample_weight"))
   }
 
+  /** Reservoir size for sampleGroup. */
+  val ReservoirK = 25
+
+  /** Per-group deterministic "reservoir" sample: exactly K docs per
+    * language, chosen by md5 draw order — the inspect-a-fixed-sample-
+    * per-stratum step of corpus QA. A uniform random K-subset (the
+    * draw is uniform and independent of content), yet fully
+    * reproducible and oracle-checkable row for row.
+    *
+    * Scale shape: rank-by-draw runs through the bounded-heap
+    * TopKPerGroup operator, NOT a row_number window — each map task
+    * keeps K rows per language, so the shuffle carries K×|langs| rows
+    * regardless of corpus size (a window would shuffle and sort the
+    * whole corpus to take 25 rows per group). */
+  def sampleGroup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        Similarity.md5Mod(concat(lit("rsv-"), col("doc_id"))).as("draw"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("lang"), Seq("draw" -> true, "doc_id" -> true), ReservoirK))
+
   /** Token budget per packed training sequence. */
   val SeqBudget: Long = 512L
 

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Warehouse maintenance operators: slowly-changing-dimension history
+  * build and MERGE-style upsert application — the write-side half of a
+  * dimension pipeline (the reference's wd2tei stage is exactly this
+  * shape: join a change feed onto a target and rewrite it,
+  * /root/reference/script/wd2tei.py:34).
+  */
+object Scd {
+
+  /** SCD type-2 history from an ordered change feed: each customer's
+    * order-status stream collapses to its change points; every change
+    * point becomes a dimension version with [valid_from, valid_to)
+    * and an is_current flag.
+    *
+    * Shape: one shuffle on the natural key; BOTH windows (change
+    * detection via lag, close-out via lead) share that partitioning, so
+    * Catalyst plans a single exchange + sort. Per-key partitions are
+    * bounded by a customer's order count — no global sort, no driver
+    * state, works identically on a 100 TB feed. */
+  def scd2Dim(spark: SparkSession, sfDir: String): DataFrame = {
+    val byKey = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byKey))
+      // keep only change points: first row or a status flip
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+    val byKey2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("version", row_number().over(byKey2).cast("long"))
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("o_orderstatus").as("status"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
+  /** MERGE INTO semantics as one full-outer join pass: target =
+    * customer dim; source = a deterministic change feed (per-customer
+    * order rollup = updates, plus an insert stream of synthetic keys
+    * offset by 10^6 for every urgent order bucket).
+    *   WHEN MATCHED AND src.del  THEN DELETE
+    *   WHEN MATCHED               THEN UPDATE (acctbal += delta)
+    *   WHEN NOT MATCHED BY TARGET THEN INSERT
+    *   (unmatched target rows pass through unchanged)
+    * A real lakehouse MERGE is exactly this join + per-row action
+    * arbitration; file-level pruning (the other half) is what
+    * zorder_layout demonstrates. The join key is the dim key — one
+    * shuffle each side, AQE handles skew. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").cast("decimal(18,2)").as("acctbal"),
+        col("c_mktsegment").as("segment"))
+    val ord = Tables.orders(spark, sfDir)
+    // updates: spend delta per existing customer; deletes: customers
+    // whose every order is finished ('F') AND key mod 7 = 0
+    val upd = ord.groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderstatus") === "O",
+            col("o_totalprice").cast("decimal(18,2)")).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("delta"),
+        max(when(col("o_orderstatus") =!= "F", lit(1)).otherwise(lit(0))).as("any_open"))
+      .select(col("o_custkey").as("key"), col("delta"),
+        (col("any_open") === 0 && col("o_custkey") % 7 === 0).as("del"))
+    // inserts: one synthetic prospect per urgent-priority order bucket
+    val ins = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select((col("o_custkey") + 1000000L).as("key")).distinct()
+      .withColumn("delta", lit(0).cast("decimal(18,2)"))
+      .withColumn("del", lit(false))
+    val source = upd.unionByName(ins)
+    target.join(source, Seq("key"), "full_outer")
+      .withColumn("action",
+        when(col("name").isNull, lit("insert"))
+          .when(col("del"), lit("delete"))
+          .when(col("delta").isNotNull, lit("update"))
+          .otherwise(lit("keep")))
+      .filter(col("action") =!= "delete")
+      .select(col("key"),
+        coalesce(col("name"), concat(lit("Prospect#"), col("key"))).as("name"),
+        (coalesce(col("acctbal"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("delta"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").cast("double").as("acctbal"),
+        coalesce(col("segment"), lit("PROSPECT")).as("segment"),
+        col("action"))
+  }
+}

@@ -91,6 +91,63 @@ object Events {
           .when(col("t_view").isNotNull, 1L).otherwise(0L))
   }
 
+  /** Time-series resample + gap-fill: each user's event stream becomes
+    * a dense hourly grid from their first to last active hour; silent
+    * hours get n_events = 0 and carry the last observed hourly total
+    * forward (LOCF — the resample step before any rolling-feature
+    * computation).
+    *
+    * Scale shape: the grid is generated DISTRIBUTED via
+    * sequence()+explode from each user's [min,max] hour — no driver
+    * range, no cross join against a global calendar. Partition width =
+    * one user's active span in hours (bounded by data retention), so
+    * the forward-fill window never sees an unbounded partition. The
+    * hourly pre-aggregate and both windows share the user_id shuffle. */
+  def eventsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("hr_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("hr_min"), max(col("hr")).as("hr_max"))
+      .select(col("user_id"),
+        explode(sequence(col("hr_min"), col("hr_max"), expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("hr_value"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("user_id"), col("hr"), col("n_events"), col("filled_value"))
+  }
+
+  /** Hourly volume anomalies per event type: hours whose count sits
+    * more than 2 population-σ from that type's mean hourly count.
+    * Moments (n, Σc, Σc²) aggregate as exact integers, so mean/σ are
+    * single fixed-order double expressions both engines compute
+    * identically; z rounds to 6 decimals. Two tiny shuffles — the
+    * (type, hour) count and the per-type moment rollup (broadcast back
+    * onto the hourly table, which is |hours|×|types|, not |events|). */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("sc"),
+        sum(col("cnt") * col("cnt")).as("scc"))
+      // population variance in exact integer parts: n·Σc² − (Σc)²
+      .withColumn("var_num", col("n_hours") * col("scc") - col("sc") * col("sc"))
+      .filter(col("var_num") > 0)
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean_cnt", col("sc").cast("double") / col("n_hours").cast("double"))
+      .withColumn("z", round(
+        (col("cnt").cast("double") - col("mean_cnt")) /
+          (sqrt(col("var_num").cast("double")) / col("n_hours").cast("double")), 6))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_type"), col("hr"), col("cnt"),
+        round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
+  }
+
   /** Cohort retention: users grouped by the week of their first signup
     * (weeks counted from the corpus epoch 2024-01-01), counted distinct
     * in each later week-offset where they emitted any event. Two

