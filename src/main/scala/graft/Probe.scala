@@ -45,6 +45,25 @@ object Probe {
         .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     }
 
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/orders.parquet"))) {
+      // orders/customer shift together so the custkey join keys stay
+      // consistent; part stays a single copy (lineitem keeps original
+      // partkeys — a fixed dim under a 10× fact, the realistic shape)
+      val ord = graft.sources.Tables.orders(spark, sf)
+      (0 until shards).map(i => ord
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/orders.parquet")
+      val cust = graft.sources.Tables.customer(spark, sf)
+      (0 until shards).map(i => cust
+          .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/customer.parquet")
+      graft.sources.Tables.part(spark, sf)
+        .write.mode("overwrite").parquet(s"$big/part.parquet")
+    }
+
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -54,11 +73,17 @@ object Probe {
       time(name)(SparkEntry.queries(name)(spark, big).queryExecution.toRdd.count())
 
     graft.sources.Tables.documents(spark, big).count() // warm fs cache
-    Seq("sample_stratified", "domain_mix", "seq_pack", "repetition_score",
+    val targets = if (args.nonEmpty) args.toSeq else Seq(
+      "sample_stratified", "domain_mix", "seq_pack", "repetition_score",
       "bigram_lm_score", "doc_keywords", "cluster_assign", "dup_clusters",
       "decontaminate", "bpe_pairs", "col_profile", "zorder_layout",
-      "events_funnel", "events_retention")
-      .foreach(run)
+      "events_funnel", "events_retention",
+      // round-4 wave: warehouse / time-series / retrieval / graph
+      "scd2_dim", "merge_upsert", "q_corr", "q_cube", "bloom_prune",
+      "graph_triangles", "events_gapfill", "events_anomaly",
+      "events_attribution", "vocab_coverage", "class_balance",
+      "sample_group", "bm25_rank")
+    targets.foreach(run)
     spark.stop()
   }
 }

@@ -123,7 +123,10 @@ object SparkEntry {
     "events_funnel" -> (Events.eventsFunnel _),
     "events_retention" -> (Events.eventsRetention _),
     "events_anomaly" -> (Events.eventsAnomaly _),
-    "events_gapfill" -> (Events.eventsGapfill _)
+    "events_gapfill" -> (Events.eventsGapfill _),
+    "events_attribution" -> (Events.eventsAttribution _),
+    "vocab_coverage" -> (Tokenize.vocabCoverage _),
+    "class_balance" -> (Profile.classBalance _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -1192,6 +1195,49 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
         |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
         |SELECT user_id, epoch_us(hr) AS hr, n_events, filled_value
-        |FROM f ORDER BY user_id, hr""".stripMargin
+        |FROM f ORDER BY user_id, hr""".stripMargin,
+    "events_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |clicks AS (SELECT user_id, us AS click_us, max(event_id) AS click_id
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS purchase_us
+        |  FROM ev WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_id, c.click_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.click_us DESC, c.click_id DESC) AS rk
+        |  FROM p JOIN clicks c ON c.user_id = p.user_id
+        |    AND c.click_us <= p.purchase_us
+        |    AND p.purchase_us - c.click_us <= 3600000000)
+        |SELECT purchase_id, user_id, purchase_us, click_id, click_us,
+        |  purchase_us - click_us AS gap_us
+        |FROM j WHERE rk = 1 ORDER BY purchase_id""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |t AS (SELECT term, count(*) AS cnt FROM w WHERE term <> '' GROUP BY term),
+         |tot AS (SELECT sum(cnt) AS total FROM t),
+         |r AS (SELECT term, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank FROM t),
+         |top AS (SELECT * FROM r WHERE rank <= ${graft.operators.Tokenize.VocabSize})
+         |SELECT term, cnt, rank,
+         |  CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_coverage
+         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "class_balance" -> {
+      val langs = graft.operators.Profile.balanceLangs
+      val nCols = langs.map(l =>
+        s"CAST(sum(CASE WHEN lang = '${sq(l)}' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l").mkString(", ")
+      val otherExpr = "n_docs - (" + langs.map(l => s"n_$l").mkString(" + ") + ")"
+      val classes = langs.map(l => s"n_$l") :+ "n_other"
+      def p(c: String) = s"CAST($c AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+      val entropy = classes.map(c =>
+        s"CASE WHEN $c > 0 THEN -${p(c)} * ln(${p(c)}) ELSE 0.0 END").mkString(" + ")
+      val gini = "1.0 - (" + classes.map(c => s"${p(c)} * ${p(c)}").mkString(" + ") + ")"
+      s"""WITH base AS (SELECT source, count(*) AS n_docs, $nCols
+         |  FROM documents GROUP BY source),
+         |b2 AS (SELECT *, $otherExpr AS n_other FROM base)
+         |SELECT source, n_docs, ${classes.mkString(", ")},
+         |  round($entropy, 6) AS entropy, round($gini, 6) AS gini
+         |FROM b2 ORDER BY source""".stripMargin
+    }
   )
 }

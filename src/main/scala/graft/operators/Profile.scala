@@ -45,6 +45,38 @@ object Profile {
     * Expand — the form a 100 TB profile job actually runs. Not gate-
     * checked (approx by construction); parity with the exact form is
     * asserted in ProfileSpec within HLL tolerance. */
+  /** The enumerated language classes (the strata the corpus declares);
+    * anything else folds into an explicit "other" bucket. */
+  val balanceLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** Class-balance profile per source: language counts, Shannon
+    * entropy and Gini impurity of each source's language mix — the
+    * check a mixture pipeline runs before/after re-weighting.
+    *
+    * One shuffle: language counts pivot into fixed conditional-agg
+    * columns (no second pass, no distinct-collect), and entropy/gini
+    * evaluate as FIXED-ORDER sums over the enumerated classes — a
+    * float aggregation over a dynamic lang set would be
+    * merge-order-dependent and unhashable cross-engine. */
+  def classBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val aggs = balanceLangs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+    val base = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .withColumn("n_other",
+        col("n_docs") - balanceLangs.map(l => col(s"n_$l")).reduce(_ + _))
+    val classes = balanceLangs.map(l => col(s"n_$l")) :+ col("n_other")
+    def p(c: org.apache.spark.sql.Column) = c.cast("double") / col("n_docs").cast("double")
+    val entropy = classes.map(c =>
+      when(c > 0, -p(c) * log(p(c))).otherwise(lit(0.0))).reduce(_ + _)
+    val gini = lit(1.0) - classes.map(c => p(c) * p(c)).reduce(_ + _)
+    base.select(
+      (Seq(col("source"), col("n_docs")) ++
+        balanceLangs.map(l => col(s"n_$l")) :+ col("n_other") :+
+        round(entropy, 6).as("entropy") :+ round(gini, 6).as("gini")): _*)
+  }
+
   def approxProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val aggs: Seq[Column] = profiled.flatMap(c => Seq(

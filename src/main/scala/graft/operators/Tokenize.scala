@@ -22,6 +22,40 @@ object Tokenize {
     * pair asc tiebreak — fully deterministic). The top-k is a
     * TakeOrdered over the pair aggregate: bounded driver result, no
     * global sort. */
+  /** Vocabulary cap for vocabCoverage. */
+  final val VocabSize = 1000
+
+  /** Tokenizer vocabulary truncation: the top-V terms by corpus
+    * frequency with each term's rank and the cumulative fraction of
+    * all tokens covered — the curve that picks a vocab size / measures
+    * the OOV rate.
+    *
+    * Vocabulary-first: the corpus collapses to per-term counts in one
+    * map-side-combined shuffle; the GLOBAL top-V then runs through the
+    * bounded-heap TopK operator with no grouping (its AllTuples path) —
+    * every map task forwards at most V rows, so no global sort of the
+    * vocabulary ever happens. The rank/cumsum window orders V rows in
+    * one bounded partition, and the total-token count joins as a
+    * broadcast scalar. Coverage = exact-long cumsum / exact-long total:
+    * one IEEE divide, bit-stable. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    counts
+      .transform(graft.plans.TopK.perGroup(Seq(), Seq("cnt" -> false, "term" -> true), VocabSize))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cnt"), col("rank"),
+        (col("cum").cast("double") / col("total").cast("double")).as("cum_coverage"))
+  }
+
   def bpePairs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("word"))

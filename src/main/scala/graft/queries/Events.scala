@@ -148,6 +148,41 @@ object Events {
         round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
   }
 
+  /** Last-touch attribution: each purchase attributes to the user's
+    * most recent click at most 1 hour before it (clicks first deduped
+    * to one id per (user, ts)). The streaming twin is the stream-stream
+    * interval join EventStreams parity-tests; this batch form is the
+    * gate oracle.
+    *
+    * Scale shape: candidates form through a BUCKETIZED equi-join — a
+    * purchase probes its own and the previous hour bucket, so the join
+    * never degenerates into a per-user cross product (the RangeJoin
+    * pattern). The latest-click argmax then runs through the
+    * bounded-heap TopK operator with k=1: map-side heaps reduce each
+    * purchase's candidates before the shuffle. */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val widthUs = 3600L * 1000000
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), unix_micros(col("ts")).as("click_us"), col("click_id"))
+      .withColumn("bucket", expr(s"click_us div $widthUs"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"purchase_us div $widthUs"), expr(s"purchase_us div $widthUs - 1"))))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("click_us") <= col("purchase_us") &&
+        col("purchase_us") - col("click_us") <= widthUs)
+      .transform(graft.plans.TopK.perGroup(
+        Seq("purchase_id"), Seq("click_us" -> false, "click_id" -> false), 1))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id"), col("click_us"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+  }
+
   /** Cohort retention: users grouped by the week of their first signup
     * (weeks counted from the corpus epoch 2024-01-01), counted distinct
     * in each later week-offset where they emitted any event. Two

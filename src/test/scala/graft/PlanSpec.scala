@@ -135,11 +135,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sample_group and bm25_rank reduce via the bounded-heap TopK operator") {
-    for (q <- Seq("sample_group", "bm25_rank")) {
+    for (q <- Seq("sample_group", "bm25_rank", "events_attribution")) {
       val p = plan(q)
       assert(p.contains("TopKPerGroup"), s"$q must plan TopKPerGroupExec")
       assert(!p.contains("row_number"), s"$q must not fall back to a window")
     }
+    // vocab_coverage caps via global TopK FIRST; its rank window then
+    // orders only the V surviving rows (bounded partition by design)
+    val p = plan("vocab_coverage")
+    assert(p.contains("TopKPerGroup"), "global top-V must use the bounded heap")
   }
 
   test("bloom_prune filters the fact scan before the join") {

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{BloomPrune, Graph, Sampling, Scd, Search}
+import graft.operators.{BloomPrune, Graph, Profile, Sampling, Scd, Search, Tokenize}
 import graft.queries.{Events, Relational, Stats}
 
 /** Semantic checks for the round-4 third wave: warehouse maintenance
@@ -186,6 +186,69 @@ class WarehouseOpsSpec extends AnyFunSuite {
         assert(minScore > 0)
         assert(ranked.size == rows.length, "no duplicate docs in a ranking")
       }
+    }
+  }
+
+  test("events_attribution picks the latest click within the hour, per purchase") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // independent model: clicks deduped per (user, ts) to max id
+    val clicks = ev.filter(_._3 == "click")
+      .groupBy(e => (e._2, e._4)).map { case ((u, t), es) => (u, t, es.map(_._1).max) }
+      .toSeq.groupBy(_._1)
+    val expected = ev.filter(_._3 == "purchase").flatMap { case (pid, u, _, pus) =>
+      clicks.getOrElse(u, Nil)
+        .filter(c => c._2 <= pus && pus - c._2 <= 3600L * 1000000)
+        .sortBy(c => (-c._2, -c._3)).headOption
+        .map(c => pid -> ((u, pus, c._3, c._2, pus - c._2)))
+    }.toMap
+    val got = Events.eventsAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("vocab_coverage ranks by frequency with monotone coverage") {
+    val rows = Tokenize.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._3)
+    assert(rows.nonEmpty && rows.length <= Tokenize.VocabSize)
+    assert(rows.map(_._3) == (1L to rows.length).toSeq)
+    // counts non-increasing along rank; coverage strictly increasing, <= 1
+    rows.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 >= b._2, "counts must be rank-ordered")
+        assert(a._4 < b._4 && b._4 <= 1.0 + 1e-12)
+      case _ =>
+    }
+    // spot-check the top term against a direct count
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .groupBy(col("t")).count().orderBy(col("count").desc, col("t")).first()
+    assert(rows.head._1 == direct.getString(0) && rows.head._2 == direct.getLong(1))
+  }
+
+  test("class_balance entropy/gini match an independent model") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+    val got = Profile.classBalance(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (src, rows) =>
+      val n = rows.length.toDouble
+      val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      val ps = (Profile.balanceLangs.map(l => byLang.getOrElse(l, 0)) :+
+        (rows.length - Profile.balanceLangs.map(l => byLang.getOrElse(l, 0)).sum))
+        .filter(_ > 0).map(_ / n)
+      val entropy = ps.map(p => -p * math.log(p)).sum
+      val gini = 1.0 - ps.map(p => p * p).sum
+      val r = got(src)
+      assert(r.getLong(1) == rows.length)
+      assert(math.abs(r.getDouble(8) - entropy) < 1e-5, s"entropy $src")
+      assert(math.abs(r.getDouble(9) - gini) < 1e-5, s"gini $src")
     }
   }
 
