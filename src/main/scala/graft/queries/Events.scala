@@ -42,7 +42,10 @@ object Events {
     * (EventStreams.deduplicated) is the same dropDuplicates bounded by
     * a watermark. */
   def eventsDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // project BEFORE the dedup shuffle: only the key and the two
+    // aggregated columns travel (ts/user_id/props stay in the scan)
     val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
     val redelivered = ev.unionByName(ev.filter(pmod(col("event_id"), lit(10)) === 0))
     redelivered.dropDuplicates("event_id")
       .groupBy(col("event_type"))
