@@ -115,6 +115,59 @@ object EventStreams {
         col("purchase_ts"), col("signup_ts"))
   }
 
+  /** Streaming volume-anomaly scoring — the twin of
+    * Events.eventsAnomaly in its PRODUCTION shape: per-type hourly
+    * baselines (mean / variance moments) come from a static table the
+    * batch pipeline maintains over history, and the stream scores each
+    * closing hourly window against that baseline as the watermark
+    * passes it. State is O(open windows × types); the baseline join is
+    * a broadcast per micro-batch, so a refreshed baseline table is
+    * picked up without restart. */
+  def anomalyScored(events: DataFrame, stats: DataFrame,
+      lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean_cnt", col("sc").cast("double") / col("n_hours").cast("double"))
+      .withColumn("z", round(
+        (col("cnt").cast("double") - col("mean_cnt")) /
+          (sqrt(col("var_num").cast("double")) / col("n_hours").cast("double")), 6))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_type"), col("w.start").as("hr"), col("cnt"),
+        round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
+
+  /** Streaming last-touch attribution — the twin of
+    * Events.eventsAttribution: a stream-stream time-interval join
+    * (clicks within the hour before each purchase) chained into a
+    * windowed per-purchase argmax. Both stateful operators run in one
+    * append-mode query — the interval condition plus watermarks bound
+    * the join state, and the downstream max() finalizes a purchase's
+    * attribution when the watermark passes its window. The argmax is
+    * a lexicographic max over (click_us, click_id) packed into one
+    * struct, the commutative form a streaming partial-merge needs. */
+  def lastTouch(events: DataFrame, window_ : String = "1 hour",
+      horizon: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window_"))
+      .groupBy(window(col("purchase_ts"), "1 hour"),
+        col("purchase_id"), col("user_id"))
+      .agg(max(struct(unix_micros(col("click_ts")).as("click_us"),
+        col("click_id"))).as("best"))
+      .select(col("purchase_id"), col("user_id"),
+        col("best.click_id").as("click_id"), col("best.click_us").as("click_us"))
+  }
+
   /** Stream-static enrichment: every micro-batch joins the unbounded
     * stream against a static dimension (broadcast — re-resolved per
     * batch, so a dimension refresh is picked up without restart). The

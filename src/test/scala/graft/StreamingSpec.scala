@@ -111,6 +111,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming anomaly scoring against a batch baseline equals batch anomalies") {
+    // the baseline table the batch pipeline would maintain: per-type
+    // moments over the full history (the same ones eventsAnomaly uses)
+    val stats = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("sc"),
+        sum(col("cnt") * col("cnt")).as("scc"))
+      .withColumn("var_num", col("n_hours") * col("scc") - col("sc") * col("sc"))
+      .filter(col("var_num") > 0)
+    val streamed = runToSetAppendRaw(
+      EventStreams.anomalyScored(EventStreams.readEvents(spark, streamDir), stats),
+      "anomaly_stream")
+    val batch = Events.eventsAnomaly(spark, sf)
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming last-touch attribution (join + argmax) equals batch") {
+    val streamed = runToSetAppendRaw(
+      EventStreams.lastTouch(EventStreams.readEvents(spark, streamDir)),
+      "lasttouch_stream")
+    val batch = Events.eventsAttribution(spark, sf)
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("click_us"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join (attribution) equals the batch join") {
     val streamed = runToSetAppendRaw(
       EventStreams.attributed(EventStreams.readEvents(spark, streamDir)), "attr_stream")
