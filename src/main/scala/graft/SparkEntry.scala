@@ -126,7 +126,9 @@ object SparkEntry {
     "events_gapfill" -> (Events.eventsGapfill _),
     "events_attribution" -> (Events.eventsAttribution _),
     "vocab_coverage" -> (Tokenize.vocabCoverage _),
-    "class_balance" -> (Profile.classBalance _)
+    "class_balance" -> (Profile.classBalance _),
+    "assoc_rules" -> (Basket.assocRules _),
+    "pareto_front" -> (Skyline.paretoFront _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -1238,6 +1240,29 @@ object SparkEntry {
          |SELECT source, n_docs, ${classes.mkString(", ")},
          |  round($entropy, 6) AS entropy, round($gini, 6) AS gini
          |FROM b2 ORDER BY source""".stripMargin
-    }
+    },
+    "assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pc AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= ${graft.operators.Basket.MinSupport}),
+         |ic AS (SELECT pk, count(*) AS n_item FROM items GROUP BY pk),
+         |oc AS (SELECT count(DISTINCT ok) AS n_orders FROM items)
+         |SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+         |  CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+         |  CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_ab,
+         |  CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_ba,
+         |  CAST(n_ab * n_orders AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+         |FROM pc JOIN ic ia ON ia.pk = part_a JOIN ic ib ON ib.pk = part_b
+         |CROSS JOIN oc ORDER BY part_a, part_b""".stripMargin,
+    "pareto_front" ->
+      """WITH pp AS (SELECT p_retailprice AS price, max(p_size) AS msize
+        |  FROM part GROUP BY 1),
+        |r AS (SELECT price, msize, max(msize) OVER (ORDER BY price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM pp),
+        |f AS (SELECT price, msize FROM r WHERE prevmax IS NULL OR msize > prevmax)
+        |SELECT p_partkey, p_retailprice AS price, p_size AS size
+        |FROM part JOIN f ON p_retailprice = f.price AND p_size = f.msize
+        |ORDER BY p_partkey""".stripMargin
   )
 }

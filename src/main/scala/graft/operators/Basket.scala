@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Market-basket association rules over the order→part bipartite
+  * relation: pairwise co-occurrence support, directional confidence,
+  * and lift — the first (and at corpus scale, usually only) iteration
+  * of frequent-itemset mining.
+  *
+  * Scale shape: pair generation is a per-order self-join, so fan-out
+  * is C(items-per-order, 2) — bounded by basket size, never by
+  * catalog size. Three aggregates (pair counts, item counts, order
+  * count) each map-side combine; the two small ones broadcast back
+  * onto the pair table. Every metric is exact-long arithmetic ending
+  * in ONE IEEE divide (support = c_ab/n, conf = c_ab/c_a,
+  * lift = (c_ab·n)/(c_a·c_b)), so no rounding is needed for the
+  * cross-engine compare. */
+object Basket {
+
+  /** Minimum pair count for an emitted rule. */
+  final val MinSupport = 2L
+
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairCounts = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinSupport)
+    val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val orderCount = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairCounts
+      .join(broadcast(itemCounts.select(col("pk").as("part_a"), col("n_item").as("n_a"))), Seq("part_a"))
+      .join(broadcast(itemCounts.select(col("pk").as("part_b"), col("n_item").as("n_b"))), Seq("part_b"))
+      .crossJoin(broadcast(orderCount))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_ab"),
+        (col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_ba"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+}

@@ -252,6 +252,46 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("assoc_rules metrics reconstruct from exact counts") {
+    val rows = graft.operators.Basket.assocRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab >= graft.operators.Basket.MinSupport && nab <= math.min(na, nb))
+      assert(r.getDouble(6) == nab.toDouble / na)
+      assert(r.getDouble(7) == nab.toDouble / nb)
+      assert(r.getDouble(8) > 0)
+    }
+    // a known pair count from a direct recount
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    items.values.foreach { o =>
+      val pks = o.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) pairCount((pks(i), pks(j))) += 1
+    }
+    val expected = pairCount.filter(_._2 >= graft.operators.Basket.MinSupport).toMap
+    val got = rows.map(r =>
+      (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) -> r.getAs[Long]("n_ab")).toMap
+    assert(got == expected, s"sizes got=${got.size} exp=${expected.size}")
+  }
+
+  test("pareto_front equals the quadratic dominance filter") {
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, p, s) =>
+      !parts.exists { case (_, q, t) =>
+        q <= p && t >= s && (q < p || t > s)
+      }
+    }.map(_._1).toSet
+    val got = graft.operators.Skyline.paretoFront(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("graph_triangles matches a brute-force count on sf0.001") {
     val items = graft.sources.Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
