@@ -1104,7 +1104,7 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS delta,
         |    max(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) = 0 AND o_custkey % 7 = 0 AS del
         |  FROM orders GROUP BY o_custkey),
-        |ins AS (SELECT DISTINCT o_custkey + 1000000 AS key,
+        |ins AS (SELECT DISTINCT o_custkey + 1000000000000 AS key,
         |    CAST(0 AS DECIMAL(18,2)) AS delta, false AS del
         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
         |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
@@ -1233,7 +1233,10 @@ object SparkEntry {
       def p(c: String) = s"CAST($c AS DOUBLE) / CAST(n_docs AS DOUBLE)"
       val entropy = classes.map(c =>
         s"CASE WHEN $c > 0 THEN -${p(c)} * ln(${p(c)}) ELSE 0.0 END").mkString(" + ")
-      val gini = "1.0 - (" + classes.map(c => s"${p(c)} * ${p(c)}").mkString(" + ") + ")"
+      // parenthesized: bare `c/n * c/n` would left-associate to
+      // ((c/n)*c)/n — a DIFFERENT ieee order than Spark's (c/n)*(c/n),
+      // divergent in the last ulp (empirically 19/120 terms at sf0.001)
+      val gini = "1.0 - (" + classes.map(c => s"(${p(c)}) * (${p(c)})").mkString(" + ") + ")"
       s"""WITH base AS (SELECT source, count(*) AS n_docs, $nCols
          |  FROM documents GROUP BY source),
          |b2 AS (SELECT *, $otherExpr AS n_other FROM base)

@@ -30,9 +30,9 @@ object BloomPrune {
   final val ExpectedKeys = 1000000L
   final val Fpp = 0.05
 
-  /** Brand revenue by part type, fact side pre-pruned: only ~1/5 of
-    * parts are Brand#1, so ~80% of lineitem dies at the scan filter
-    * instead of shuffling into the join. */
+  /** Brand revenue by part type, fact side pre-pruned: only ~1/25 of
+    * parts are Brand#1 (25 distinct brands), so ~96% of lineitem dies
+    * at the scan filter instead of shuffling into the join. */
   def bloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = Tables.part(spark, sfDir)
       .filter(col("p_brand") === "Brand#1")
@@ -49,8 +49,7 @@ object BloomPrune {
       .join(dim, col("l_partkey") === col("p_partkey")) // exact: FPs drop here
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n_items"),
-        ((sum((round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))).cast("decimal(18,0)"))
-          / lit(10000L)).cast("decimal(18,4)")).cast("double").as("revenue"))
+        graft.functions.Money.sumFixed(graft.functions.Money.discPriceE4, 10000L, 4)
+          .cast("double").as("revenue"))
   }
 }

@@ -31,12 +31,10 @@ object Scd {
       .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byKey))
       // keep only change points: first row or a status flip
       .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
-    val byKey2 = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
     changes
-      .withColumn("version", row_number().over(byKey2).cast("long"))
+      .withColumn("version", row_number().over(byKey).cast("long"))
       .withColumn("valid_from", col("o_orderdate"))
-      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey2))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byKey))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col("o_custkey").as("custkey"), col("version"),
         col("o_orderstatus").as("status"), col("valid_from"), col("valid_to"),
@@ -46,7 +44,8 @@ object Scd {
   /** MERGE INTO semantics as one full-outer join pass: target =
     * customer dim; source = a deterministic change feed (per-customer
     * order rollup = updates, plus an insert stream of synthetic keys
-    * offset by 10^6 for every urgent order bucket).
+    * offset by 10^12 — far past any real custkey (150k x SF would need
+    * SF ~ 10^7 to collide) so inserts can never alias an update key).
     *   WHEN MATCHED AND src.del  THEN DELETE
     *   WHEN MATCHED               THEN UPDATE (acctbal += delta)
     *   WHEN NOT MATCHED BY TARGET THEN INSERT
@@ -72,7 +71,7 @@ object Scd {
         (col("any_open") === 0 && col("o_custkey") % 7 === 0).as("del"))
     // inserts: one synthetic prospect per urgent-priority order bucket
     val ins = ord.filter(col("o_orderpriority") === "1-URGENT")
-      .select((col("o_custkey") + 1000000L).as("key")).distinct()
+      .select((col("o_custkey") + 1000000000000L).as("key")).distinct()
       .withColumn("delta", lit(0).cast("decimal(18,2)"))
       .withColumn("del", lit(false))
     val source = upd.unionByName(ins)

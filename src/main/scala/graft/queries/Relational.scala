@@ -32,28 +32,14 @@ object Relational {
 
   import org.apache.spark.sql.Column
 
-  /** Exact-decimal money helpers. The oracle semantics are "snap each
-    * double to DECIMAL(18,2), multiply exactly, sum exactly" — but a
-    * per-row decimal×decimal multiply leaves Spark's long-backed fast
-    * path (intermediate precision > 18) and allocates BigDecimals, ~4×
-    * the whole query's cost. Equivalent fixed-point form: money as long
-    * hundredths, products as long e4/e6 (exact integers, same values),
-    * one long-backed decimal wrap for the overflow-safe sum, one scale
-    * shift after aggregation. */
-  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  /** value*100 as long (exact: inputs carry ≤2 decimals). */
-  private def e2(c: Column): Column = round(c * 100).cast("long")
-  /** l_extendedprice*(1-l_discount) in e4 fixed point, exact. */
-  private def discPriceE4: Column =
-    e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))
-  /** discPrice*(1+l_tax) in e6 fixed point, exact. */
-  private def chargeE6: Column =
-    discPriceE4 * (lit(100L) + e2(col("l_tax")))
-  /** Overflow-safe exact sum of a fixed-point long, rescaled: the
-    * per-row decimal(18,0) wrap stays on the compact-long fast path,
-    * the division is exact (integer / power of ten at target scale). */
+  // exact-decimal money helpers — shared via functions.Money (the
+  // fixed-point rationale and exactness bounds are documented there)
+  private def dec2(c: Column): Column = graft.functions.Money.dec2(c)
+  private def e2(c: Column): Column = graft.functions.Money.e2(c)
+  private def discPriceE4: Column = graft.functions.Money.discPriceE4
+  private def chargeE6: Column = graft.functions.Money.chargeE6
   private def sumFixed(c: Column, div: Long, scale: Int): Column =
-    (sum(c.cast("decimal(18,0)")) / lit(div)).cast(s"decimal(18,$scale)")
+    graft.functions.Money.sumFixed(c, div, scale)
 
 
   /** TPC-H Q1-style pricing summary. Single scan, partial aggregation

@@ -149,10 +149,13 @@ class PlanSpec extends AnyFunSuite {
   test("bloom_prune filters the fact scan before the join") {
     val p = plan("bloom_prune")
     assert(p.contains("might_contain"), "bloom membership filter must be in the plan")
-    // the bloom filter sits in a Filter above the lineitem scan, below the join
+    // formatted explain prints top-down: the join node must appear
+    // BEFORE (above) the bloom Filter that guards the fact scan — a
+    // might_contain evaluated above the join would prune nothing
     val filterPos = p.indexOf("might_contain")
     val joinPos = p.indexOf("HashJoin")
-    assert(filterPos >= 0 && joinPos >= 0)
+    assert(filterPos >= 0 && joinPos >= 0 && joinPos < filterPos,
+      "bloom filter must sit below the join, on the scan side")
   }
 
   test("q_cube expands grouping sets in a single aggregation pass") {

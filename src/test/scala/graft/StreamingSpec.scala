@@ -125,21 +125,40 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = runToSetAppendRaw(
       EventStreams.anomalyScored(EventStreams.readEvents(spark, streamDir), stats),
       "anomaly_stream")
-    val batch = Events.eventsAnomaly(spark, sf)
+    val batchDf = Events.eventsAnomaly(spark, sf)
+    val batchAll = batchDf.collect().map(_.mkString("|")).toSet
+    // append mode never emits windows still inside the final watermark
+    // horizon (max ts - 2h), so parity is two-sided containment: the
+    // stream emits only batch rows, and every batch row safely past
+    // the horizon (window end <= max ts - 3h, 1h slack) was emitted
+    val maxTs = graft.sources.Tables.events(spark, sf).agg(max(col("ts"))).first().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3L * 3600 * 1000)
+    val batchOld = batchDf.filter(col("hr") + expr("interval 1 hour") <= lit(cutoff))
       .collect().map(_.mkString("|")).toSet
-    assert(streamed == batch)
-    assert(batch.nonEmpty)
+    assert(streamed.subsetOf(batchAll), "stream must emit only batch anomalies")
+    assert(batchOld.subsetOf(streamed), "every safely-old batch anomaly must be emitted")
+    assert(batchOld.nonEmpty)
   }
 
   test("streaming last-touch attribution (join + argmax) equals batch") {
     val streamed = runToSetAppendRaw(
       EventStreams.lastTouch(EventStreams.readEvents(spark, streamDir)),
       "lasttouch_stream")
-    val batch = Events.eventsAttribution(spark, sf)
-      .select(col("purchase_id"), col("user_id"), col("click_id"), col("click_us"))
-      .collect().map(_.mkString("|")).toSet
-    assert(streamed == batch)
-    assert(batch.nonEmpty)
+    val batchDf = Events.eventsAttribution(spark, sf)
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("click_us"),
+        col("purchase_us"))
+    val render = (r: org.apache.spark.sql.Row) =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)).mkString("|")
+    val batchAll = batchDf.collect().map(render).toSet
+    // the chained join→agg propagates watermarks conservatively; only
+    // purchases well past the final horizon are guaranteed finalized
+    val maxUs = graft.sources.Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val batchOld = batchDf.filter(col("purchase_us") <= maxUs - 5L * 3600 * 1000000)
+      .collect().map(render).toSet
+    assert(streamed.subsetOf(batchAll), "stream must emit only batch attributions")
+    assert(batchOld.subsetOf(streamed), "every safely-old attribution must be emitted")
+    assert(batchOld.nonEmpty)
   }
 
   test("stream-stream interval join (attribution) equals the batch join") {

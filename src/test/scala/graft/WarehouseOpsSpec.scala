@@ -71,7 +71,7 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val inserts = out.filter(_._2._4 == "insert")
     assert(inserts.nonEmpty)
     inserts.foreach { case (k, (name, bal, seg, _)) =>
-      assert(k >= 1000000L && seg == "PROSPECT" && bal == 0.0 && name == s"Prospect#$k")
+      assert(k >= 1000000000000L && seg == "PROSPECT" && bal == 0.0 && name == s"Prospect#$k")
     }
     // spot-check an update: acctbal = base + open-order spend, exact at 2dp
     val base = graft.sources.Tables.customer(spark, sf)
@@ -103,8 +103,12 @@ class WarehouseOpsSpec extends AnyFunSuite {
       val mean = hs.map(_._3).sum / n
       val varPop = hs.map(h => (h._3 - mean) * (h._3 - mean)).sum / n
       val sd = math.sqrt(varPop)
+      // round to 6 decimals BEFORE the threshold, exactly as the
+      // operator does — a raw-z compare would disagree for any hour
+      // with |z| in (2, 2.0000005)
+      def r6(z: Double) = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       if (sd == 0) Seq.empty[(String, java.sql.Timestamp)]
-      else hs.toSeq.filter(h => math.abs((h._3 - mean) / sd) > 2.0 + 1e-9).map(h => (t, h._2))
+      else hs.toSeq.filter(h => math.abs(r6((h._3 - mean) / sd)) > 2.0).map(h => (t, h._2))
     }.toSet
     val got = Events.eventsAnomaly(spark, sf).collect()
       .map(r => (r.getString(0), r.getTimestamp(1))).toSet
@@ -141,9 +145,8 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val plain = li.join(dim, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n"),
-        ((sum((round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))).cast("decimal(18,0)"))
-          / lit(10000L)).cast("decimal(18,4)")).cast("double").as("rev"))
+        graft.functions.Money.sumFixed(graft.functions.Money.discPriceE4, 10000L, 4)
+          .cast("double").as("rev"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got == plain)
   }
