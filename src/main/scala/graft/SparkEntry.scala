@@ -128,7 +128,8 @@ object SparkEntry {
     "vocab_coverage" -> (Tokenize.vocabCoverage _),
     "class_balance" -> (Profile.classBalance _),
     "assoc_rules" -> (Basket.assocRules _),
-    "pareto_front" -> (Skyline.paretoFront _)
+    "pareto_front" -> (Skyline.paretoFront _),
+    "dq_checks" -> (Quality.dqChecks _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -1266,6 +1267,27 @@ object SparkEntry {
         |f AS (SELECT price, msize FROM r WHERE prevmax IS NULL OR msize > prevmax)
         |SELECT p_partkey, p_retailprice AS price, p_size AS size
         |FROM part JOIN f ON p_retailprice = f.price AND p_size = f.msize
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "dq_checks" ->
+      """WITH l AS (SELECT
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_null,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_nonpos,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_range,
+        |    count(*) AS n FROM lineitem)
+        |SELECT 'lineitem_quantity_null' AS check_name, q_null AS violations, n AS rows_checked FROM l
+        |UNION ALL SELECT 'lineitem_price_nonpositive', p_nonpos, n FROM l
+        |UNION ALL SELECT 'lineitem_discount_range', d_range, n FROM l
+        |UNION ALL SELECT 'customer_key_unique',
+        |  count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+        |UNION ALL SELECT 'events_props_unparsable',
+        |  CAST(sum(CASE WHEN props IS NOT NULL AND NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*) FROM events
+        |UNION ALL SELECT 'orders_custkey_fk',
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL SELECT 'lineitem_orderkey_fk',
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY 1""".stripMargin
   )
 }

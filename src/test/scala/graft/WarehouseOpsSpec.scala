@@ -295,6 +295,22 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dq_checks reports every rule with exact counts") {
+    val got = graft.operators.Quality.dqChecks(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("lineitem_quantity_null", "lineitem_price_nonpositive",
+      "lineitem_discount_range", "customer_key_unique", "events_props_unparsable",
+      "orders_custkey_fk", "lineitem_orderkey_fk"))
+    got.values.foreach { case (v, n) => assert(v >= 0 && n > 0 && v <= n) }
+    // independent recount of the FK rule
+    val custKeys = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val orphans = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+      .count(k => !custKeys.contains(k))
+    assert(got("orders_custkey_fk")._1 == orphans)
+  }
+
   test("graph_triangles matches a brute-force count on sf0.001") {
     val items = graft.sources.Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
