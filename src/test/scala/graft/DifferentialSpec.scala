@@ -122,4 +122,56 @@ class DifferentialSpec extends AnyFunSuite {
       assert(out == model(in), s"occupationExtract('$in')")
     }
   }
+
+  test("eventsAttribution equals brute force over random event streams") {
+    for (seed <- Seq(1, 7)) {
+      val r = new scala.util.Random(seed)
+      val types = Seq("click", "purchase", "view")
+      // dense per-user traffic with many exact-hour-boundary gaps
+      val rows = (0 until 3000).map { i =>
+        val us = 1700000000000000L + r.nextInt(200) * 1800000000L // 30-min grid, ~4 days
+        (i.toLong, us, r.nextInt(25).toLong, types(r.nextInt(3)), 1.0, """{"k":1}""")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_attr$seed").toString
+      rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+      val got = graft.queries.Events.eventsAttribution(spark, dir).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+
+      val clicks = rows.filter(_._4 == "click")
+        .groupBy(x => (x._3, x._2)).map { case ((u, t), es) => (u, t, es.map(_._1).max) }
+        .groupBy(_._1)
+      val expected = rows.filter(_._4 == "purchase").flatMap { case (pid, pus, u, _, _, _) =>
+        clicks.getOrElse(u, Nil)
+          .filter(c => c._2 <= pus && pus - c._2 <= 3600000000L)
+          .toSeq.sortBy(c => (-c._2, -c._3)).headOption.map(c => pid -> ((c._3, c._2)))
+      }.toMap
+      assert(got == expected, s"seed $seed")
+      assert(expected.nonEmpty, s"seed $seed generated no attributable purchases")
+    }
+  }
+
+  test("paretoFront equals the quadratic dominance filter over random parts") {
+    for (seed <- Seq(3, 11)) {
+      val r = new scala.util.Random(seed)
+      // prices snapped to bucket edges often: exercises BucketWidth joints
+      val rows = (0 until 1500).map { i =>
+        val price = (r.nextInt(40) * 25).toDouble + (if (r.nextBoolean()) 0.0 else r.nextInt(100) / 10.0)
+        (i.toLong, price, r.nextInt(60))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_sky$seed").toString
+      rows.toDF("p_partkey", "p_retailprice", "p_size")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+      val got = graft.operators.Skyline.paretoFront(spark, dir).collect()
+        .map(_.getLong(0)).toSet
+      val expected = rows.filter { case (_, p, s) =>
+        !rows.exists { case (_, q, t) => q <= p && t >= s && (q < p || t > s) }
+      }.map(_._1).toSet
+      assert(got == expected, s"seed $seed")
+      assert(expected.nonEmpty)
+    }
+  }
 }
