@@ -129,7 +129,8 @@ object SparkEntry {
     "class_balance" -> (Profile.classBalance _),
     "assoc_rules" -> (Basket.assocRules _),
     "pareto_front" -> (Skyline.paretoFront _),
-    "dq_checks" -> (Quality.dqChecks _)
+    "dq_checks" -> (Quality.dqChecks _),
+    "pipeline_tokens" -> (Sampling.pipelineTokens _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -168,6 +169,36 @@ object SparkEntry {
     * names, same explicit ordering). Table-driven oracles (abbrev,
     * classify, occupation) are GENERATED from the same Scala tables the
     * Spark operators use, so the two sides cannot drift. */
+  /** Composed pretraining filter oracle — shared verbatim by
+    * corpus_filter and as the keep-set inside pipeline_tokens. */
+  private val corpusFilterSql: String =
+    """WITH qt AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |qm AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nw,
+        |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(toks) AS sr
+        |  FROM qt),
+        |q AS (SELECT doc_id,
+        |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS quality_score
+        |  FROM qm),
+        |marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
+        |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
+        |  ('filter','es'),('join','es'),('vector','zh'),('spark','zh')),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT doc_id, cand_lang, count(*) AS votes FROM w JOIN marks USING (word) GROUP BY 1, 2),
+        |tl AS (SELECT doc_id, cand_lang, votes,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rk FROM v),
+        |l AS (SELECT d.doc_id, coalesce(t.cand_lang, 'und') AS pred_lang,
+        |  coalesce(t.votes, 0) AS votes
+        |  FROM documents d LEFT JOIN tl t ON d.doc_id = t.doc_id AND t.rk = 1),
+        |dd AS (SELECT doc_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |  FROM documents)
+        |SELECT q.doc_id, l.pred_lang, q.quality_score
+        |FROM q JOIN l ON q.doc_id = l.doc_id JOIN dd ON q.doc_id = dd.doc_id
+        |WHERE NOT dd.is_dup AND l.votes >= 1 AND q.quality_score >= 0.5
+        |ORDER BY q.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -760,33 +791,7 @@ object SparkEntry {
         |  FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id)
         |SELECT doc_id, CAST(n AS BIGINT) AS byte_len, mean_byte, entropy, n_frames, frame_hashes
         |FROM f ORDER BY doc_id""".stripMargin,
-    "corpus_filter" ->
-      """WITH qt AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |qm AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nw,
-        |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
-        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
-        |    / len(toks) AS sr
-        |  FROM qt),
-        |q AS (SELECT doc_id,
-        |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS quality_score
-        |  FROM qm),
-        |marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
-        |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
-        |  ('filter','es'),('join','es'),('vector','zh'),('spark','zh')),
-        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        |v AS (SELECT doc_id, cand_lang, count(*) AS votes FROM w JOIN marks USING (word) GROUP BY 1, 2),
-        |tl AS (SELECT doc_id, cand_lang, votes,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rk FROM v),
-        |l AS (SELECT d.doc_id, coalesce(t.cand_lang, 'und') AS pred_lang,
-        |  coalesce(t.votes, 0) AS votes
-        |  FROM documents d LEFT JOIN tl t ON d.doc_id = t.doc_id AND t.rk = 1),
-        |dd AS (SELECT doc_id,
-        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-        |  FROM documents)
-        |SELECT q.doc_id, l.pred_lang, q.quality_score
-        |FROM q JOIN l ON q.doc_id = l.doc_id JOIN dd ON q.doc_id = dd.doc_id
-        |WHERE NOT dd.is_dup AND l.votes >= 1 AND q.quality_score >= 0.5
-        |ORDER BY q.doc_id""".stripMargin,
+    "corpus_filter" -> corpusFilterSql,
     "repetition_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
@@ -1288,6 +1293,22 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem_orderkey_fk',
         |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
         |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "pipeline_tokens" -> {
+      val rCase = "CASE lang " + Sampling.strataRates
+        .map { case (l, r) => s"WHEN '${sq(l)}' THEN $r" }.mkString(" ") + " END"
+      s"""WITH cf AS (SELECT doc_id FROM ($corpusFilterSql)),
+         |st AS (SELECT doc_id, lang, CAST(10 AS DOUBLE) / CAST(r AS DOUBLE) AS weight
+         |  FROM (SELECT doc_id, lang, $rCase AS r FROM documents)
+         |  WHERE md5_number_lower('strat-' || doc_id) % 2305843009213693951
+         |    < (2305843009213693951 // 10) * r),
+         |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT st.lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) * max(weight) AS est_tokens
+         |FROM cf JOIN st USING (doc_id) JOIN t USING (doc_id)
+         |GROUP BY st.lang ORDER BY st.lang""".stripMargin
+    }
   )
 }

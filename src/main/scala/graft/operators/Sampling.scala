@@ -108,6 +108,30 @@ object Sampling {
       .transform(graft.plans.TopK.perGroup(
         Seq("lang"), Seq("draw" -> true, "doc_id" -> true), ReservoirK))
 
+  /** Composed preprocessing pipeline report: corpus filter (lang
+    * confidence ∧ quality ∧ not-dup) → stratified hash-sample → per-
+    * stratum doc/token counts with the Horvitz-Thompson estimate of
+    * the full filtered corpus' token count. The point is FUSION: all
+    * three stages compose into ONE Catalyst plan — the filter and the
+    * sampling decision are row-local predicates that run inside the
+    * same stage as the token count, nothing materializes between
+    * steps, and only the final per-stratum aggregate (and the lang-ID
+    * vote/dedup shuffles corpus_filter itself needs) exchange data.
+    * est_tokens = Σtokens × weight is exact-long × exact-rational:
+    * one multiply, bit-stable. */
+  def pipelineTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = TextMetrics.corpusFilter(spark, sfDir).select(col("doc_id"))
+    val sampled = sampleStratified(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    kept.join(sampled, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("weight")).as("weight"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") * col("weight")).as("est_tokens"))
+  }
+
   /** Token budget per packed training sequence. */
   val SeqBudget: Long = 512L
 

@@ -311,6 +311,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got("orders_custkey_fk")._1 == orphans)
   }
 
+  test("pipeline_tokens composes filter ∩ sample with HT weights") {
+    val rows = Sampling.pipelineTokens(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    val kept = graft.operators.TextMetrics.corpusFilter(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.sampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byLang = sampled.filter(s => kept(s._1)).groupBy(_._2)
+    assert(rows.keySet == byLang.keySet)
+    byLang.foreach { case (l, docs) =>
+      val (nDocs, sumTok, est) = rows(l)
+      assert(nDocs == docs.length, s"doc count $l")
+      // weights ≥ 2 (rates ≤ 5 of 10): the estimate upscales the sample
+      assert(est >= sumTok.toDouble, s"HT estimate must upscale $l")
+      assert(est == sumTok.toDouble * docs.head._3, s"est = sum × weight $l")
+    }
+  }
+
   test("graph_triangles matches a brute-force count on sf0.001") {
     val items = graft.sources.Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
