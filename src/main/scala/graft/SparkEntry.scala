@@ -900,7 +900,9 @@ object SparkEntry {
         |  FROM s0) WHERE rk = 1),
         |sums AS (SELECT cluster0 AS c_id, d, CAST(sum(qd) AS BIGINT) AS sq, count(*) AS cnt
         |  FROM a0 JOIN qv USING (vec_id) GROUP BY cluster0, d),
-        |c1 AS (SELECT c_id, d, (sq - (((sq % cnt) + cnt) % cnt)) // cnt AS qd FROM sums),
+        |c1 AS (SELECT c0.c_id, c0.d,
+        |  coalesce((sq - (((sq % cnt) + cnt) % cnt)) // cnt, c0.qd) AS qd
+        |  FROM c0 LEFT JOIN sums ON sums.c_id = c0.c_id AND sums.d = c0.d),
         |c1n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c1 GROUP BY c_id),
         |dots1 AS (SELECT qv.vec_id, c1.c_id, CAST(sum(qv.qd * c1.qd) AS BIGINT) AS dot
         |  FROM qv JOIN c1 USING (d) GROUP BY qv.vec_id, c1.c_id),

@@ -29,8 +29,7 @@ object Ann {
   /** Spread the corpus side before the scoring stage: the test file is
     * one row group, so cosine scoring would otherwise run single-task
     * (no-op at cluster scale). */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private def spread(df: DataFrame): DataFrame = Partitioning.spread(df)
 
   /** Reduce scored candidates to the k best per query and number them.
     * The custom TopKPerGroup operator keeps a bounded heap map-side, so

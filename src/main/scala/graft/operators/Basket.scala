@@ -12,8 +12,8 @@ import graft.sources.Tables
   * Scale shape: pair generation is a per-order self-join, so fan-out
   * is C(items-per-order, 2) — bounded by basket size, never by
   * catalog size. Three aggregates (pair counts, item counts, order
-  * count) each map-side combine; the two small ones broadcast back
-  * onto the pair table. Every metric is exact-long arithmetic ending
+  * count) each map-side combine; the scalar order count broadcasts and
+  * the catalog-sized item counts join under AQE's size decision. Every metric is exact-long arithmetic ending
   * in ONE IEEE divide (support = c_ab/n, conf = c_ab/c_a,
   * lift = (c_ab·n)/(c_a·c_b)), so no rounding is needed for the
   * cross-engine compare. */
@@ -34,9 +34,13 @@ object Basket {
     val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val orderCount = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
+    // itemCounts is catalog-sized (SF-proportional): no broadcast
+    // hint — AQE broadcasts while it fits and degrades to a shuffle
+    // join instead of an 8 GB-limit failure at larger scale. Only the
+    // 1-row order count is force-broadcast.
     pairCounts
-      .join(broadcast(itemCounts.select(col("pk").as("part_a"), col("n_item").as("n_a"))), Seq("part_a"))
-      .join(broadcast(itemCounts.select(col("pk").as("part_b"), col("n_item").as("n_b"))), Seq("part_b"))
+      .join(itemCounts.select(col("pk").as("part_a"), col("n_item").as("n_a")), Seq("part_a"))
+      .join(itemCounts.select(col("pk").as("part_b"), col("n_item").as("n_b")), Seq("part_b"))
       .crossJoin(broadcast(orderCount))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
         (col("n_ab").cast("double") / col("n_orders").cast("double")).as("support"),

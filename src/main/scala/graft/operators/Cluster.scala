@@ -73,7 +73,14 @@ object Cluster {
       .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
       // integer `div` (never `/`: double division) on the exact multiple
       .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
-    val cents1 = sums
+    // LEFT join from the seed dims: a cluster that attracted no vectors
+    // keeps its seed centroid instead of silently vanishing (k would
+    // shrink — the same guard Ann.kmeansCentroids applies)
+    val seedDims = cents0
+      .select(col("c_id"), posexplode(col("cq")).as(Seq("d", "seed_qd")))
+    val cents1 = seedDims
+      .join(sums.select(col("c_id"), col("d"), col("cd")), Seq("c_id", "d"), "left")
+      .withColumn("cd", coalesce(col("cd"), col("seed_qd")))
       .groupBy(col("c_id"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
         s => s.getField("cd")).as("cq"))

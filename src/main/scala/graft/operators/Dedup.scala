@@ -42,7 +42,7 @@ object Dedup {
     * are the compute-heavy stages — without the spread they run as a
     * single task (no-op at cluster scale where scans split naturally). */
   private[operators] def shingled(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    Partitioning.spread(df)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", array_distinct(expr(
@@ -103,7 +103,15 @@ object Dedup {
     * rows, pairs form inside a band bucket only, then verified by true
     * shingle Jaccard. Candidate recall at j=0.8 is 1-(1-0.64)^8 ≈ 0.9997
     * with no unblocked cross join anywhere. */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsWithCache(spark, sfDir)._1
+
+  /** Internal form that also returns the persisted signature table, so
+    * an eagerly-materializing caller (dupClusters' iterative loop) can
+    * unpersist it once its own checkpoint holds the pairs — otherwise
+    * the cache outlives the query in a long-running session. */
+  private[operators] def minhashPairsWithCache(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val bands = 8
     val rows = 2
     val docs = shingled(Tables.documents(spark, sfDir))
@@ -130,20 +138,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     // equi-joins on the id keys; AQE broadcasts when the side is small
-    cand
+    val pairs = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (pairs, docs)
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint, blocked on any equal
     * 16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), then
     * verified by exact hamming distance. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val docs = Partitioning.spread(Tables.documents(spark, sfDir))
       .withColumn("sim", Similarity.simhash64(split(col("text"), " ")))
       .select(col("doc_id"), col("sim"))
     val chunked = docs.select(col("doc_id"), col("sim"),
@@ -204,13 +212,18 @@ object Dedup {
     * convergence probe is a count() action (an aggregate, not a
     * driver-side data collection). */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val (mh, sigCache) = minhashPairsWithCache(spark, sfDir)
+    val pairs = mh.select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint()
+    // labels' checkpoint materialized edges (and edges is now cached):
+    // the minhash signature cache has served its three reuses — release
+    // it before the label-propagation rounds instead of leaking it
+    sigCache.unpersist()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {

@@ -29,7 +29,7 @@ object EntityMatch {
       // without this the whole scoring stage runs as ONE task; at
       // cluster scale the scan is already many partitions and this
       // round-robin is a cheap no-op relative to the scoring
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .transform(Partitioning.spread)
     val supp = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     // supplier is SF-proportional: no hint, AQE broadcasts when small
@@ -43,14 +43,16 @@ object EntityMatch {
     * (which degrades to SortAggregate with per-row struct allocation),
     * a long min runs in codegen'd HashAggregate with full map-side
     * combine: one row per (partition, customer) reaches the shuffle. */
+  private val KeyMask = (1L << 48) - 1
   private def packed: Column =
     (col("distance").cast("long") * lit(1L << 48)) + col("s_suppkey")
+  private def unpackKey(p: Column): Column = p.bitwiseAND(lit(KeyMask))
 
   private def bestPacked(spark: SparkSession, sfDir: String): DataFrame =
     scoredPairs(spark, sfDir)
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .agg(min(packed).as("p"))
-      .withColumn("match_id", col("p").bitwiseAND(lit((1L << 48) - 1)))
+      .withColumn("match_id", unpackKey(col("p")))
       .withColumn("distance", shiftright(col("p"), 48).cast("long"))
 
   /** Best match per customer (argmin distance, suppkey tiebreak). */
@@ -110,13 +112,13 @@ object EntityMatch {
       .withColumn("certitude", lit(2))
 
     val rest = cust.join(exact.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .transform(Partitioning.spread)
     val fuzzy = rest.join(supp, col("c_nationkey") === col("s_nationkey"))
       .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
       .groupBy(col("c_custkey"))
-      .agg(min((col("distance").cast("long") * lit(1L << 48)) + col("s_suppkey")).as("p"))
+      .agg(min(packed).as("p"))
       .select(col("c_custkey"),
-        col("p").bitwiseAND(lit((1L << 48) - 1)).as("match_id"),
+        unpackKey(col("p")).as("match_id"),
         lit("fuzzy").as("method"), lit(1).as("certitude"))
 
     val matched = exact.select(col("c_custkey"), col("match_id"), col("method"), col("certitude"))

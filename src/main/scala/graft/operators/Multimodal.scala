@@ -25,10 +25,12 @@ case class MediaMeta(doc_id: Long, byte_len: Long, sha256: String,
 object Multimodal {
 
   /** STUB decoder: a real deployment calls the native library here
-    * (one call per batch, inside the partition iterator). */
-  private def decodeStub(r: MediaRecord): MediaMeta = {
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(r.payload).map("%02x".format(_)).mkString
+    * (one call per batch, inside the partition iterator). The digest
+    * instance is created once per partition and reset per record —
+    * no per-row provider lookup on the batch hot path. */
+  private def decodeStub(digest: java.security.MessageDigest)(r: MediaRecord): MediaMeta = {
+    digest.reset()
+    val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
     val magic = r.payload.take(4).map("%02X".format(_)).mkString
     MediaMeta(r.doc_id, r.payload.length.toLong, sha, magic,
       width = (16 + r.payload.length % 64).toInt,
@@ -41,7 +43,10 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRecord]
     media
-      .mapPartitions(_.map(decodeStub)) // batch boundary = partition
+      .mapPartitions { it => // batch boundary = partition
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map(decodeStub(digest))
+      }
       .toDF()
   }
 

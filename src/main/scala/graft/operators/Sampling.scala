@@ -52,11 +52,11 @@ object Sampling {
     * N docs total and a target budget T = N/2, source s with weight
     * w_s gets t_s = w_s·T/Σw docs, i.e. keep-probability
     * p_s = w_s·T/(Σw·n_s), capped at 1. The md5 threshold
-    * floor(P·p_s) is computed in EXACT 64-bit integer arithmetic via
-    * floor(a·k/m) = (a div m)·k + ((a mod m)·k) div m — no 128-bit
-    * intermediates, no float rounding, so DuckDB lands on the same
-    * integer. Two tiny scalar aggs broadcast; the corpus pass itself
-    * is shuffle-free. */
+    * floor(P·p_s) is computed in EXACT decimal(38,0) integer
+    * arithmetic on the per-source aggregate (one row per source, so
+    * the wide path is free) — no float rounding anywhere, so DuckDB
+    * lands on the same integer. Two tiny scalar aggs broadcast; the
+    * corpus pass itself is shuffle-free. */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val sumW = mixWeights.map(_._2).sum.toLong
@@ -70,12 +70,14 @@ object Sampling {
       .withColumn("k", wCase * col("t_budget"))                  // w_s * T
       .withColumn("m", lit(sumW) * col("n_src"))                 // Σw * n_s
       // thr = floor(P * k / m), capped at P (k >= m means p_s >= 1:
-      // keep everything — and guarding FIRST keeps (P div m)*k inside
-      // 64 bits, since k < m implies the product < P). Integer `div`
-      // throughout: Spark's `/` on longs is DOUBLE division, which is
-      // lossy past 2^53 and would break the cross-engine threshold.
+      // keep everything). P·k needs up to ~100 bits for a billion-doc
+      // source, so the product runs in DECIMAL(38,0) — this touches
+      // one row PER SOURCE (the tiny aggregate), never the corpus, so
+      // the wide-decimal path costs nothing. Integer `div` (never `/`:
+      // double division is lossy past 2^53 and would break the
+      // cross-engine threshold).
       .withColumn("thr", when(col("k") >= col("m"), lit(CrossHash.P)).otherwise(
-        expr(s"(${CrossHash.P} div m) * k + (((${CrossHash.P} % m) * k) div m)")))
+        expr(s"CAST((CAST(${CrossHash.P} AS DECIMAL(38,0)) * k) div m AS BIGINT)")))
       // inverse-probability weight; exact-long ratio → one double divide
       .withColumn("sample_weight",
         greatest(lit(1.0), col("m").cast("double") / col("k").cast("double")))
@@ -173,7 +175,10 @@ object Sampling {
     val wD = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .join(broadcast(bucketOffsets), Seq("lang", "bucket"))
+      // bucketOffsets is ~N/256 rows — corpus-proportional, so no
+      // forced broadcast: AQE broadcasts while small, shuffle-joins
+      // (co-partitioned on the same keys) past the limit
+      .join(bucketOffsets, Seq("lang", "bucket"))
       // "offset" is a reserved word in SQL engines; tok_offset travels safely
       .withColumn("tok_offset",
         col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))

@@ -248,9 +248,17 @@ object EventStreams {
       val closed = Seq.newBuilder[ClosedSession]
       for (e <- sorted) {
         open match {
-          // late data from an unordered source can precede the stored
-          // session: a negative gap still merges, widening boundaries
-          // with min/max instead of walking lastUs backwards
+          // data arriving more than a gap BEFORE the open session can
+          // never belong to it (merging would manufacture a session
+          // with an internal gap > GapUs, breaking the invariant and
+          // batch parity); it closes immediately as its own session —
+          // the bounded price of single-open-session state
+          case Some(s) if e.ts_us < s.startUs - GapUs =>
+            closed += ClosedSession(userId, usToTs(e.ts_us), usToTs(e.ts_us),
+              1, plus(zero, e.value_c))
+          // late data within a gap of the stored session still merges,
+          // widening boundaries with min/max instead of walking lastUs
+          // backwards
           case Some(s) if e.ts_us - s.lastUs <= GapUs =>
             open = Some(OpenSession(math.min(s.startUs, e.ts_us),
               math.max(s.lastUs, e.ts_us), s.n + 1, plus(s.total, e.value_c)))
