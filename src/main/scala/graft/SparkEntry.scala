@@ -130,7 +130,8 @@ object SparkEntry {
     "assoc_rules" -> (Basket.assocRules _),
     "pareto_front" -> (Skyline.paretoFront _),
     "dq_checks" -> (Quality.dqChecks _),
-    "pipeline_tokens" -> (Sampling.pipelineTokens _)
+    "pipeline_tokens" -> (Sampling.pipelineTokens _),
+    "graph_pagerank" -> (Graph.graphPagerank _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -1311,6 +1312,29 @@ object SparkEntry {
          |  CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) * max(weight) AS est_tokens
          |FROM cf JOIN st USING (doc_id) JOIN t USING (doc_id)
          |GROUP BY st.lang ORDER BY st.lang""".stripMargin
+    },
+    "graph_pagerank" -> {
+      import graft.operators.Graph.{PrScale => S}
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT id, pr // deg AS c FROM p$prev),
+           |s$cur AS (SELECT e.v AS id, CAST(sum(c.c) AS BIGINT) AS s
+           |  FROM e JOIN c$cur c ON c.id = e.u GROUP BY e.v),
+           |p$cur AS (SELECT p.id, p.deg, p.n,
+           |  (3 * ($S // p.n)) // 20 + (17 * coalesce(s.s, 0)) // 20 AS pr
+           |  FROM p$prev p LEFT JOIN s$cur s ON s.id = p.id)""".stripMargin
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+         |  FROM lineitem WHERE l_quantity > 25),
+         |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+         |nodes AS (SELECT u AS id, count(*) AS deg FROM e GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |p0 AS (SELECT id, deg, n, $S // n AS pr FROM nodes CROSS JOIN nn),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT id AS partkey, deg, pr AS pr_scaled FROM p3
+         |ORDER BY partkey""".stripMargin
     }
   )
 }

@@ -22,16 +22,25 @@ import graft.sources.Tables
   * edge distinct, degree agg, wedge-close join. */
 object Graph {
 
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** PageRank fixed-point scale and damping (17/20 = 0.85 exactly). */
+  final val PrScale = 1000000000000L
+  final val PrIters = 3
+
+  /** Canonical undirected co-purchase edges (u < v by part id). */
+  private[operators] def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 25)
       .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
       .distinct()
-    // canonical undirected edges, keyed (u < v) by part id
-    val edges = items.as("a").join(items.as("b"),
+    items.as("a").join(items.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+  }
+
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // canonical undirected edges, keyed (u < v) by part id
+    val edges = coPurchaseEdges(spark, sfDir)
     val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = smaller endpoint in that total order
@@ -53,5 +62,40 @@ object Graph {
       .select(explode(array(col("x"), col("y"), col("z"))).as("partkey"))
       .groupBy(col("partkey"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** PageRank over the (undirected → both-direction) co-purchase
+    * graph, damping 0.85, three synchronous iterations — the canonical
+    * iterative-graph workload, in the same exact fixed-point
+    * discipline as cluster_assign: ranks are longs scaled by 10^12,
+    * every contribution is an integer floor-division, so all three
+    * rounds are bit-reproducible and the DuckDB oracle replays them
+    * with three unrolled CTEs.
+    *
+    * Scale shape per iteration: one join of the edge list against the
+    * rank table (shuffle on vertex id — the partitioning is reused
+    * across iterations) and one map-side-combined sum. No driver-side
+    * state: the loop is a static 3-deep plan unroll, and a library
+    * deployment iterates with checkpointing every few rounds. */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir)
+    // the edge list feeds every iteration of the static unroll: persist
+    // it once or the scan→self-join→distinct derivation replays 3×
+    val directed = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val nodes = directed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val nCount = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nCount))
+      .select(col("id"), col("deg"), col("n"), expr(s"${PrScale}L div n").as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
+      val inSum = directed.join(contrib, col("u") === col("src"))
+        .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
+      pr = pr.join(inSum, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"), col("n"),
+          (expr(s"(3 * (${PrScale}L div n)) div 20") +
+            expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+    }
+    pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
   }
 }

@@ -330,6 +330,35 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_pagerank matches an in-memory integer replay") {
+    val S = Graph.PrScale
+    val edges0 = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).values.flatMap { o =>
+        val pks = o.map(_._2).distinct.sorted
+        for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+      }.toSet
+    val directed = edges0.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    var pr = deg.map { case (id, _) => id -> (S / n) }
+    for (_ <- 1 to Graph.PrIters) {
+      val contrib = pr.map { case (id, p) => id -> p / deg(id) }
+      val inSum = directed.groupBy(_._2).view
+        .mapValues(_.map(e => contrib(e._1)).sum).toMap
+      pr = pr.map { case (id, _) =>
+        id -> ((3L * (S / n)) / 20L + (17L * inSum.getOrElse(id, 0L)) / 20L)
+      }
+    }
+    val got = Graph.graphPagerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == pr)
+    // mass sanity: total rank stays within rounding slack of SCALE
+    val total = got.values.sum
+    assert(math.abs(total - S) < S / 100, s"rank mass drifted: $total")
+  }
+
   test("graph_triangles matches a brute-force count on sf0.001") {
     val items = graft.sources.Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
