@@ -82,7 +82,8 @@ object Probe {
       "scd2_dim", "merge_upsert", "q_corr", "q_cube", "bloom_prune",
       "graph_triangles", "events_gapfill", "events_anomaly",
       "events_attribution", "vocab_coverage", "class_balance",
-      "sample_group", "bm25_rank")
+      "sample_group", "bm25_rank", "assoc_rules", "pareto_front",
+      "dq_checks", "pipeline_tokens", "graph_pagerank")
     targets.foreach(run)
     spark.stop()
   }
