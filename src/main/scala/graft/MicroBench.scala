@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic repeat-timer: alternates the named queries for N rounds
+  * at sf0.1 so plan-level regressions separate from host-load noise
+  * (min-of-two in Bench is not enough when the host swings by seconds).
+  * `sbt "runMain graft.MicroBench [rounds] [query...]"` — defaults to
+  * the entity_match/match_certitude twin pair from the r04 anomaly. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rounds = args.headOption.map(_.toInt).getOrElse(4)
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("entity_match", "match_certitude")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (i <- 1 to rounds) {
+      val line = names.map(n => f"$n=${t(n)}%.2f").mkString(" ")
+      println(s"round $i: $line")
+    }
+    spark.stop()
+  }
+}

@@ -65,18 +65,20 @@ object TextMetrics {
   }
 
   /** Unigram rarity scoring: word frequencies learned from the corpus
-    * itself (one agg), broadcast back, and every document scored by its
+    * itself (one agg), joined back, and every document scored by its
     * tokens' corpus frequencies — the cheap fluency proxy pretraining
     * filters use (integer-exact aggregates, so parallel summation is
     * bit-stable; a log-prob variant would be order-sensitive doubles).
-    * The self-derived-model shape: aggregate → broadcast join → score,
-    * no driver round-trip. */
+    * The frequency table grows with the corpus vocabulary, so the join
+    * strategy is left to AQE: broadcast while it fits, co-partitioned
+    * shuffle join past the threshold — a forced hint would OOM the
+    * driver at 100× corpus scale. */
   def unigramScore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     val freqs = words.groupBy(col("word")).agg(count(lit(1)).as("wc"))
-    words.join(broadcast(freqs), Seq("word"))
+    words.join(freqs, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("wc")).as("sum_wc"),
@@ -171,11 +173,13 @@ object TextMetrics {
   }
 
   /** Self-trained bigram LM scoring: corpus bigram/unigram counts
-    * (two aggs, broadcast back) score every document by its mean
+    * (two aggs, joined back) score every document by its mean
     * add-one-smoothed conditional log-probability — the n-gram
     * perplexity filter (CCNet-style) with the model derived from the
-    * corpus itself. Same agg → broadcast → score shape as
-    * unigramScore, one extra explode for the bigram stream.
+    * corpus itself. Same agg → join → score shape as unigramScore;
+    * the bigram table is tens-of-GB class at 100 TB corpus scale, so
+    * both model joins are unhinted (AQE picks broadcast vs shuffle);
+    * only the one-row vocab-size aggregate keeps a broadcast hint.
     * Float discipline: each log term is a single double divide of
     * exact longs; the per-doc sum folds in ascending sorted order on
     * both engines and rounds to 6 dp (the multimodal-entropy pattern),
@@ -195,8 +199,8 @@ object TextMetrics {
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
     val scored = bigrams
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
         log2((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
@@ -230,7 +234,7 @@ object TextMetrics {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)

@@ -158,6 +158,20 @@ class PlanSpec extends AnyFunSuite {
       "bloom filter must sit below the join, on the scan side")
   }
 
+  test("vocab-scale model joins carry no forced broadcast hint") {
+    // unigram/bigram/df model tables grow with the corpus vocabulary;
+    // a forced broadcast hint bypasses AQE's size check and OOMs the
+    // driver at 100×. Only one-row scalar aggregates (vocab size,
+    // n_docs) may keep a hint — so cap hinted joins at the scalar count.
+    def hinted(name: String): Int = {
+      val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+      "strategy=broadcast".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    }
+    assert(hinted("unigram_score") == 0, "unigram freq join must be unhinted")
+    assert(hinted("bigram_lm_score") <= 1, "only the one-row vocab agg may hint")
+    assert(hinted("doc_keywords") <= 1, "only the one-row n_docs agg may hint")
+  }
+
   test("q_cube expands grouping sets in a single aggregation pass") {
     val p = plan("q_cube")
     assert(p.contains("Expand"), "cube must plan one Expand, not a union of scans")
