@@ -78,6 +78,7 @@ object SparkEntry {
     "enrich_join" -> (EnrichJoin.enrichJoin _),
     "enrich_wide" -> (EnrichJoin.enrichWide _),
     "ref_inject" -> (RefInject.refInject _),
+    "ref_inject_all" -> (RefInject.refInjectAll _),
     "word_count" -> (WordCount.wordCount _),
     // C. training-data pipeline operators
     "dedup_exact" -> (Dedup.dedupExact _),
@@ -518,6 +519,23 @@ object SparkEntry {
         |  trim(substr(padded, 1, pos) || '<name ref="wd:' || wd || '">' || term || '</name>'
         |    || substr(padded, pos + length(term) + 1)) AS text_ref
         |FROM cand WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "ref_inject_all" -> {
+      // generated from RefInject.mappingAll so the two sides can't drift;
+      // the id-less term ('batch' -> "") is absent from both lists, which
+      // IS the reference's skip-empty-id branch (wd2tei.py:71-73)
+      val withId = operators.RefInject.mappingAll.filter(_._2.nonEmpty)
+      val whens = withId.map { case (t, wd) =>
+        s"""WHEN x = '$t' THEN '<name ref="wd:$wd">$t</name>'""" }.mkString(" ")
+      val inList = withId.map(t => s"'${t._1}'").mkString(", ")
+      val header = operators.WikidataPipeline.listPrefixDef
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains([$inList], x))) AS BIGINT) AS n_refs,
+         |  array_to_string(list_transform(toks, x -> CASE $whens ELSE x END), ' ') AS text_ref,
+         |  CASE WHEN len(list_filter(toks, x -> list_contains([$inList], x))) > 0
+         |    THEN '$header' ELSE '' END AS header
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "word_count" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t

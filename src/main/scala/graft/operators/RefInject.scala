@@ -45,4 +45,37 @@ object RefInject {
           lit("</name>"),
           expr("substring(padded, pos + length(term) + 1)"))).as("text_ref"))
   }
+
+  /** Mapping including an id-less term: the reference only sets `@ref`
+    * when the mapper id is non-empty (wd2tei.py:71-73 `mapper[...] !=
+    * ""`), so 'batch' must pass through every rewrite untouched. */
+  val mappingAll: Seq[(String, String)] = mapping :+ ("batch" -> "")
+
+  /** Full wd2tei parity on the flat documents table (wd2tei.py:34
+    * wd_2_tei): rewrite EVERY occurrence of EVERY mapped term — the
+    * reference loops all `tei:body//tei:name` elements, not just the
+    * first — and declare the `wd:` prefix in a header column when the
+    * document gained a ref (the XML path, WikidataPipeline.refInjectXml,
+    * splices the same block into the encodingDesc).
+    *
+    * Spark-first shape: token-level `transform` over the split text —
+    * one codegen'd pass per row, no join, no regex adjacency hazards,
+    * exact whole-token semantics. Rows rewrite independently, so the
+    * operator shards freely at any scale. */
+  def refInjectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val withId = mappingAll.filter(_._2.nonEmpty)
+    val terms = withId.map(_._1)
+    def markup(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      withId.foldRight(t) { case ((term, wd), acc) =>
+        when(t === term,
+          concat(lit("<name ref=\"wd:" + wd + "\">"), t, lit("</name>"))).otherwise(acc)
+      }
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => t.isInCollection(terms))).cast("long").as("n_refs"),
+        array_join(transform(col("toks"), markup(_)), " ").as("text_ref"))
+      .withColumn("header",
+        when(col("n_refs") > 0, lit(WikidataPipeline.listPrefixDef)).otherwise(lit("")))
+  }
 }

@@ -123,6 +123,22 @@ class ReferenceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ref_inject_all rewrites every occurrence and skips empty-id terms") {
+    val r = RefInject.refInjectAll(spark, sf).collect()
+    assert(r.exists(_.getAs[Long]("n_refs") > 1), "corpus must contain multi-ref docs")
+    r.foreach { row =>
+      val t = row.getAs[String]("text_ref")
+      val n = row.getAs[Long]("n_refs")
+      // every matched token got its markup — count of <name equals n_refs
+      assert("<name ".r.findAllIn(t).size == n, s"doc ${row.get(0)}: $n refs")
+      // the id-less mapping term passes through untouched (wd2tei.py:71-73)
+      assert(!t.contains(">batch</name>"), "empty-id term must not be rewritten")
+      // header declared exactly when the doc gained a ref
+      val h = row.getAs[String]("header")
+      assert(if (n > 0) h.contains("prefixDef ident=\"wd\"") else h.isEmpty)
+    }
+  }
+
   test("entity_cascade degrades certitude per fallback pass") {
     val c = EntityMatch.entityCascade(spark, sf)
     val byMethod = c.groupBy("method").count().collect()
