@@ -437,6 +437,9 @@ object SparkEntry {
     "enrich_wide" -> {
       def ns(s: String) = s"CAST(sum(CAST(o_orderstatus = '$s' AS BIGINT)) AS BIGINT)"
       def np(p: String) = s"CAST(sum(CAST(o_orderpriority = '$p' AS BIGINT)) AS BIGINT)"
+      def nq(q: Int) = s"CAST(sum(CAST(quarter(o_orderdate) = $q AS BIGINT)) AS BIGINT)"
+      def spendWhere(c: String) =
+        s"CAST(CAST(sum(CASE WHEN $c THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE)"
       s"""WITH labels AS (
          |  SELECT n_nationkey, n_name AS nation_label, r_name AS region_label
          |  FROM nation JOIN region ON n_regionkey = r_regionkey),
@@ -447,16 +450,31 @@ object SparkEntry {
          |    ${np("1-URGENT")} AS n_urgent, ${np("2-HIGH")} AS n_high,
          |    ${np("3-MEDIUM")} AS n_medium, ${np("4-NOT SPECIFIED")} AS n_notspec,
          |    ${np("5-LOW")} AS n_low,
+         |    ${nq(1)} AS n_q1, ${nq(2)} AS n_q2, ${nq(3)} AS n_q3, ${nq(4)} AS n_q4,
          |    min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+         |    CAST(min(year(o_orderdate)) AS BIGINT) AS first_year,
+         |    CAST(max(year(o_orderdate)) AS BIGINT) AS last_year,
          |    CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS active_years,
          |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend,
          |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_spend,
          |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_spend,
+         |    ${spendWhere("o_orderstatus = 'O'")} AS open_spend,
+         |    ${spendWhere("o_orderstatus = 'F'")} AS finished_spend,
+         |    ${spendWhere("o_orderpriority = '1-URGENT'")} AS urgent_spend,
+         |    CAST(sum(CAST(o_totalprice > 200000.0 AS BIGINT)) AS BIGINT) AS n_large,
          |    array_to_string(list_sort(list(DISTINCT o_orderstatus)), ';') AS statuses,
-         |    array_to_string(list_sort(list(DISTINCT o_orderpriority)), ';') AS priorities
+         |    array_to_string(list_sort(list(DISTINCT o_orderpriority)), ';') AS priorities,
+         |    array_to_string(list_sort(list(DISTINCT month(o_orderdate))), ';') AS active_months
          |  FROM orders GROUP BY o_custkey)
          |SELECT c_custkey, c_name, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal,
          |  nation_label, region_label,
+         |  'viaf' || CAST(c_custkey * 7 + 1 AS VARCHAR) AS viaf_id,
+         |  'cb' || CAST(c_custkey * 13 + 5 AS VARCHAR) AS bnf_id,
+         |  'isni' || lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') AS isni_id,
+         |  'n' || CAST(c_custkey * 3 + 11 AS VARCHAR) AS congress_id,
+         |  'idref' || CAST(c_custkey * 5 + 2 AS VARCHAR) AS idref_id,
+         |  'https://commons.example/portrait/' || CAST(c_custkey AS VARCHAR) || '.jpg' AS image_url,
+         |  'https://commons.example/signature/' || CAST(c_custkey AS VARCHAR) || '.svg' AS signature_url,
          |  coalesce(workcount, 0) AS workcount,
          |  coalesce(conflictcount, 0) AS conflictcount,
          |  coalesce(n_open, 0) AS n_open, coalesce(n_finished, 0) AS n_finished,
@@ -464,11 +482,17 @@ object SparkEntry {
          |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_high, 0) AS n_high,
          |  coalesce(n_medium, 0) AS n_medium, coalesce(n_notspec, 0) AS n_notspec,
          |  coalesce(n_low, 0) AS n_low,
-         |  first_order, last_order,
+         |  coalesce(n_q1, 0) AS n_q1, coalesce(n_q2, 0) AS n_q2,
+         |  coalesce(n_q3, 0) AS n_q3, coalesce(n_q4, 0) AS n_q4,
+         |  first_order, last_order, first_year, last_year,
+         |  CAST(date_diff('day', CAST(first_order AS DATE), CAST(last_order AS DATE)) AS BIGINT) AS span_days,
          |  coalesce(active_years, 0) AS active_years,
          |  coalesce(total_spend, 0.0) AS total_spend, max_spend, min_spend,
          |  CASE WHEN workcount > 0 THEN total_spend / workcount END AS avg_spend,
-         |  coalesce(statuses, '') AS statuses, coalesce(priorities, '') AS priorities
+         |  open_spend, finished_spend, urgent_spend,
+         |  coalesce(n_large, 0) AS n_large,
+         |  coalesce(statuses, '') AS statuses, coalesce(priorities, '') AS priorities,
+         |  coalesce(active_months, '') AS active_months
          |FROM customer
          |LEFT JOIN labels ON c_nationkey = n_nationkey
          |LEFT JOIN facts ON c_custkey = o_custkey
