@@ -98,4 +98,64 @@ object Graph {
     }
     pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
   }
+
+  /** The library path for open-ended PageRank: iterate to a delta
+    * threshold instead of a fixed unroll, with the dupClusters loop
+    * discipline (Dedup.scala:214) — localCheckpoint every
+    * `checkpointEvery` rounds truncates the growing lineage, and the
+    * convergence probe is a max-aggregate action on the checkpointed
+    * ranks (never a data collect). Probe and checkpoint share the same
+    * cadence, so each materialization is paid once and the lineage
+    * between them stays ≤ `checkpointEvery` joins deep.
+    *
+    * Ranks are scaled longs (10^12) like the gate row, so the delta is
+    * an exact integer max — convergence is deterministic, not subject
+    * to float merge order. Returns the rank table plus the number of
+    * rounds executed.
+    *
+    * At cluster scale: swap localCheckpoint for reliable checkpoint()
+    * to HDFS/S3 (same cadence) so a lost executor replays at most
+    * `checkpointEvery` rounds, mirroring the reference's resume-on-
+    * crash behavior (script/itemtoid.py:307). */
+  def graphPagerankConverged(
+      spark: SparkSession, sfDir: String,
+      tol: Long = PrScale / 1000000L,
+      maxRounds: Int = 60,
+      checkpointEvery: Int = 3): (DataFrame, Int) = {
+    val edges = coPurchaseEdges(spark, sfDir)
+    val directed = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val nodes = directed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val nCount = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nCount))
+      .select(col("id"), col("deg"), col("n"), expr(s"${PrScale}L div n").as("pr"))
+      .localCheckpoint()
+    var rounds = 0
+    var delta = Long.MaxValue
+    def step(p: DataFrame): DataFrame = {
+      val contrib = p.select(col("id").as("src"), expr("pr div deg").as("c"))
+      val inSum = directed.join(contrib, col("u") === col("src"))
+        .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
+      p.join(inSum, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"), col("n"),
+          (expr(s"(3 * (${PrScale}L div n)) div 20") +
+            expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+    }
+    while (delta > tol && rounds < maxRounds) {
+      val prev = pr
+      var stepped = 0
+      while (stepped < checkpointEvery && rounds + stepped < maxRounds) {
+        pr = step(pr)
+        stepped += 1
+      }
+      pr = pr.localCheckpoint()
+      rounds += stepped
+      delta = pr.join(prev.select(col("id"), col("pr").as("prev_pr")), Seq("id"))
+        .agg(max(abs(col("pr") - col("prev_pr"))).as("d"))
+        .head().getLong(0)
+    }
+    directed.unpersist()
+    require(delta <= tol, s"pagerank did not converge in $rounds rounds (delta=$delta)")
+    (pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled")), rounds)
+  }
 }
