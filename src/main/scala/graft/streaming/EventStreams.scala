@@ -168,6 +168,59 @@ object EventStreams {
         col("best.click_id").as("click_id"), col("best.click_us").as("click_us"))
   }
 
+  /** Streaming cohort retention — the twin of Events.eventsRetention.
+    * The per-user cohort assignment is a STATIC table the batch
+    * pipeline maintains (a user's first-signup day only changes when a
+    * brand-new user appears); the stream joins it broadcast per
+    * micro-batch, derives the cohort cell, and counts users EXACTLY via
+    * the dedup-then-count shape: streaming aggregation cannot run
+    * COUNT(DISTINCT), so the distinct becomes dropDuplicates state
+    * keyed (user, cohort_week, week_offset) feeding a plain count.
+    * State is O(users × active week-offsets) — a production deployment
+    * bounds it with dropDuplicatesWithinWatermark over the event day.
+    * Complete output: every cohort cell updates as users activate. */
+  def retention(events: DataFrame, cohort: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(broadcast(cohort), Seq("user_id"))
+      .filter(col("day") >= col("cohort_day"))
+      .withColumn("cohort_week",
+        floor(datediff(col("cohort_day"), lit("2024-01-01").cast("date")) / 7).cast("long"))
+      .withColumn("week_offset",
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("long"))
+      .dropDuplicates("user_id", "cohort_week", "week_offset")
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+
+  /** The stateful core of Events.eventsGapfill as a stream: per-user
+    * hourly counts/sums via a tumbling window (window.start ≡ the
+    * batch date_trunc). The grid + forward-fill finishing step needs an
+    * ordered window over the WHOLE timeline — not a streaming shape —
+    * so it runs as `gapfillFinish` over the sunk hourly table: the
+    * standard streaming-agg → sink → batch-view split, with the
+    * expensive per-event work done incrementally in the stream. */
+  def hourlyActivity(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("hr_value"))
+      .select(col("user_id"), col("w.start").as("hr"), col("n_events"), col("hr_value"))
+
+  /** Batch finishing view over the hourly table `hourlyActivity` sinks:
+    * the same distributed grid + LOCF as Events.eventsGapfill. */
+  def gapfillFinish(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("hr_min"), max(col("hr")).as("hr_max"))
+      .select(col("user_id"),
+        explode(sequence(col("hr_min"), col("hr_max"), expr("interval 1 hour"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("hr_value"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("user_id"), col("hr"), col("n_events"), col("filled_value"))
+  }
+
   /** Stream-static enrichment: every micro-batch joins the unbounded
     * stream against a static dimension (broadcast — re-resolved per
     * batch, so a dimension refresh is picked up without restart). The

@@ -240,6 +240,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalFunnel("funnel_sliced") == batchFunnel)
   }
 
+  /** Events re-written as N chronological slice files with ascending
+    * mod-times, plus a maxFilesPerTrigger=1 source replaying them in
+    * event order — one micro-batch per slice. */
+  private def chronologicalSource(tag: String, cuts: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bounds = Seq(None) ++ cuts.map(Some(_))
+    val slices = bounds.zip(cuts.map(Some(_)) ++ Seq(None)).map {
+      case (lo, hi) =>
+        ev.filter(lo.map(c => col("ts") >= c).getOrElse(lit(true)) &&
+          hi.map(c => col("ts") < c).getOrElse(lit(true)))
+    }
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val sub = s"$dir/slice_$i"
+      s.coalesce(1).write.parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(dir, s"slice_$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (i + 1))
+      }
+    }
+    spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+  }
+
+  test("streaming retention equals batch across chronological micro-batches") {
+    // the cohort table is static (batch-maintained first-signup days);
+    // the stream replays three time slices in order and the final
+    // complete-mode table must be exactly the batch retention matrix
+    val cohort = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+    val src = chronologicalSource("retention", Seq("2024-01-10", "2024-01-20"))
+    val streamed = runToSet(EventStreams.retention(src, cohort), "retention_stream")
+    val batch = Events.eventsRetention(spark, sf).collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming gapfill core equals batch hourly; finishing view equals batch gapfill") {
+    val src = chronologicalSource("gapfill", Seq("2024-01-10", "2024-01-20"))
+    val q = EventStreams.hourlyActivity(src)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the production shape sinks the streaming agg to a storage table
+    // and runs the finishing view over THAT; round-trip through parquet
+    // (a memory-sink view also trips self-join attribute dedup)
+    val sunk = java.nio.file.Files.createTempDirectory("graft_hourly").toString
+    spark.table("hourly_stream").write.mode("overwrite").parquet(sunk)
+    val hourly = spark.read.parquet(sunk)
+    // the stateful core matches the batch hourly pre-aggregate exactly
+    val batchHourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("hr_value"))
+    assert(hourly.collect().map(_.mkString("|")).toSet ==
+      batchHourly.collect().map(_.mkString("|")).toSet)
+    // and the batch finishing view over the sunk table reproduces the
+    // full gapfill operator
+    val finished = EventStreams.gapfillFinish(hourly)
+      .collect().map(_.mkString("|")).toSet
+    val batch = Events.eventsGapfill(spark, sf).collect().map(_.mkString("|")).toSet
+    assert(finished == batch)
+  }
+
   test("streaming sessionization equals batch") {
     val streamed = runToSet(
       EventStreams.sessionized(EventStreams.readEvents(spark, streamDir)), "sess_stream")
