@@ -28,19 +28,40 @@ object TeiCatalog {
   private def ws(c: org.apache.spark.sql.Column) =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** Namespace normalization shared by the item isolator and its
+    * audit: the Hive xpath engine resolves no namespaces, so xmlns
+    * decls and tei: prefixes drop up front (string ops, distributed). */
+  private def cleanXml(catalogues: DataFrame): DataFrame =
+    catalogues.withColumn("x", regexp_replace(
+      regexp_replace(col("xml"), "\\sxmlns(:[A-Za-z0-9]+)?=\"[^\"]*\"", ""),
+      "(</?)tei:", "$1"))
+
+  /** PRECONDITION of the regex item isolator below: items are flat
+    * (no `tei:item` nested inside another — legal TEI, absent from the
+    * reference corpus, whose items are list-direct children with
+    * xml:id) and every item tag carries at least one attribute. A
+    * nested or attribute-less item would mis-slice silently; this
+    * audit makes the precondition checkable per file: a clean file has
+    * open = close = isolated counts. Run it on new corpora before
+    * trusting `nametable`; TeiCatalogSpec locks both failure modes. */
+  def auditItems(catalogues: DataFrame): DataFrame =
+    cleanXml(catalogues).select(col("path"),
+        size(expr("regexp_extract_all(x, '<item[\\\\s>]', 0)")).as("n_open"),
+        size(expr("regexp_extract_all(x, '</item>', 0)")).as("n_close"),
+        size(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)")).as("n_isolated"))
+      .withColumn("clean",
+        col("n_open") === col("n_close") && col("n_open") === col("n_isolated"))
+
   /** nametable rows from raw catalogue XML (nametable.py cases 1-5):
     *  - no traits        → one row, all names joined by "; "
     *  - 1 trait, n names → first name carries the trait, rest empty
     *  - n traits ≠ n names (n>1) → one row of joined names + traits
     *  - n traits = n names → pairwise zip
-    */
+    * Item isolation is regex-based and assumes the `auditItems`
+    * precondition (flat, attributed items — the reference corpus
+    * shape). */
   def nametable(catalogues: DataFrame): DataFrame = {
-    val cleaned = catalogues
-      // the Hive xpath engine resolves no namespaces: drop xmlns decls
-      // and tei: prefixes up front (string ops, fully distributed)
-      .withColumn("x", regexp_replace(
-        regexp_replace(col("xml"), "\\sxmlns(:[A-Za-z0-9]+)?=\"[^\"]*\"", ""),
-        "(</?)tei:", "$1"))
+    val cleaned = cleanXml(catalogues)
     val items = cleaned
       .select(col("path"),
         posexplode(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)"))

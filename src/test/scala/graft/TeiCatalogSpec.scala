@@ -84,6 +84,33 @@ class TeiCatalogSpec extends AnyFunSuite {
     assert(filled("i5") == "le même")
   }
 
+  test("auditItems passes the reference-shaped fixtures and flags nesting") {
+    import org.apache.spark.sql.functions.col
+    // the real-shape fixtures are clean: open = close = isolated
+    val clean = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, dir))
+    assert(clean.filter(!col("clean")).count() == 0)
+
+    // nested tei:item (legal TEI) and an attribute-less item both
+    // violate the regex isolator's precondition — the audit must flag
+    // them rather than let nametable mis-slice silently
+    val d = java.nio.file.Files.createTempDirectory("graft_tei_bad")
+    java.nio.file.Files.writeString(d.resolve("CAT_9.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item xml:id="CAT_9_e1"><name>Outer</name>
+        | <list><item xml:id="CAT_9_e2"><name>Inner</name></item></list>
+        |</item>
+        |</list></body></text></TEI>""".stripMargin)
+    java.nio.file.Files.writeString(d.resolve("CAT_10.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item><name>NoAttrs</name></item>
+        |</list></body></text></TEI>""".stripMargin)
+    val bad = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, d.toString))
+      .collect().map(r => r.getAs[String]("path").split("/").last ->
+        r.getAs[Boolean]("clean")).toMap
+    assert(bad("CAT_9.xml") == false, "nested items must be flagged")
+    assert(bad("CAT_10.xml") == false, "attribute-less items must be flagged")
+  }
+
   test("nametable TSV sink round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft_tsv").toString
     val nt = TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, dir))
