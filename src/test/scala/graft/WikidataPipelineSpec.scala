@@ -49,6 +49,36 @@ class WikidataPipelineSpec extends AnyFunSuite {
       && r.getAs[String]("occupation") == "poet"))
   }
 
+  test("runResumable survives a mid-pipeline crash and resumes past completed stages") {
+    import graft.operators.Restart
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val attrs = Seq(("Q535", "poet", "France")).toDF("wikidata_id", "occupation", "citizenship")
+
+    // first launch: stage 2's input throws mid-run (the kill) — stage 1
+    // must have committed, stage 2 must not have
+    val poisoned = attrs.withColumn("occupation",
+      expr("raise_error('executor lost')").cast("string"))
+    intercept[Exception] {
+      Restart.runResumable(spark, dir, catalog, poisoned, ckpt)
+    }
+    assert(Restart.isComplete(spark, ckpt, "matched"), "stage 1 committed before the crash")
+    assert(!Restart.isComplete(spark, ckpt, "enriched"), "crashed stage must not commit")
+
+    // relaunch with healthy input: resumes at stage 2 off the
+    // checkpointed stage-1 parquet and completes
+    val (enriched, rewritten) = Restart.runResumable(spark, dir, catalog, attrs, ckpt)
+    assert(enriched.collect().exists(r => r.getAs[String]("wikidata_id") == "Q535"
+      && r.getAs[String]("occupation") == "poet"))
+    assert(rewritten.head().getAs[String]("xml_ref").contains("""ref="wd:Q535""""))
+    assert(Restart.isComplete(spark, ckpt, "rewritten"))
+
+    // third launch: everything committed — no stage rebuilds even with
+    // a poisoned catalog (the builders are never invoked)
+    val boom = catalog.withColumn("entity_name", expr("raise_error('rebuilt!')"))
+    val (e2, _) = Restart.runResumable(spark, dir, boom, poisoned, ckpt)
+    assert(e2.count() == enriched.count())
+  }
+
   test("refInjectXml declares the wd: prefix in the header of rewritten files") {
     import spark.implicits._
     val cats = Seq(("fh",
