@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dup_clusters" -> (Dedup.dupClusters _),
+    "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "doc_keywords" -> (TextMetrics.docKeywords _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "skew_agg" -> (Salting.skewAgg _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
+    "events_rolling" -> (Events.eventsRolling _),
     "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_props" -> (Events.eventsProps _),
@@ -631,6 +633,21 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
          |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "substring_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS sh
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) r
+        |  WHERE len(toks) >= 8),
+        |dup AS (SELECT sh FROM w GROUP BY sh HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT doc_id, cpos
+        |  FROM w JOIN dup USING (sh),
+        |    LATERAL (SELECT unnest(range(pos, pos + 8)) AS cpos) c),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  coalesce(covered_tokens, 0) AS covered_tokens,
+        |  round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / len(toks), 6) AS dup_coverage
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "doc_keywords" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |w AS (SELECT * FROM words WHERE term <> ''),
@@ -966,6 +983,15 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM ev GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+    "events_rolling" ->
+      """WITH ev AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS value_last_hour
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "events_sessionize" ->
       """WITH events_us AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT user_id, ts, event_id, value,

@@ -243,4 +243,49 @@ object Dedup {
     labels.join(sizes, Seq("lab"))
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
   }
+
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): instead of whole-
+    * document decisions, find every k-token window that occurs more
+    * than once ANYWHERE in the corpus and measure, per document, how
+    * many token positions sit inside at least one duplicated window —
+    * the signal used to excise repeated passages (boilerplate,
+    * licenses, templated spans) from pretraining data.
+    *
+    * The paper builds a suffix array; the distributed re-expression is
+    * a positional shingle pipeline: (shingle, doc, pos) triples, one
+    * frequency agg over the shingle key, a join back of the duplicated
+    * shingles (unhinted — the duplicated-shingle table is corpus-
+    * derived, AQE picks the strategy), and a per-doc interval union
+    * computed by exploding each duplicated window into its k covered
+    * positions and distinct-counting. Shuffles stay keyed on shingle
+    * text / doc id; nothing is quadratic — cost is O(total windows +
+    * duplicated-window occurrences × k). At 100 TB the shingle key
+    * would be a 128-bit hash (collision-free in practice); here it
+    * stays the literal string so the DuckDB oracle is value-exact. */
+  def substringDup(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val docs = Partitioning.spread(Tables.documents(spark, sfDir))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val windows = docs
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+        .as(Seq("pos0", "sh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+    val dupSh = windows.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val covered = windows.join(dupSh, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("covered_tokens"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_coverage"))
+  }
 }

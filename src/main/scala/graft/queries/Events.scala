@@ -22,6 +22,30 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Time-range rolling features per user: count and value-sum over a
+    * trailing 1-hour EVENT-TIME window ending at each event — a RANGE
+    * frame over micros, not a row frame, so sparse and bursty users
+    * get the same time semantics (the resample-free form of rolling
+    * features a feature store computes). One shuffle (the user_id
+    * window partitioning); the frame sum is an exact decimal over a
+    * well-defined peer set, cast to double once at the end, so both
+    * engines emit the identical value regardless of partition count.
+    * Frame width is bounded by a user's 1-hour event rate, never by
+    * history length. */
+  def eventsRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("value_last_hour",
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("decimal(18,2)").cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_last_hour"), col("value_last_hour"))
+  }
+
   /** Semi-structured props: parse the JSON column once with from_json
     * (schema'd, codegen-adjacent — no per-field re-parse), then
     * aggregate typed fields. The pattern for event payloads at scale:

@@ -160,4 +160,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     val moved = a.count(_.getAs[Boolean]("moved"))
     assert(moved < a.length, s"every vector moved ($moved of ${a.length})")
   }
+
+  test("substring_dup matches a brute-force window recount") {
+    import graft.operators.Dedup
+    val cov = Dedup.substringDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("covered_tokens"))).toMap
+    // brute force: global window multiset, then per-doc interval union
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+    val k = 8
+    val windowCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, toks) <- docs; i <- 0 to toks.length - k)
+      windowCount.updateWith(toks.slice(i, i + k).mkString(" ")) {
+        c => Some(c.getOrElse(0) + 1) }
+    for ((id, toks) <- docs) {
+      val coveredPos = (for {
+        i <- 0 to toks.length - k
+        if windowCount(toks.slice(i, i + k).mkString(" ")) > 1
+        p <- i until i + k
+      } yield p).toSet
+      val (n, c) = cov(id)
+      assert(n == toks.length.toLong, s"doc $id token count")
+      assert(c == coveredPos.size.toLong,
+        s"doc $id: covered $c != brute-force ${coveredPos.size}")
+    }
+    // the operator must actually find substring-level duplication here
+    assert(cov.values.exists(_._2 > 0), "corpus has no duplicated 8-gram at all")
+  }
+
+  test("events_rolling matches a brute-force trailing-hour recount") {
+    import graft.queries.Events
+    val rows = Events.eventsRolling(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("ts_us"), r.getAs[Long]("n_last_hour")))
+    val byUser = rows.groupBy(_._2)
+    // recount the RANGE frame per event for a handful of users
+    byUser.take(5).foreach { case (_, evs) =>
+      for ((id, _, ts, n) <- evs) {
+        val expected = evs.count { case (_, _, t2, _) =>
+          t2 >= ts - 3600L * 1000000 && t2 <= ts }
+        assert(n == expected, s"event $id: rolling count $n != $expected")
+      }
+    }
+    // RANGE (not ROWS): ts ties within a user must share identical counts
+    val tied = byUser.values.flatMap(_.groupBy(_._3).values.filter(_.length > 1))
+    tied.foreach { peers =>
+      assert(peers.map(_._4).distinct.length == 1, "tied timestamps must be frame peers")
+    }
+  }
 }

@@ -168,6 +168,7 @@ class PlanSpec extends AnyFunSuite {
       "strategy=broadcast".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
     }
     assert(hinted("unigram_score") == 0, "unigram freq join must be unhinted")
+    assert(hinted("substring_dup") == 0, "duplicated-shingle join must be unhinted")
     assert(hinted("bigram_lm_score") <= 1, "only the one-row vocab agg may hint")
     assert(hinted("doc_keywords") <= 1, "only the one-row n_docs agg may hint")
   }
