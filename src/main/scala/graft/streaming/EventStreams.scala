@@ -18,6 +18,17 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
 /** One event routed into the streaming funnel. */
 case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
 
+/** One event routed into the streaming rolling window. */
+case class RollEvent(user_id: Long, event_id: Long, ts_us: Long,
+    value_c: java.math.BigDecimal)
+
+/** Per-user trailing-hour buffer carried between micro-batches. */
+case class RollState(ts_us: Seq[Long], values: Seq[java.math.BigDecimal])
+
+/** One rolling-feature row emitted per event. */
+case class RollOut(event_id: Long, user_id: Long, ts_us: Long,
+    n_last_hour: Long, value_last_hour: java.math.BigDecimal)
+
 /** Per-user funnel progress: first view, first click strictly after
   * it, first purchase strictly after that. Also the state record. */
 case class FunnelProgress(user_id: Long, t_view_us: Option[Long],
@@ -269,6 +280,61 @@ object EventStreams {
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Streaming twin of Events.eventsRolling: per-user trailing-hour
+    * count/sum emitted per event via flatMapGroupsWithState. State is
+    * ONE HOUR of (ts, value) per user — bounded by the user's hourly
+    * event rate, never by history — pruned as each event advances the
+    * frame. Timestamp ties are processed as a peer group before
+    * emission, matching the batch RANGE frame's peer-inclusive
+    * semantics exactly.
+    *
+    * Contract: exact under per-key in-order delivery with timestamp
+    * peers arriving in the same micro-batch (a Kafka key-partitioned
+    * source with time-ordered production provides both); the
+    * chronological-slice parity test exercises three batches. */
+  def rollingHour(spark: SparkSession, events: DataFrame): Dataset[RollOut] = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000
+
+    def step(userId: Long, rows: Iterator[RollEvent],
+        state: GroupState[RollState]): Iterator[RollOut] = {
+      // local (not an object member): the closure must not capture the
+      // enclosing singleton, which is not serializable
+      def chunkByTs(sorted: Seq[RollEvent]): Seq[Seq[RollEvent]] =
+        if (sorted.isEmpty) Nil
+        else sorted.foldLeft(Vector.empty[Vector[RollEvent]]) { (acc, e) =>
+          if (acc.nonEmpty && acc.last.head.ts_us == e.ts_us)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+        }
+      var ts = state.getOption.map(_.ts_us.toVector).getOrElse(Vector.empty)
+      var vs = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
+      val out = Vector.newBuilder[RollOut]
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      // process equal-ts runs together: RANGE frames are peer-inclusive
+      for (peers <- chunkByTs(sorted)) {
+        val t = peers.head.ts_us
+        peers.foreach { e => ts :+= e.ts_us; vs :+= e.value_c }
+        val keep = ts.indices.filter(i => ts(i) >= t - HourUs)
+        ts = keep.map(ts).toVector; vs = keep.map(vs).toVector
+        val n = ts.length.toLong
+        val sum = vs.foldLeft(java.math.BigDecimal.ZERO)((a, v) =>
+          if (v == null) a else a.add(v))
+        peers.foreach(e => out += RollOut(e.event_id, userId, e.ts_us, n, sum))
+      }
+      state.update(RollState(ts, vs))
+      out.result().iterator
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(18,2)").as("value_c"))
+      .as[RollEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }
 
   private val GapUs = 1800L * 1000000

@@ -305,6 +305,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(finished == batch)
   }
 
+  test("streaming rolling-hour features equal the batch RANGE frame across micro-batches") {
+    val src = chronologicalSource("rolling", Seq("2024-01-10", "2024-01-20"))
+    val q = EventStreams.rollingHour(spark, src)
+      .toDF().writeStream.format("memory").queryName("rolling_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("rolling_stream")
+      // BigDecimal encoder widens to (38,18); renormalize to the batch double
+      .withColumn("value_last_hour",
+        col("value_last_hour").cast("decimal(18,2)").cast("double"))
+      .collect().map(_.mkString("|")).toSet
+    val batch = Events.eventsRolling(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_last_hour"), col("value_last_hour"))
+      .collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming sessionization equals batch") {
     val streamed = runToSet(
       EventStreams.sessionized(EventStreams.readEvents(spark, streamDir)), "sess_stream")
