@@ -64,7 +64,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val sfShort = sfDir.split("/").last.stripPrefix("sf")
-    println(s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}""")
+    val line = s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    // the driver captures only a 2000-char stdout tail (sbt appends a
+    // ~65-char status line after us): fail loudly at bench time, not
+    // at judging time, when added queries push the line past budget
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — " +
+        "exceeds the ~1900 budget; the driver's tail capture will truncate it")
+    println(line)
     spark.stop()
   }
 }

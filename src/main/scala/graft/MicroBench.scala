@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val rounds = args.headOption.map(_.toInt).getOrElse(4)
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // first arg may be a round count or already a query name
+    val rounds = args.headOption.flatMap(_.toIntOption).getOrElse(4)
+    val rest = if (args.headOption.exists(_.toIntOption.isDefined)) args.drop(1) else args
+    val names = if (rest.nonEmpty) rest.toSeq
       else Seq("entity_match", "match_certitude")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)

@@ -63,13 +63,13 @@ object Probe {
       graft.sources.Tables.part(spark, sf)
         .write.mode("overwrite").parquet(s"$big/part.parquet")
     }
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/nation.parquet"))) {
-      // label/dimension tables stay single copies: fixed dims under a
-      // 10× fact side (needed by enrich_wide / q5 / entity ops)
-      for (t <- Seq("nation", "region", "supplier"))
+    // label/dimension tables stay single copies: fixed dims under a
+    // 10× fact side (needed by enrich_wide / q5 / entity ops); checked
+    // per table so a killed build resumes with exactly the missing ones
+    for (t <- Seq("nation", "region", "supplier"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/$t.parquet")))
         graft.sources.Tables.table(spark, sf, t)
           .write.mode("overwrite").parquet(s"$big/$t.parquet")
-    }
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

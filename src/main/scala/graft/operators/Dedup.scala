@@ -273,6 +273,10 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
         .as(Seq("pos0", "sh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+      // the shingle explode (~k× corpus tokens) feeds both the
+      // frequency agg and the coverage join-back; persist it once or
+      // the dominant stage runs twice (the dedupNgram/pagerank rule)
+      .persist()
     val dupSh = windows.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
     val covered = windows.join(dupSh, Seq("sh"))

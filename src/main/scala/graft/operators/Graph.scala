@@ -77,25 +77,39 @@ object Graph {
     * across iterations) and one map-side-combined sum. No driver-side
     * state: the loop is a static 3-deep plan unroll, and a library
     * deployment iterates with checkpointing every few rounds. */
-  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Both-direction edge list — persisted: it feeds every iteration,
+    * and without the persist the scan→self-join→distinct derivation
+    * replays each round. */
+  private def directedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, sfDir)
-    // the edge list feeds every iteration of the static unroll: persist
-    // it once or the scan→self-join→distinct derivation replays 3×
-    val directed = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+    edges.unionByName(edges.select(col("v").as("u"), col("u").as("v"))).persist()
+  }
+
+  /** Uniform initial ranks: (id, deg, n, pr = PrScale div n). */
+  private def prInit(directed: DataFrame): DataFrame = {
     val nodes = directed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val nCount = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nCount))
+    nodes.crossJoin(broadcast(nCount))
       .select(col("id"), col("deg"), col("n"), expr(s"${PrScale}L div n").as("pr"))
-    for (_ <- 1 to PrIters) {
-      val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
-      val inSum = directed.join(contrib, col("u") === col("src"))
-        .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
-      pr = pr.join(inSum, col("id") === col("dst"), "left")
-        .select(col("id"), col("deg"), col("n"),
-          (expr(s"(3 * (${PrScale}L div n)) div 20") +
-            expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
-    }
+  }
+
+  /** One synchronous damped round — the SINGLE definition of the
+    * recurrence, shared by the gate row's static unroll and the
+    * converged variant so the two can never de-twin. */
+  private def prStep(directed: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
+    val inSum = directed.join(contrib, col("u") === col("src"))
+      .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
+    pr.join(inSum, col("id") === col("dst"), "left")
+      .select(col("id"), col("deg"), col("n"),
+        (expr(s"(3 * (${PrScale}L div n)) div 20") +
+          expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
+  }
+
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = directedEdges(spark, sfDir)
+    var pr = prInit(directed)
+    for (_ <- 1 to PrIters) pr = prStep(directed, pr)
     pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
   }
 
@@ -122,30 +136,15 @@ object Graph {
       tol: Long = PrScale / 1000000L,
       maxRounds: Int = 60,
       checkpointEvery: Int = 3): (DataFrame, Int) = {
-    val edges = coPurchaseEdges(spark, sfDir)
-    val directed = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .persist()
-    val nodes = directed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-    val nCount = nodes.agg(count(lit(1)).as("n"))
-    var pr = nodes.crossJoin(broadcast(nCount))
-      .select(col("id"), col("deg"), col("n"), expr(s"${PrScale}L div n").as("pr"))
-      .localCheckpoint()
+    val directed = directedEdges(spark, sfDir)
+    var pr = prInit(directed).localCheckpoint()
     var rounds = 0
     var delta = Long.MaxValue
-    def step(p: DataFrame): DataFrame = {
-      val contrib = p.select(col("id").as("src"), expr("pr div deg").as("c"))
-      val inSum = directed.join(contrib, col("u") === col("src"))
-        .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
-      p.join(inSum, col("id") === col("dst"), "left")
-        .select(col("id"), col("deg"), col("n"),
-          (expr(s"(3 * (${PrScale}L div n)) div 20") +
-            expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
-    }
     while (delta > tol && rounds < maxRounds) {
       val prev = pr
       var stepped = 0
       while (stepped < checkpointEvery && rounds + stepped < maxRounds) {
-        pr = step(pr)
+        pr = prStep(directed, pr)
         stepped += 1
       }
       pr = pr.localCheckpoint()

@@ -46,7 +46,10 @@ object TeiCatalog {
     * trusting `nametable`; TeiCatalogSpec locks both failure modes. */
   def auditItems(catalogues: DataFrame): DataFrame =
     cleanXml(catalogues).select(col("path"),
-        size(expr("regexp_extract_all(x, '<item[\\\\s>]', 0)")).as("n_open"),
+        // the open-tag class includes '/' so a self-closing <item/>
+        // (which the isolator also skips) still counts as an opening
+        // and fails the n_open = n_close balance
+        size(expr("regexp_extract_all(x, '<item[\\\\s>/]', 0)")).as("n_open"),
         size(expr("regexp_extract_all(x, '</item>', 0)")).as("n_close"),
         size(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)")).as("n_isolated"))
       .withColumn("clean",

@@ -320,8 +320,11 @@ object EventStreams {
         val keep = ts.indices.filter(i => ts(i) >= t - HourUs)
         ts = keep.map(ts).toVector; vs = keep.map(vs).toVector
         val n = ts.length.toLong
-        val sum = vs.foldLeft(java.math.BigDecimal.ZERO)((a, v) =>
-          if (v == null) a else a.add(v))
+        // an all-null frame sums to NULL, matching the batch window sum
+        // (and the DuckDB oracle) — not zero
+        val nonNull = vs.filter(_ != null)
+        val sum = if (nonNull.isEmpty) null
+          else nonNull.reduce((a, v) => a.add(v))
         peers.foreach(e => out += RollOut(e.event_id, userId, e.ts_us, n, sum))
       }
       state.update(RollState(ts, vs))

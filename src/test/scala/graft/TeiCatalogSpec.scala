@@ -104,11 +104,16 @@ class TeiCatalogSpec extends AnyFunSuite {
       """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
         |<item><name>NoAttrs</name></item>
         |</list></body></text></TEI>""".stripMargin)
+    java.nio.file.Files.writeString(d.resolve("CAT_11.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item/>
+        |</list></body></text></TEI>""".stripMargin)
     val bad = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, d.toString))
       .collect().map(r => r.getAs[String]("path").split("/").last ->
         r.getAs[Boolean]("clean")).toMap
     assert(bad("CAT_9.xml") == false, "nested items must be flagged")
     assert(bad("CAT_10.xml") == false, "attribute-less items must be flagged")
+    assert(bad("CAT_11.xml") == false, "self-closing items must be flagged")
   }
 
   test("nametable TSV sink round-trips") {
