@@ -58,6 +58,9 @@ object SparkEntry {
     "q_corr" -> (Stats.qCorr _),
     "scd2_dim" -> (Scd.scd2Dim _),
     "merge_upsert" -> (Scd.mergeUpsert _),
+    "agg_incremental" -> (Scd.aggIncremental _),
+    "value_histogram" -> ((s: SparkSession, d: String) => Profile.valueHistogram(s, d)),
+    "colloc_pmi" -> ((s: SparkSession, d: String) => TextMetrics.collocPmi(s, d)),
     "bloom_prune" -> (BloomPrune.bloomPrune _),
     "sample_group" -> (Sampling.sampleGroup _),
     "bm25_rank" -> (Search.bm25Rank _),
@@ -1195,6 +1198,47 @@ object SparkEntry {
         |    + coalesce(delta, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |  coalesce(segment, 'PROSPECT') AS segment, action
         |FROM m WHERE action <> 'delete' ORDER BY key""".stripMargin,
+    "agg_incremental" ->
+      // the oracle computes the DIRECT aggregation over raw events;
+      // the Spark side merges daily partials — the gate hash-match IS
+      // the partial-merge equivalence proof
+      """WITH c AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_value,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_value,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6) AS mean_value
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "value_histogram" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, cents, CAST(floor(cents / 5000) AS BIGINT) AS bin FROM c)
+        |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS bin_min,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS bin_max,
+        |  CAST(bin * 5000 AS DOUBLE) / 100.0 AS bin_lo
+        |FROM b GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin,
+    "colloc_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c1 AS (SELECT w, count(*) AS c FROM u WHERE w <> '' GROUP BY w),
+        |n1 AS (SELECT sum(c) AS n1 FROM c1),
+        |n2 AS (SELECT sum(c12) AS n2 FROM c2),
+        |top AS (SELECT w1, w2, c12 FROM c2 WHERE c12 >= 5
+        |  ORDER BY c12 DESC, w1, w2 LIMIT 50)
+        |SELECT w1, w2, c12,
+        |  round(log2(CAST(CAST(c12 AS HUGEINT) * n1.n1 * n1.n1 AS DOUBLE)
+        |    / CAST(CAST(n2.n2 AS HUGEINT) * a.c * b.c AS DOUBLE)), 6) AS pmi
+        |FROM top JOIN c1 a ON top.w1 = a.w JOIN c1 b ON top.w2 = b.w
+        |CROSS JOIN n1 CROSS JOIN n2
+        |ORDER BY w1, w2""".stripMargin,
     "bloom_prune" ->
       """SELECT p_type, count(*) AS n_items,
         |  CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -77,6 +77,25 @@ object Profile {
         round(entropy, 6).as("entropy") :+ round(gini, 6).as("gini")): _*)
   }
 
+  /** Fixed-width value histogram per event type — the profiling
+    * companion every distribution check needs before picking filter
+    * thresholds. Bin = floor(cents / width) over exact integer cents,
+    * so bin assignment is engine-independent (a double divide would
+    * waver on bin edges); one shuffle on (type, bin), output is
+    * |types|×|bins| rows. Empty bins are absent by design — a dense
+    * grid would be the gapfill pattern. */
+  def valueHistogram(spark: SparkSession, sfDir: String, binWidth: Long = 5000): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"),
+        floor(col("cents") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("cents")).cast("double") / 100.0).as("bin_min"),
+        (max(col("cents")).cast("double") / 100.0).as("bin_max"))
+      .withColumn("bin_lo", (col("bin") * binWidth).cast("double") / 100.0)
+
   def approxProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val aggs: Seq[Column] = profiled.flatMap(c => Seq(

@@ -90,4 +90,37 @@ object Scd {
         coalesce(col("segment"), lit("PROSPECT")).as("segment"),
         col("action"))
   }
+
+  /** Incremental aggregation by partial merge — the pattern a 100 TB
+    * warehouse maintains its rollups with: per-(type, day) PARTIAL
+    * aggregates (the shape each daily batch writes once) merge into
+    * per-type totals by re-aggregating the partials, never rescanning
+    * history. Everything merged is algebraic — counts and sums add,
+    * min/min and max/max compose — and the money column rides exact
+    * integer cents (decimal(18,2) × 100 → long), so the merged result
+    * is bit-identical to a direct pass over the raw events: the DuckDB
+    * oracle computes the DIRECT aggregation, making the partial-merge
+    * equivalence the thing the gate verifies. Mean is a single double
+    * divide over exact longs, rounded to 6. Two narrow shuffles (day
+    * partials, then the per-type merge — the second over |types|×|days|
+    * rows, not |events|). */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val daily = cents.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_days"),
+        sum(col("s")).as("sum_cents"),
+        min(col("mn")).as("min_cents"), max(col("mx")).as("max_cents"))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        (col("sum_cents").cast("double") / 100.0).as("total_value"),
+        (col("min_cents").cast("double") / 100.0).as("min_value"),
+        (col("max_cents").cast("double") / 100.0).as("max_value"),
+        round(col("sum_cents").cast("double")
+          / (col("n_events") * 100).cast("double"), 6).as("mean_value"))
+  }
 }

@@ -243,6 +243,46 @@ object TextMetrics {
           .as("tfidf"))
   }
 
+  /** Collocation extraction: the top-k corpus bigrams (by exact count,
+    * deterministic (count, w1, w2) tiebreak) scored with pointwise
+    * mutual information — the classic collocation detector (Church &
+    * Hanks 1990) a corpus-analysis pass runs to find multiword terms.
+    * The frequency cut rides the bounded-heap TopK operator (map tasks
+    * forward at most k bigrams; no global sort of the bigram
+    * vocabulary), and only the k survivors join the unigram counts —
+    * the expensive side never shuffles more than once. PMI evaluates
+    * as exact decimal(38,0) products (HUGEINT on the oracle side)
+    * collapsed by one double divide + log2, rounded to 6. */
+  def collocPmi(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bigrams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), (size(col("toks")) - 1).cast("int")),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n1 = c1.agg(sum(col("c")).as("n1"))
+    val n2 = c2.agg(sum(col("c12")).as("n2"))
+    c2.filter(col("c12") >= minCount)
+      .transform(graft.plans.TopK.perGroup(Seq(),
+        Seq("c12" -> false, "w1" -> true, "w2" -> true), k))
+      .join(c1.select(col("w").as("w1"), col("c").as("c1a")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log2(
+          (col("c12").cast("decimal(38,0)") * col("n1") * col("n1")).cast("double")
+            / (col("n2").cast("decimal(38,0)") * col("c1a") * col("c1b")).cast("double")), 6)
+          .as("pmi"))
+  }
+
   /** Whitespace and BPE-ish token counts. The regex splits letter runs
     * of ≤4 chars, digits, and single non-alphanumerics — a rough
     * stand-in for a byte-pair vocabulary's subword lengths. */

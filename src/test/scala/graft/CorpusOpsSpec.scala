@@ -190,6 +190,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cov.values.exists(_._2 > 0), "corpus has no duplicated 8-gram at all")
   }
 
+  test("colloc_pmi matches a brute-force bigram recount") {
+    import graft.operators.TextMetrics
+    val got = TextMetrics.collocPmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getAs[Long]("c12"), r.getAs[Double]("pmi")))
+      .toMap
+    assert(got.nonEmpty && got.size <= 50)
+    // brute force the corpus counts
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- texts) {
+      val toks = t.split(" ")
+      toks.filter(_.nonEmpty).foreach(w => uni.updateWith(w)(c => Some(c.getOrElse(0L) + 1)))
+      toks.sliding(2).filter(_.length == 2)
+        .foreach(p => bi.updateWith((p(0), p(1)))(c => Some(c.getOrElse(0L) + 1)))
+    }
+    val n1 = uni.values.sum.toDouble
+    val n2 = bi.values.sum.toDouble
+    // the operator's top-k must be the count-ordered head of the table
+    val expectTop = bi.toSeq.filter(_._2 >= 5)
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(50)
+    assert(got.keySet == expectTop.map(_._1).toSet)
+    expectTop.foreach { case (pair, c12) =>
+      val (gc, gpmi) = got(pair)
+      assert(gc == c12)
+      val expected = math.log(c12 * n1 * n1 / (n2 * uni(pair._1) * uni(pair._2))) / math.log(2)
+      assert(math.abs(gpmi - expected) < 1e-5, s"$pair pmi $gpmi vs $expected")
+    }
+  }
+
+  test("value_histogram bins partition the events exactly") {
+    import graft.operators.Profile
+    val bins = Profile.valueHistogram(spark, sf).collect()
+    val total = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull).count()
+    assert(bins.map(_.getAs[Long]("n")).sum == total, "bins must partition all events")
+    bins.foreach { r =>
+      val lo = r.getAs[Double]("bin_lo")
+      val (mn, mx) = (r.getAs[Double]("bin_min"), r.getAs[Double]("bin_max"))
+      assert(r.getAs[Long]("n") > 0, "no empty bins emitted")
+      assert(mn >= lo && mx < lo + 50.0 && mn <= mx,
+        s"bin at $lo holds [$mn,$mx] outside its 50-unit width")
+    }
+  }
+
   test("events_rolling matches a brute-force trailing-hour recount") {
     import graft.queries.Events
     val rows = Events.eventsRolling(spark, sf).collect()

@@ -90,6 +90,31 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_incremental partial merge equals direct aggregation bit-for-bit") {
+    val merged = Scd.aggIncremental(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // direct single-pass aggregation over the raw events, same cents
+    // discipline — must agree EXACTLY (==, not tolerance): that is the
+    // algebraic-merge contract the incremental pattern relies on
+    val direct = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("day")).as("nd"),
+        sum(col("cents")).as("s"), min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .collect()
+      .map { r =>
+        val (n, s) = (r.getLong(1), r.getLong(3))
+        r.getString(0) -> (n, r.getLong(2), s.toDouble / 100.0,
+          r.getLong(4).toDouble / 100.0, r.getLong(5).toDouble / 100.0,
+          BigDecimal(s.toDouble / (n * 100).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (t, m) => assert(m == direct(t), s"type $t: $m vs ${direct(t)}") }
+  }
+
   test("events_anomaly flags exactly the >2-sigma hours") {
     val hourly = graft.sources.Tables.events(spark, sf)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
