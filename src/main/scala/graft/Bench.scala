@@ -60,14 +60,18 @@ object Bench {
     // sbt's trailing [success] line inside the driver's tail window,
     // so BENCH_r{N}.json's `parsed` field is populated
     def fmt(p: String, v: Double) = String.format(java.util.Locale.ROOT, p, Double.box(v))
-    def r2(v: Double) = if (v < 0) "-1" else fmt("%.2f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
     val sfShort = sfDir.split("/").last.stripPrefix("sf")
-    val line = s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
-    // the driver captures only a 2000-char stdout tail (sbt appends a
-    // ~65-char status line after us): fail loudly at bench time, not
-    // at judging time, when added queries push the line past budget
+    // the driver captures only a 2000-char stdout tail and sbt appends
+    // a ~65-char status line after us: pick the highest per-query
+    // precision whose full line still fits the ~1900-char budget (the
+    // full-precision record is in BENCH_LOCAL.json regardless)
+    def lineAt(prec: Int): String = {
+      val qs = results.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v < 0) "-1" else fmt(s"%.${prec}f", v))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    }
+    val line = (3 to 1 by -1).map(lineAt).find(_.length <= 1900).getOrElse(lineAt(1))
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — " +
         "exceeds the ~1900 budget; the driver's tail capture will truncate it")
