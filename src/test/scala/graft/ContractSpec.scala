@@ -23,6 +23,16 @@ class ContractSpec extends AnyFunSuite {
       s"missing from SURVEY: ${implemented -- listed}; stale in SURVEY: ${listed -- implemented}")
   }
 
+  test("PLANS.md audits every gate query (regenerate after adding operators)") {
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val audited = "(?m)^\\| ([a-z0-9_]+) \\|".r
+      .findAllMatchIn(plans).map(_.group(1)).toSet - "query"
+    val missing = SparkEntry.queries.keySet -- audited
+    assert(missing.isEmpty,
+      s"PLANS.md is stale — run `sbt \"runMain graft.PlanAudit\"`; missing: $missing")
+  }
+
   test("every oracle orders its output or the query is a bare aggregate") {
     // the driver compare is order-insensitive, but ordered oracles keep
     // local debugging deterministic; just assert they all parse as
