@@ -53,6 +53,7 @@ object SparkEntry {
     "q_exists" -> (Relational.qExists _),
     "q_pivot" -> (Relational.qPivot _),
     "q_quantiles" -> (Relational.qQuantiles _),
+    "q_quantiles_group" -> (Relational.qQuantilesGroup _),
     "q_setops" -> (Relational.qSetOps _),
     "q_cube" -> (Relational.qCube _),
     "q_corr" -> (Stats.qCorr _),
@@ -1102,6 +1103,12 @@ object SparkEntry {
          |  quantile_cont($c, 0.5) AS p50, quantile_cont($c, 0.75) AS p75,
          |  quantile_cont($c, 0.875) AS p875 FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "q_quantiles_group" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  quantile_cont(l_quantity, 0.125) AS p125, quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.875) AS p875
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_setops" ->
       """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey
         |  FROM customer WHERE c_acctbal > 9000),

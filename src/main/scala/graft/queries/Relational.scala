@@ -198,6 +198,24 @@ object Relational {
     }.reduce(_ unionByName _)
   }
 
+  /** Grouped exact quantiles: the per-group distribution summary
+    * (p12.5..p87.5 of l_quantity per return flag) in ONE aggregation
+    * shuffle — the same exact-interpolation discipline as qQuantiles
+    * (integral values, binary-fraction probes → both engines' blend
+    * formulas are exact), now with the percentile state living per
+    * group. Per-group sorted-buffer state is bounded by the group's
+    * value cardinality; at 100 TB the library swaps approx_percentile
+    * (t-digest, mergeable) under the identical query shape. */
+  def qQuantilesGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = array(Seq(0.125, 0.25, 0.5, 0.75, 0.875).map(lit): _*)
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), percentile(col("l_quantity"), qs).as("q"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("q")(0).as("p125"), col("q")(1).as("p25"), col("q")(2).as("p50"),
+        col("q")(3).as("p75"), col("q")(4).as("p875"))
+  }
+
   /** Set operations: nations with a high-balance customer vs a
     * high-balance supplier — INTERSECT (both) and EXCEPT
     * (customer-side only), each a distinct-semantics hash set op,
