@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked Bench's stdout as JSON: pass the child's
+// stdout/stderr straight through instead of re-logging them with
+// "[info] "/"[error] " prefixes (which made BENCH_r{4,5}.json `parsed`
+// null), and drop sbt's own trailing "[success] Total time" line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,9 +4,43 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the SF dir given by
   * SPARK_GRAFT_SF_DIR, after a warm-up that pays the one-off costs
   * (parquet footers, codegen, JIT) so per-query numbers reflect the
-  * steady-state plans. Prints one JSON line for the driver. */
+  * steady-state plans.
+  *
+  * Defensive-measurement design (the official artifact must survive a
+  * noisy host):
+  *   - stdout carries EXACTLY one JSON line. Everything else — Spark
+  *     logs (log4j2.properties targets stderr), stray library prints
+  *     (System.out is rerouted to stderr for the whole run), sbt status
+  *     lines (build.sbt: StdoutOutput + showSuccess=false) — goes to
+  *     stderr, so the driver's tail-parse cannot fail on a prefix.
+  *   - three full INTERLEAVED passes (pass1 runs all 92 queries, then
+  *     pass2, then pass3; per-query min across passes). Back-to-back
+  *     min-of-two lets one multi-second host spike poison both samples
+  *     of the same query (BENCH_r05: dq_checks 40.9s on two consecutive
+  *     samples of a 0.9s query); interleaving separates a query's
+  *     samples by a full suite length (~60-90s), which no transient
+  *     spike spans.
+  *   - /proc/loadavg sentinel before/after into BENCH_LOCAL.json, plus
+  *     all per-pass timings, so contamination is diagnosable from the
+  *     committed artifact alone.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Claim the real stdout, then reroute System.out/Console.out to
+    // stderr: only the final metric line may reach the data channel.
+    val realOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    System.setOut(System.err)
+    Console.withOut(System.err) { run(realOut) }
+  }
+
+  private def run(realOut: java.io.PrintStream): Unit = {
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "unavailable" }
+    val loadBefore = loadavg()
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -19,13 +53,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: touch every table and exercise codegen once
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "documents", "embeddings", "events")
       .foreach(t => graft.sources.Tables.table(spark, sfDir, t).count())
-    // min of two passes: the steady-state cost, insulated from the
-    // multi-second swings a busy host injects into single shots
+
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // each measurement starts cache-clean: operators persist() their
       // reused subtrees, and 60+ accumulated caches otherwise build
@@ -43,39 +76,55 @@ object Bench {
         -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(name, fn)
-      val t2 = if (t1 >= 0) timeOnce(name, fn) else t1
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // passes(p)(i) = pass p's timing of query i; a query that failed in
+    // pass 1 is not retried (failures are code, not host noise)
+    val passes = Array.ofDim[Double](nPasses, names.length)
+    for (p <- 0 until nPasses; i <- names.indices) {
+      val (name, fn) = names(i)
+      passes(p)(i) =
+        if (p > 0 && passes(0)(i) < 0) -1.0 else timeOnce(name, fn)
+    }
+    val results = names.indices.map { i =>
+      val samples = (0 until nPasses).map(passes(_)(i))
+      names(i)._1 -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // full-precision per-query artifact: the driver's stdout capture
-    // keeps only a 2000-char tail, so the complete record lives in the
-    // repo where the judge can read it regardless of line length
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val loadAfter = loadavg()
+
+    // full-precision artifact: per-query min plus every per-pass sample
+    // and the host-load sentinel, so a contaminated run is diagnosable
+    // from the committed file (the driver's stdout capture keeps only a
+    // 2000-char tail)
+    def qjson(vals: Seq[(String, Double)]): String =
+      vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val passJson = (0 until nPasses).map { p =>
+      s"\"queries_pass${p + 1}\":" + qjson(names.indices.map(i => names(i)._1 -> passes(p)(i)))
+    }.mkString(",")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$fullQs,"sf":"$sfDir"}""" + "\n")
-    // stdout line: 2-decimal per-query timings keep the whole line +
-    // sbt's trailing [success] line inside the driver's tail window,
-    // so BENCH_r{N}.json's `parsed` field is populated
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
+        s""""passes":$nPasses,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""queries":${qjson(results)},$passJson,"sf_dir":"$sfDir"}""" + "\n")
+
+    // stdout line: 2-decimal per-query timings keep the whole line
+    // inside the driver's 2000-char tail window (full-precision record
+    // is in BENCH_LOCAL.json regardless)
     def fmt(p: String, v: Double) = String.format(java.util.Locale.ROOT, p, Double.box(v))
     val sfShort = sfDir.split("/").last.stripPrefix("sf")
-    // the driver captures only a 2000-char stdout tail and sbt appends
-    // a ~65-char status line after us: pick the highest per-query
-    // precision whose full line still fits the ~1900-char budget (the
-    // full-precision record is in BENCH_LOCAL.json regardless)
     def lineAt(prec: Int): String = {
       val qs = results.map { case (k, v) =>
         s"\"" + k + "\":" + (if (v < 0) "-1" else fmt(s"%.${prec}f", v))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     }
-    val line = (3 to 1 by -1).map(lineAt).find(_.length <= 1900).getOrElse(lineAt(1))
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — " +
-        "exceeds the ~1900 budget; the driver's tail capture will truncate it")
-    println(line)
+    val line = (3 to 1 by -1).map(lineAt).find(_.length <= 1950).getOrElse(lineAt(1))
+
+    // stop Spark BEFORE emitting the metric line: shutdown logging (or a
+    // 2>&1 merge downstream) must not land after our JSON on the tail
     spark.stop()
+    realOut.println(line)
+    realOut.flush()
   }
 }
