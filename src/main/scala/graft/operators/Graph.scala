@@ -77,12 +77,30 @@ object Graph {
     * across iterations) and one map-side-combined sum. No driver-side
     * state: the loop is a static 3-deep plan unroll, and a library
     * deployment iterates with checkpointing every few rounds. */
-  /** Both-direction edge list — persisted: it feeds every iteration,
-    * and without the persist the scan→self-join→distinct derivation
-    * replays each round. */
+  /** Both-direction edge list — persisted PRE-PARTITIONED on the join
+    * key `u`: it feeds every iteration, and without the persist the
+    * scan→self-join→distinct derivation replays each round. The
+    * repartition pays the edge shuffle exactly once; each prStep's
+    * edge⋈rank join then finds its required hash distribution already
+    * satisfied on the cached side, so per round only the (much smaller)
+    * rank table moves. Without it, every round re-exchanged and
+    * re-sorted the full edge list (r05 plan: 10 exchanges, SMJ×6). */
   private def directedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, sfDir)
-    edges.unionByName(edges.select(col("v").as("u"), col("u").as("v"))).persist()
+    // explicit partition count: a bare repartition(col) leaves the
+    // count AQE-flexible, which makes the cached HashPartitioning
+    // statically unknowable to consumers — they'd re-exchange anyway
+    val directed = edges
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("u"))
+      .persist()
+    // materialize NOW: an unexecuted AQE-cached plan reports unknown
+    // partitioning, so consumers planned against it would re-exchange
+    // the edges every round — the exact defect this layout exists to
+    // remove. After the count the scan exposes HashPartitioning(u, N)
+    // and each round's edge⋈rank join plans exchange-free on this side.
+    directed.count()
+    directed
   }
 
   /** Uniform initial ranks: (id, deg, n, pr = PrScale div n). */
@@ -97,7 +115,12 @@ object Graph {
     * recurrence, shared by the gate row's static unroll and the
     * converged variant so the two can never de-twin. */
   private def prStep(directed: DataFrame, pr: DataFrame): DataFrame = {
+    // shuffle_hash on the rank side: the cached edge partitions stream
+    // through unsorted (a sort-merge join would re-sort the full edge
+    // list every round); the build side is one rank row per vertex in
+    // the partition — bounded, and far smaller than the edge side.
     val contrib = pr.select(col("id").as("src"), expr("pr div deg").as("c"))
+      .hint("shuffle_hash")
     val inSum = directed.join(contrib, col("u") === col("src"))
       .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
     pr.join(inSum, col("id") === col("dst"), "left")
