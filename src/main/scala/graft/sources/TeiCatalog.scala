@@ -36,22 +36,31 @@ object TeiCatalog {
       regexp_replace(col("xml"), "\\sxmlns(:[A-Za-z0-9]+)?=\"[^\"]*\"", ""),
       "(</?)tei:", "$1"))
 
-  /** PRECONDITION of the regex item isolator below: items are flat
-    * (no `tei:item` nested inside another — legal TEI, absent from the
-    * reference corpus, whose items are list-direct children with
-    * xml:id) and every item tag carries at least one attribute. A
-    * nested or attribute-less item would mis-slice silently; this
-    * audit makes the precondition checkable per file: a clean file has
-    * open = close = isolated counts. Run it on new corpora before
-    * trusting `nametable`; TeiCatalogSpec locks both failure modes. */
+  /** The depth-aware item isolator shared by `nametable` and the
+    * audit: one linear scan per file slicing every balanced
+    * `<item …>…</item>` — nested occurrences included, in document
+    * order — the element set lxml's `//tei:item` visits in the
+    * reference (nametable.py:47). Struct fields: slices / n_open /
+    * n_close (self-closing counts as both). */
+  private def itemScan =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.XmlElementScan(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("x")), "item"))
+
+  /** Per-file well-formedness audit over the SAME tokenization the
+    * isolator uses: a clean file has open = close = isolated counts.
+    * Nested, attribute-less, and self-closing items are all handled by
+    * the scanner now, so `clean = false` means genuine corruption — an
+    * unclosed item (open > matched) or a stray close tag. Run it on
+    * new corpora before trusting `nametable`; TeiCatalogSpec locks the
+    * handled-vs-corrupt boundary. */
   def auditItems(catalogues: DataFrame): DataFrame =
-    cleanXml(catalogues).select(col("path"),
-        // the open-tag class includes '/' so a self-closing <item/>
-        // (which the isolator also skips) still counts as an opening
-        // and fails the n_open = n_close balance
-        size(expr("regexp_extract_all(x, '<item[\\\\s>/]', 0)")).as("n_open"),
-        size(expr("regexp_extract_all(x, '</item>', 0)")).as("n_close"),
-        size(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)")).as("n_isolated"))
+    cleanXml(catalogues)
+      .select(col("path"), itemScan.as("sc"))
+      .select(col("path"),
+        col("sc.n_open").as("n_open"),
+        col("sc.n_close").as("n_close"),
+        size(col("sc.slices")).as("n_isolated"))
       .withColumn("clean",
         col("n_open") === col("n_close") && col("n_open") === col("n_isolated"))
 
@@ -60,15 +69,17 @@ object TeiCatalog {
     *  - 1 trait, n names → first name carries the trait, rest empty
     *  - n traits ≠ n names (n>1) → one row of joined names + traits
     *  - n traits = n names → pairwise zip
-    * Item isolation is regex-based and assumes the `auditItems`
-    * precondition (flat, attributed items — the reference corpus
-    * shape). */
+    * Item isolation is the depth-aware `itemScan`, so nested items
+    * (legal TEI) each yield their own rows in document order, with the
+    * outer item's fields drawn only from its DIRECT name/trait
+    * children — matching lxml's `//tei:item` + `./tei:name` exactly.
+    * The xpath below sees the nested child inside the outer slice at
+    * /item/list/item/…, which `/item/name` does not select. */
   def nametable(catalogues: DataFrame): DataFrame = {
     val cleaned = cleanXml(catalogues)
     val items = cleaned
       .select(col("path"),
-        posexplode(expr("regexp_extract_all(x, '(?s)<item\\\\s.*?</item>', 0)"))
-          .as(Seq("item_pos", "item")))
+        posexplode(itemScan.getField("slices")).as(Seq("item_pos", "item")))
       .select(col("path"), col("item_pos"),
         expr("xpath_string(item, \"/item/@*[local-name()='id']\")").as("xml_id"),
         expr("xpath(item, '/item/name/text()')").as("names"),

@@ -84,22 +84,44 @@ class TeiCatalogSpec extends AnyFunSuite {
     assert(filled("i5") == "le même")
   }
 
-  test("auditItems passes the reference-shaped fixtures and flags nesting") {
+  test("nested tei:item parses with DOM semantics (lxml //item + ./name)") {
+    // legal nested items: the reference's //tei:body//tei:item visits
+    // BOTH, in document order, and ./tei:name on the outer item takes
+    // only its direct-child name — never the nested item's
+    val d = java.nio.file.Files.createTempDirectory("graft_tei_nested")
+    java.nio.file.Files.writeString(d.resolve("CAT_9.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item xml:id="CAT_9_e1"><name>Outer</name>
+        | <trait><p>Outer trait.</p></trait>
+        | <list><item xml:id="CAT_9_e2"><name>Inner</name>
+        |  <trait><p>Inner trait.</p></trait></item></list>
+        |</item>
+        |</list></body></text></TEI>""".stripMargin)
+    val got = TeiCatalog.nametable(TeiCatalog.readCatalogues(spark, d.toString))
+      .orderBy(org.apache.spark.sql.functions.col("item_pos"))
+      .collect().map(r => (r.getAs[String]("xml_id"), r.getAs[String]("name"),
+        r.getAs[String]("trait")))
+    assert(got.toSeq == Seq(
+      ("CAT_9_e1", "Outer", "Outer trait."),
+      ("CAT_9_e2", "Inner", "Inner trait.")))
+    // and the audit reports the nested file clean — nesting is handled,
+    // not a precondition violation
+    val audit = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, d.toString))
+      .collect().head
+    assert(audit.getAs[Boolean]("clean"))
+    assert(audit.getAs[Int]("n_isolated") == 2)
+  }
+
+  test("auditItems is clean on handled shapes, flags genuine corruption") {
     import org.apache.spark.sql.functions.col
     // the real-shape fixtures are clean: open = close = isolated
     val clean = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, dir))
     assert(clean.filter(!col("clean")).count() == 0)
 
-    // nested tei:item (legal TEI) and an attribute-less item both
-    // violate the regex isolator's precondition — the audit must flag
-    // them rather than let nametable mis-slice silently
+    // attribute-less and self-closing items are handled by the scanner
+    // (slice emitted; nameless items drop in nametable) — clean; an
+    // unclosed item and a stray close tag are corruption — flagged
     val d = java.nio.file.Files.createTempDirectory("graft_tei_bad")
-    java.nio.file.Files.writeString(d.resolve("CAT_9.xml"),
-      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
-        |<item xml:id="CAT_9_e1"><name>Outer</name>
-        | <list><item xml:id="CAT_9_e2"><name>Inner</name></item></list>
-        |</item>
-        |</list></body></text></TEI>""".stripMargin)
     java.nio.file.Files.writeString(d.resolve("CAT_10.xml"),
       """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
         |<item><name>NoAttrs</name></item>
@@ -108,12 +130,21 @@ class TeiCatalogSpec extends AnyFunSuite {
       """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
         |<item/>
         |</list></body></text></TEI>""".stripMargin)
-    val bad = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, d.toString))
+    java.nio.file.Files.writeString(d.resolve("CAT_12.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item xml:id="CAT_12_e1"><name>Unclosed</name>
+        |</list></body></text></TEI>""".stripMargin)
+    java.nio.file.Files.writeString(d.resolve("CAT_13.xml"),
+      """<TEI xmlns="http://www.tei-c.org/ns/1.0"><text><body><list>
+        |<item xml:id="CAT_13_e1"><name>Ok</name></item></item>
+        |</list></body></text></TEI>""".stripMargin)
+    val audit = TeiCatalog.auditItems(TeiCatalog.readCatalogues(spark, d.toString))
       .collect().map(r => r.getAs[String]("path").split("/").last ->
         r.getAs[Boolean]("clean")).toMap
-    assert(bad("CAT_9.xml") == false, "nested items must be flagged")
-    assert(bad("CAT_10.xml") == false, "attribute-less items must be flagged")
-    assert(bad("CAT_11.xml") == false, "self-closing items must be flagged")
+    assert(audit("CAT_10.xml") == true, "attribute-less items are handled")
+    assert(audit("CAT_11.xml") == true, "self-closing items are handled")
+    assert(audit("CAT_12.xml") == false, "an unclosed item must be flagged")
+    assert(audit("CAT_13.xml") == false, "a stray close tag must be flagged")
   }
 
   test("nametable TSV sink round-trips") {
