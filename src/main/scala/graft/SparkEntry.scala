@@ -79,6 +79,7 @@ object SparkEntry {
     "entity_cascade" -> (EntityMatch.entityCascade _),
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
+    "match_eval" -> (EntityMatch.matchEval _),
     "enrich_join" -> (EnrichJoin.enrichJoin _),
     "enrich_wide" -> (EnrichJoin.enrichWide _),
     "ref_inject" -> (RefInject.refInject _),
@@ -206,6 +207,32 @@ object SparkEntry {
         |FROM q JOIN l ON q.doc_id = l.doc_id JOIN dd ON q.doc_id = dd.doc_id
         |WHERE NOT dd.is_dup AND l.votes >= 1 AND q.quality_score >= 0.5
         |ORDER BY q.doc_id""".stripMargin
+
+  /** DuckDB-side header decode for multimodal_meta: byte i (1-based)
+    * of the generated hex rendering as an integer, composed into the
+    * same little-endian u16/u32 reads the Spark decoder performs on
+    * the raw bytes — independent decode, shared generator. */
+  private def mmByte(i: Int): String = s"('0x' || substr(hx, ${2 * i - 1}, 2))::BIGINT"
+  private def mmU16(i: Int): String = s"(${mmByte(i)} + 256*${mmByte(i + 1)})"
+  private def mmU32(i: Int): String =
+    s"(${mmByte(i)} + 256*${mmByte(i + 1)} + 65536*${mmByte(i + 2)} + 16777216*${mmByte(i + 3)})"
+  private val multimodalMetaSql: String =
+    s"""WITH g AS (SELECT doc_id, ${Multimodal.mediaHexSql} AS hx FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN 'bmp'
+       |       WHEN substr(hx,1,8) = '52494646' THEN 'wav' ELSE 'unknown' END AS media_type,
+       |  CAST(length(hx)/2 AS BIGINT) AS byte_len,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(35)}
+       |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(41)} ELSE 0 END AS data_bytes,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(19)} ELSE 0 END AS width,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(23)} ELSE 0 END AS height,
+       |  CASE WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(25)} ELSE 0 END AS sample_rate,
+       |  CASE WHEN substr(hx,1,8) = '52494646' THEN ${mmU16(23)} ELSE 0 END AS channels,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU16(29)}
+       |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU16(35)} ELSE 0 END AS bit_depth,
+       |  substr(hx, 1, 8) AS magic,
+       |  sha256(hx) AS content_sha256
+       |FROM g ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -411,6 +438,68 @@ object SparkEntry {
         |  FROM best)
         |SELECT c_custkey, match_id, paramcount, paramcount >= 2 AS certitude
         |FROM params ORDER BY c_custkey""".stripMargin,
+    "match_eval" ->
+      """WITH ex AS (
+        |  SELECT c_custkey, min(s_suppkey) AS match_id, 2 AS level
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |    AND substr(c_name, length(c_name) - 4, 5) = substr(s_name, length(s_name) - 4, 5)
+        |  GROUP BY c_custkey),
+        |fz AS (
+        |  SELECT c_custkey,
+        |    CAST(min(CAST(levenshtein(c_name, s_name) AS BIGINT) * (1::BIGINT << 48) + s_suppkey)
+        |      & ((1::BIGINT << 48) - 1) AS BIGINT) AS match_id, 1 AS level
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM ex)
+        |  GROUP BY c_custkey),
+        |casc AS (SELECT c.c_custkey, m.match_id, coalesce(m.level, 0) AS level
+        |  FROM customer c LEFT JOIN (SELECT * FROM ex UNION ALL SELECT * FROM fz) m
+        |    ON c.c_custkey = m.c_custkey),
+        |sc AS (
+        |  SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal,
+        |    levenshtein(c_name, s_name) AS distance,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY levenshtein(c_name, s_name), s_suppkey) AS rk
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+        |cert AS (SELECT c_custkey, s_suppkey AS match_id,
+        |  CAST(distance <= 12 AS int) + CAST(abs(c_acctbal - s_acctbal) < 2000.0 AS int)
+        |    + CAST(c_custkey % 10 = s_suppkey % 10 AS int) AS level
+        |  FROM sc WHERE rk = 1),
+        |t0 AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 7 < 3),
+        |tc AS (SELECT t0.c_custkey, min(s.s_suppkey) AS cand
+        |  FROM t0 LEFT JOIN supplier s ON t0.c_nationkey = s.s_nationkey
+        |    AND (s.s_suppkey + t0.c_custkey) % 3 = 0
+        |  GROUP BY t0.c_custkey),
+        |truth AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE cand END AS truth_id FROM tc),
+        |j AS (
+        |  SELECT 'entity_cascade' AS matcher, tr.truth_id, m.match_id,
+        |    coalesce(CAST(m.level AS VARCHAR), 'none') AS lvl
+        |  FROM truth tr LEFT JOIN casc m ON tr.c_custkey = m.c_custkey
+        |  UNION ALL
+        |  SELECT 'match_certitude', tr.truth_id, m.match_id,
+        |    coalesce(CAST(m.level AS VARCHAR), 'none')
+        |  FROM truth tr LEFT JOIN cert m ON tr.c_custkey = m.c_custkey),
+        |u AS (SELECT matcher, truth_id, match_id, unnest([lvl, 'all']) AS level FROM j),
+        |agg AS (SELECT matcher, level,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(match_id) AS BIGINT) AS n_result,
+        |  CAST(count(CASE WHEN match_id = truth_id THEN 1 END) AS BIGINT) AS true_result,
+        |  CAST(count(truth_id) AS BIGINT) AS n_truth,
+        |  CAST(count(CASE WHEN match_id IS NULL THEN 1 END) AS BIGINT) AS n_silence,
+        |  CAST(count(CASE WHEN match_id IS NULL AND truth_id IS NULL THEN 1 END) AS BIGINT) AS true_silence,
+        |  CAST(count(CASE WHEN truth_id IS NULL THEN 1 END) AS BIGINT) AS n_truth_silence
+        |  FROM u GROUP BY 1, 2)
+        |SELECT matcher, level, n, n_result, true_result,
+        |  CASE WHEN n_result > 0 THEN round(true_result / n_result, 6) END AS precision_result,
+        |  CASE WHEN n_truth > 0 THEN round(true_result / n_truth, 6) END AS recall_result,
+        |  CASE WHEN n_result > 0 AND n_truth > 0
+        |    AND true_result / n_result + true_result / n_truth > 0
+        |    THEN round(2 * (true_result / n_result) * (true_result / n_truth)
+        |      / (true_result / n_result + true_result / n_truth), 6) END AS f1_result,
+        |  n_silence, true_silence,
+        |  CASE WHEN n_silence > 0 THEN round(true_silence / n_silence, 6) END AS precision_silence,
+        |  CASE WHEN n_truth_silence > 0 THEN round(true_silence / n_truth_silence, 6) END AS recall_silence
+        |FROM agg ORDER BY matcher, level""".stripMargin,
     "id_dedup" ->
       """WITH scored AS (
         |  SELECT c_custkey, s_suppkey,
@@ -826,13 +915,7 @@ object SparkEntry {
         |  avg(n_chars) AS avg_chars,
         |  count(DISTINCT md5(text)) AS distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  sha256(text) AS sha256,
-        |  hex(encode(substr(text, 1, 4))) AS magic,
-        |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
-        |  CAST(16 + doc_id % 48 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" -> multimodalMetaSql,
     "multimodal_features" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |b AS (SELECT doc_id, unnest(list_transform(range(1, n + 1),

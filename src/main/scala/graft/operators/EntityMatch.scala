@@ -137,4 +137,83 @@ object EntityMatch {
     bestPacked(spark, sfDir)
       .select(col("match_id"))
       .distinct()
+
+  /** Deterministic labeled truth sample for matcher evaluation —
+    * INDEPENDENT of the matchers' scoring (no levenshtein anywhere):
+    * a ~3/7 sample of customers; every 5th labeled customer truly has
+    * no counterpart (ground-truth silence); otherwise the truth id is
+    * the smallest same-nation supplier key with
+    * (s_suppkey + c_custkey) % 3 = 0 (null when the nation has none —
+    * more silence truth). Plays the role of the reference's labeled
+    * 100-row sample (script/itemtoid_test.py:73 test_isolate). */
+  private def truthSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 7 < 3)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    cust.join(supp,
+        col("c_nationkey") === col("s_nationkey") &&
+          (col("s_suppkey") + col("c_custkey")) % 3 === 0, "left")
+      .groupBy(col("c_custkey"))
+      .agg(min(col("s_suppkey")).as("cand"))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("cand"))
+          .cast("long").as("truth_id"))
+  }
+
+  /** Score one matcher's (c_custkey, match_id, level) output against
+    * the truth sample, per level plus an 'all' row. Reference metric
+    * semantics (itemtoid_test.py:261-285): "result" = a found id is
+    * the true one; "silence" = correctly returning nothing. */
+  private def evalMatcher(truth: DataFrame, results: DataFrame, matcher: String): DataFrame = {
+    val j = truth.join(results, Seq("c_custkey"), "left")
+      .select(col("truth_id"), col("match_id"),
+        coalesce(col("level").cast("string"), lit("none")).as("lvl"))
+    // per-level rows + an 'all' row in one pass: explode each joined
+    // row into its level group and the overall group, then aggregate —
+    // one shuffle on (level), no second scan of the matcher output
+    val g = j.select(col("truth_id"), col("match_id"),
+        explode(array(col("lvl"), lit("all"))).as("level"))
+      .groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("match_id")).as("n_result"),
+        count(when(col("match_id") === col("truth_id"), 1)).as("true_result"),
+        count(col("truth_id")).as("n_truth"),
+        count(when(col("match_id").isNull, 1)).as("n_silence"),
+        count(when(col("match_id").isNull && col("truth_id").isNull, 1)).as("true_silence"),
+        count(when(col("truth_id").isNull, 1)).as("n_truth_silence"))
+    val p = col("true_result").cast("double") / col("n_result")
+    val r = col("true_result").cast("double") / col("n_truth")
+    g.select(
+      lit(matcher).as("matcher"), col("level"), col("n"), col("n_result"),
+      col("true_result"),
+      when(col("n_result") > 0, round(p, 6)).as("precision_result"),
+      when(col("n_truth") > 0, round(r, 6)).as("recall_result"),
+      when(col("n_result") > 0 && col("n_truth") > 0 && p + r > 0,
+        round(lit(2) * p * r / (p + r), 6)).as("f1_result"),
+      col("n_silence"), col("true_silence"),
+      when(col("n_silence") > 0,
+        round(col("true_silence").cast("double") / col("n_silence"), 6)).as("precision_silence"),
+      when(col("n_truth_silence") > 0,
+        round(col("true_silence").cast("double") / col("n_truth_silence"), 6)).as("recall_silence"))
+  }
+
+  /** Match-accuracy evaluation — the Spark analogue of the reference's
+    * scoring harness (script/itemtoid_test.py:179 test_algorithm):
+    * precision/recall/F1 of found ids and of correct silences, for
+    * entity_cascade per certitude level and match_certitude per
+    * paramcount, against the deterministic truth sample. This is the
+    * table a user reads to justify matchCertitude's `paramcount >= 2`
+    * threshold: precision_result should rise with the level. */
+  def matchEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = truthSample(spark, sfDir)
+    val casc = entityCascade(spark, sfDir)
+      .select(col("c_custkey"), col("match_id"), col("certitude").as("level"))
+    val cert = matchCertitude(spark, sfDir)
+      .select(col("c_custkey"), col("match_id"), col("paramcount").as("level"))
+    evalMatcher(truth, casc, "entity_cascade")
+      .unionByName(evalMatcher(truth, cert, "match_certitude"))
+  }
 }

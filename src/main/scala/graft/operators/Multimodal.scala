@@ -7,9 +7,12 @@ import graft.sources.Tables
 /** A multimodal record: opaque binary payload + typed metadata. */
 case class MediaRecord(doc_id: Long, payload: Array[Byte])
 
-/** Typed metadata a decoder emits per media payload. */
-case class MediaMeta(doc_id: Long, byte_len: Long, sha256: String,
-    magic: String, width: Int, height: Int)
+/** Typed metadata the header decoder emits per media payload. Every
+  * field except doc_id is READ FROM THE BYTES — none is derived from
+  * the generator's parameters. */
+case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+    data_bytes: Long, width: Long, height: Long, sample_rate: Long,
+    channels: Long, bit_depth: Long, magic: String, content_sha256: String)
 
 /** Multimodal plumbing: treat image/audio/video as opaque `binary`
   * columns and run the decode/feature-extract step partition-wise over
@@ -17,38 +20,118 @@ case class MediaMeta(doc_id: Long, byte_len: Long, sha256: String,
   * stage: the executor sees an iterator of records per partition and
   * can batch them into a native decoder.
   *
-  * The decode itself is a STUB (no image/audio libs in this container):
-  * deterministic dimensions derived from payload length + id. The
-  * Spark-side contract — binary column, Encoder schema, per-partition
-  * iterator, metadata projection — is the real, tested part.
-  */
+  * The metadata decode is REAL byte-format parsing: payloads are valid
+  * BMP (BITMAPINFOHEADER) and PCM WAV (RIFF) files, and the decoder
+  * reads width/height/bit-depth/sample-rate/channels as little-endian
+  * fields at their published header offsets. The payloads themselves
+  * are synthesized in the distributed plan (the harness ships parquet,
+  * not media files) from one SQL generator expression shared verbatim
+  * with the DuckDB oracle, which re-decodes the same header fields
+  * from the same bytes via hex-string arithmetic — so a decoder that
+  * read any field from the wrong offset, endianness, or width fails
+  * the gate hash. */
 object Multimodal {
 
-  /** STUB decoder: a real deployment calls the native library here
-    * (one call per batch, inside the partition iterator). The digest
-    * instance is created once per partition and reset per record —
-    * no per-row provider lookup on the batch hot path. */
-  private def decodeStub(digest: java.security.MessageDigest)(r: MediaRecord): MediaMeta = {
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Header decoder — one call per record inside the partition
+    * iterator, like a native codec would be batched. The digest
+    * instance is created once per partition — no per-row provider
+    * lookup on the hot path. The content digest is sha256 of the
+    * UPPERCASE-HEX RENDERING of the bytes (injective in the payload),
+    * because the oracle engine's digest functions accept only VARCHAR;
+    * it is still computed here from the raw bytes alone. */
+  private def decodeHeader(digest: java.security.MessageDigest)(r: MediaRecord): MediaMeta = {
+    val b = r.payload
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) { sb.append(String.format("%02X", Integer.valueOf(b(i) & 0xff))); i += 1 }
+    val hx = sb.toString
     digest.reset()
-    val sha = digest.digest(r.payload).map("%02x".format(_)).mkString
-    val magic = r.payload.take(4).map("%02X".format(_)).mkString
-    MediaMeta(r.doc_id, r.payload.length.toLong, sha, magic,
-      width = (16 + r.payload.length % 64).toInt,
-      height = (16 + r.doc_id % 48).toInt)
+    val sha = digest.digest(hx.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .map("%02x".format(_)).mkString
+    val magic = hx.substring(0, math.min(8, hx.length))
+    if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+      MediaMeta(r.doc_id, "bmp", b.length.toLong,
+        data_bytes = u32le(b, 34),         // biSizeImage
+        width = u32le(b, 18), height = u32le(b, 22),
+        sample_rate = 0L, channels = 0L,
+        bit_depth = u16le(b, 28).toLong, magic = magic, content_sha256 = sha)
+    else if (b.length >= 44 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte)
+      MediaMeta(r.doc_id, "wav", b.length.toLong,
+        data_bytes = u32le(b, 40),         // data chunk size
+        width = 0L, height = 0L,
+        sample_rate = u32le(b, 24), channels = u16le(b, 22).toLong,
+        bit_depth = u16le(b, 34).toLong, magic = magic, content_sha256 = sha)
+    else
+      MediaMeta(r.doc_id, "unknown", b.length.toLong, 0L, 0L, 0L, 0L, 0L, 0L, magic, sha)
   }
 
-  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val media: Dataset[MediaRecord] = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
-    media
-      .mapPartitions { it => // batch boundary = partition
-        val digest = java.security.MessageDigest.getInstance("SHA-256")
-        it.map(decodeStub(digest))
-      }
-      .toDF()
+  /** Decode a binary media column partition-wise (the reusable library
+    * entry point — MultimodalSpec feeds it hand-built literal files). */
+  def decodeMeta(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it => // batch boundary = partition
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map(decodeHeader(digest))
+    }.toDF()
   }
+
+  // ---- payload synthesis (shared SQL, Spark + DuckDB dialects) ----
+
+  private def byteHex(v: String) = s"lpad(hex(CAST(FLOOR($v) AS BIGINT) % 256), 2, '0')"
+  private def u16hex(v: String) =
+    s"(${byteHex(v)} || ${byteHex(s"($v)/256")})"
+  private def u32hex(v: String) =
+    s"(${byteHex(v)} || ${byteHex(s"($v)/256")} || ${byteHex(s"($v)/65536")} || ${byteHex(s"($v)/16777216")})"
+  private def dataHex(len: String) =
+    s"upper(hex(rpad(substr(text, 1, CAST($len AS INT)), CAST($len AS INT), 'x')))"
+
+  // BMP: 54-byte BITMAPINFOHEADER file; width/height/row padding per spec
+  private val bmpW = "(2 + doc_id % 14)"
+  private val bmpH = "(1 + doc_id % 9)"
+  private val bmpRow = s"(CAST(FLOOR(($bmpW*3 + 3)/4) AS BIGINT) * 4)" // 4-byte row align
+  private val bmpPx = s"($bmpRow * $bmpH)"
+  private val bmpHex =
+    s"('424D' || ${u32hex(s"$bmpPx + 54")} || '00000000' || '36000000' || '28000000' || " +
+      s"${u32hex(bmpW)} || ${u32hex(bmpH)} || '0100' || '1800' || '00000000' || " +
+      s"${u32hex(bmpPx)} || '130B0000' || '130B0000' || '00000000' || '00000000' || ${dataHex(bmpPx)})"
+
+  // WAV: 44-byte canonical RIFF/PCM header + 16-bit samples
+  private val wavCh = "(CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END)"
+  private val wavSr = "(8000 + (doc_id % 8) * 1000)"
+  private val wavN = "(8 + doc_id % 32)"
+  private val wavBa = s"($wavCh * 2)"
+  private val wavData = s"($wavN * $wavBa)"
+  private val wavHex =
+    s"('52494646' || ${u32hex(s"$wavData + 36")} || '57415645' || '666D7420' || '10000000' || '0100' || " +
+      s"${u16hex(wavCh)} || ${u32hex(wavSr)} || ${u32hex(s"$wavSr * $wavBa")} || ${u16hex(wavBa)} || " +
+      s"'1000' || '64617461' || ${u32hex(wavData)} || ${dataHex(wavData)})"
+
+  /** Uppercase-hex of each document's media file — even doc_id → BMP,
+    * odd → WAV. Valid in BOTH SQL dialects over (doc_id, text); the
+    * gate oracle embeds this string verbatim, so both engines provably
+    * generate identical bytes and then decode them independently. */
+  val mediaHexSql: String =
+    s"(CASE WHEN doc_id % 2 = 0 THEN $bmpHex ELSE $wavHex END)"
+
+  /** The synthesized media corpus as a binary column (distributed —
+    * the generator is one codegen'd projection, no driver state). */
+  def mediaPayloads(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"unhex($mediaHexSql) AS payload")
+      .as[MediaRecord]
+  }
+
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(mediaPayloads(spark, sfDir))
 
   /** Per-payload feature vector a media pipeline extracts after decode:
     * byte stats, entropy, and sampled frame fingerprints. */

@@ -90,12 +90,53 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(fps(0).intersect(fps(1)).nonEmpty)
   }
 
-  test("multimodal_meta stub emits deterministic metadata") {
-    val m = Multimodal.multimodalMeta(spark, sf).limit(5).collect()
+  test("multimodal decoder reads real BMP/WAV headers from literal bytes") {
+    import spark.implicits._
+    // hand-built files, independent of the generator: a 2x2 24bpp BMP
+    // (rows padded to 8 bytes -> 16 pixel bytes, file 70 bytes) and a
+    // 44.1kHz stereo 16-bit WAV with 4 samples (16 data bytes)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmp = Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      Array.fill[Byte](16)(0x7f)
+    val wav = "RIFF".getBytes ++ le32(52) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++
+      le16(4) ++ le16(16) ++ "data".getBytes ++ le32(16) ++ Array.fill[Byte](16)(1)
+    val out = Multimodal.decodeMeta(
+        Seq(MediaRecord(1L, bmp), MediaRecord(2L, wav)).toDS())
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val b = out(1L)
+    assert(b.getAs[String]("media_type") == "bmp")
+    assert(b.getAs[Long]("width") == 2 && b.getAs[Long]("height") == 2)
+    assert(b.getAs[Long]("bit_depth") == 24 && b.getAs[Long]("data_bytes") == 16)
+    assert(b.getAs[Long]("byte_len") == 70)
+    val w = out(2L)
+    assert(w.getAs[String]("media_type") == "wav")
+    assert(w.getAs[Long]("sample_rate") == 44100 && w.getAs[Long]("channels") == 2)
+    assert(w.getAs[Long]("bit_depth") == 16 && w.getAs[Long]("data_bytes") == 16)
+    assert(w.getAs[String]("magic") == "52494646")
+    assert(w.getAs[String]("content_sha256").length == 64)
+  }
+
+  test("multimodal generator emits well-formed files the decoder accepts") {
+    val m = Multimodal.multimodalMeta(spark, sf).limit(200).collect()
+    assert(m.nonEmpty)
     m.foreach { r =>
-      assert(r.getAs[String]("sha256").length == 64)
-      assert(r.getAs[String]("magic").length == 8)
-      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 80)
+      val t = r.getAs[String]("media_type")
+      assert(t == "bmp" || t == "wav", s"unknown media type for ${r}")
+      if (t == "bmp") {
+        // header-decoded dims must be in the generator's ranges and the
+        // payload must contain exactly header + imageSize bytes
+        assert(r.getAs[Long]("width") >= 2 && r.getAs[Long]("width") <= 15)
+        assert(r.getAs[Long]("height") >= 1 && r.getAs[Long]("height") <= 9)
+        assert(r.getAs[Long]("byte_len") == 54 + r.getAs[Long]("data_bytes"))
+      } else {
+        assert(r.getAs[Long]("sample_rate") >= 8000 && r.getAs[Long]("sample_rate") <= 15000)
+        assert(Set(1L, 2L).contains(r.getAs[Long]("channels")))
+        assert(r.getAs[Long]("byte_len") == 44 + r.getAs[Long]("data_bytes"))
+      }
     }
   }
 
