@@ -9,13 +9,89 @@ import org.apache.spark.sql.functions._
   * across shards so the dedup graph gets genuinely dense) and times
   * each operator end-to-end. */
 object Probe {
+
+  /** A build is complete only if Spark committed it: the directory
+    * appears before the job finishes, so a killed build would be
+    * silently reused as truncated dimension data if we checked bare
+    * existence — test for the _SUCCESS commit marker instead (the same
+    * discipline Restart.runResumable uses for its own outputs). */
+  private def committed(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+
+  /** Iterative-operator scale probe (`runMain graft.Probe iter100`):
+    * dup_clusters and graph_pagerank are the only operators whose cost
+    * is rounds × shuffles, and round count is GRAPH-shaped, not
+    * size-shaped — so the 10× table probe can't bound them. This
+    * drives the extracted loops with synthetic graphs at 1× and 100×
+    * edge counts plus a deep-chain worst case, and reports rounds +
+    * wall time: the scale claim is (a) round count stays flat as edges
+    * grow 100× (CC: diameter-bound; PageRank: tol/damping-bound) and
+    * (b) per-round cost grows ~linearly. */
+  private def iterProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // --- connected components: families of near-dup size (diameter 2:
+    // star within each 6-node family) at 60k and 6M edges ---
+    for ((scale, nEdges) <- Seq(("cc 1x (60k edges)", 60000L), ("cc 100x (6M edges)", 6000000L))) {
+      val fam = spark.range(nEdges)
+        .select((col("id") - col("id") % 6).as("doc_a"), col("id").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+      val edges = fam.unionByName(fam.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist()
+      edges.count()
+      val (_, rounds) = t(scale)(graft.operators.Dedup.connectedComponents(edges))
+      println(s"  rounds=$rounds")
+      edges.unpersist()
+    }
+    // --- connected components: deep-chain adversary (diameter = N —
+    // the documented worst case for HashMin; rounds must equal ~N) ---
+    val chainLen = 64L
+    val chain = spark.range(chainLen - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val chainEdges = chain.unionByName(
+        chain.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    chainEdges.count()
+    val (_, chainRounds) = t(s"cc deep chain (n=$chainLen)")(
+      graft.operators.Dedup.connectedComponents(chainEdges, maxRounds = 200))
+    println(s"  rounds=$chainRounds (diameter-bound, as designed)")
+    chainEdges.unpersist()
+    // --- pagerank: hash-mixed graph with a hub at 1× and 100× —
+    // convergence rounds are set by damping+tol, not by size ---
+    for ((scale, v, e) <- Seq(("pagerank 1x (60k edges)", 30000L, 60000L),
+        ("pagerank 100x (6M edges)", 3000000L, 6000000L))) {
+      val raw = spark.range(e).select(
+          (col("id") % v).as("u"),
+          when(col("id") % 100 === 0, 0L)
+            .otherwise((col("id") * 2654435761L) % v).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+      val directed = graft.operators.Graph.prepareDirected(spark, raw)
+      val (_, rounds) = t(scale)(
+        graft.operators.Graph.graphPagerankConvergedOn(directed, maxRounds = 120))
+      println(s"  rounds=$rounds")
+      directed.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("probe", 32)
+    if (args.headOption.contains("iter100")) {
+      iterProbe(spark)
+      spark.stop()
+      return
+    }
     val sf = "/root/testdata/sf0.1"
     val big = "/tmp/sfbig"
     val shards = 10
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/documents.parquet"))) {
+    if (!committed(s"$big/documents.parquet")) {
       val docs = graft.sources.Tables.documents(spark, sf)
       (0 until shards).map(i => docs
           .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
@@ -27,7 +103,7 @@ object Probe {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     }
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/events.parquet"))) {
+    if (!committed(s"$big/events.parquet")) {
       // 10M events / 1.5k users: ids and users shift per shard so the
       // funnel/retention state fans out instead of piling on 150 keys
       val ev = graft.sources.Tables.events(spark, sf)
@@ -37,7 +113,7 @@ object Probe {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$big/events.parquet")
     }
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/lineitem.parquet"))) {
+    if (!committed(s"$big/lineitem.parquet")) {
       val li = graft.sources.Tables.lineitem(spark, sf)
       (0 until shards).map(i => li
           .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
@@ -45,7 +121,7 @@ object Probe {
         .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     }
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/orders.parquet"))) {
+    if (!committed(s"$big/orders.parquet")) {
       // orders/customer shift together so the custkey join keys stay
       // consistent; part stays a single copy (lineitem keeps original
       // partkeys — a fixed dim under a 10× fact, the realistic shape)
@@ -67,7 +143,7 @@ object Probe {
     // 10× fact side (needed by enrich_wide / q5 / entity ops); checked
     // per table so a killed build resumes with exactly the missing ones
     for (t <- Seq("nation", "region", "supplier"))
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$big/$t.parquet")))
+      if (!committed(s"$big/$t.parquet"))
         graft.sources.Tables.table(spark, sf, t)
           .write.mode("overwrite").parquet(s"$big/$t.parquet")
 

@@ -217,16 +217,33 @@ object Dedup {
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    // force the edge cache now so the signature cache (which has served
+    // its three reuses) can be released before the propagation rounds
+    edges.count()
+    sigCache.unpersist()
+    val (labels, _) = connectedComponents(edges)
+    edges.unpersist()
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** HashMin label propagation over a BOTH-DIRECTION edge list
+    * (doc_a, doc_b) — the library-level loop dupClusters runs, exposed
+    * so callers (and the 100× scale probe) can run it on any edge set.
+    * O(component diameter) rounds of one equi-join + one min-agg;
+    * localCheckpoint truncates the growing lineage each round; the
+    * convergence probe is a count() action (an aggregate, never a
+    * driver-side data collection). Returns (id, lab) plus the number
+    * of rounds executed — rounds is the cost driver at scale, so the
+    * probe asserts on it directly. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): (DataFrame, Int) = {
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint()
-    // labels' checkpoint materialized edges (and edges is now cached):
-    // the minhash signature cache has served its three reuses — release
-    // it before the label-propagation rounds instead of leaking it
-    sigCache.unpersist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges.join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("lab"))
       val next = labels.unionByName(neighborMin)
@@ -237,11 +254,8 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    edges.unpersist()
-    require(changed == 0, s"dupClusters did not converge in $rounds rounds")
-    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lab"))
-      .select(col("id").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
+    require(changed == 0, s"connectedComponents did not converge in $rounds rounds")
+    (labels, rounds)
   }
 
   /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating

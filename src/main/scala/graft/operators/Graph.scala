@@ -85,20 +85,25 @@ object Graph {
     * satisfied on the cached side, so per round only the (much smaller)
     * rank table moves. Without it, every round re-exchanged and
     * re-sorted the full edge list (r05 plan: 10 exchanges, SMJ×6). */
-  private def directedEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, sfDir)
-    // explicit partition count: a bare repartition(col) leaves the
-    // count AQE-flexible, which makes the cached HashPartitioning
-    // statically unknowable to consumers — they'd re-exchange anyway
+  private def directedEdges(spark: SparkSession, sfDir: String): DataFrame =
+    prepareDirected(spark, coPurchaseEdges(spark, sfDir))
+
+  /** Both-direction view of a canonical undirected (u, v) edge list,
+    * persisted pre-partitioned and MATERIALIZED — the iteration-ready
+    * layout. Explicit partition count: a bare repartition(col) leaves
+    * the count AQE-flexible, which makes the cached HashPartitioning
+    * statically unknowable to consumers — they'd re-exchange anyway.
+    * The eager count matters the same way: an unexecuted AQE-cached
+    * plan reports unknown partitioning, so consumers planned against
+    * it would re-exchange the edges every round — the exact defect
+    * this layout exists to remove. After the count the scan exposes
+    * HashPartitioning(u, N) and each round's edge⋈rank join plans
+    * exchange-free on this side. Caller owns the unpersist. */
+  def prepareDirected(spark: SparkSession, edges: DataFrame): DataFrame = {
     val directed = edges
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("u"))
       .persist()
-    // materialize NOW: an unexecuted AQE-cached plan reports unknown
-    // partitioning, so consumers planned against it would re-exchange
-    // the edges every round — the exact defect this layout exists to
-    // remove. After the count the scan exposes HashPartitioning(u, N)
-    // and each round's edge⋈rank join plans exchange-free on this side.
     directed.count()
     directed
   }
@@ -160,6 +165,19 @@ object Graph {
       maxRounds: Int = 60,
       checkpointEvery: Int = 3): (DataFrame, Int) = {
     val directed = directedEdges(spark, sfDir)
+    try graphPagerankConvergedOn(directed, tol, maxRounds, checkpointEvery)
+    finally directed.unpersist()
+  }
+
+  /** The same converged loop over a caller-supplied iteration-ready
+    * edge list (from `prepareDirected`) — the library path for graphs
+    * that don't come from the co-purchase derivation, and the entry
+    * point the 100× scale probe drives with synthetic graphs. */
+  def graphPagerankConvergedOn(
+      directed: DataFrame,
+      tol: Long = PrScale / 1000000L,
+      maxRounds: Int = 60,
+      checkpointEvery: Int = 3): (DataFrame, Int) = {
     var pr = prInit(directed).localCheckpoint()
     var rounds = 0
     var delta = Long.MaxValue
@@ -176,7 +194,6 @@ object Graph {
         .agg(max(abs(col("pr") - col("prev_pr"))).as("d"))
         .head().getLong(0)
     }
-    directed.unpersist()
     require(delta <= tol, s"pagerank did not converge in $rounds rounds (delta=$delta)")
     (pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled")), rounds)
   }
