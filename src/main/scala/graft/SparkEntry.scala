@@ -643,9 +643,17 @@ object SparkEntry {
       // the id-less term ('batch' -> "") is absent from both lists, which
       // IS the reference's skip-empty-id branch (wd2tei.py:71-73)
       val withId = operators.RefInject.mappingAll.filter(_._2.nonEmpty)
+      // terms/ids are interpolated into single-quoted SQL literals AND
+      // (on the Spark side) into token-match logic: lock the charset at
+      // construction so a future mapping entry with a quote or other
+      // SQL/regex-significant character fails loudly here instead of
+      // generating a desynced or invalid oracle
+      withId.foreach { case (t, wd) =>
+        require(t.matches("[A-Za-z0-9_]+") && wd.matches("[A-Za-z0-9_]+"),
+          s"ref_inject mapping entry ('$t' -> '$wd') outside [A-Za-z0-9_]+") }
       val whens = withId.map { case (t, wd) =>
-        s"""WHEN x = '$t' THEN '<name ref="wd:$wd">$t</name>'""" }.mkString(" ")
-      val inList = withId.map(t => s"'${t._1}'").mkString(", ")
+        s"""WHEN x = '${sq(t)}' THEN '<name ref="wd:${sq(wd)}">${sq(t)}</name>'""" }.mkString(" ")
+      val inList = withId.map(t => s"'${sq(t._1)}'").mkString(", ")
       val header = operators.WikidataPipeline.listPrefixDef
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          |SELECT doc_id,
@@ -1324,8 +1332,8 @@ object SparkEntry {
         |top AS (SELECT w1, w2, c12 FROM c2 WHERE c12 >= 5
         |  ORDER BY c12 DESC, w1, w2 LIMIT 50)
         |SELECT w1, w2, c12,
-        |  round(log2(CAST(CAST(c12 AS HUGEINT) * n1.n1 * n1.n1 AS DOUBLE)
-        |    / CAST(CAST(n2.n2 AS HUGEINT) * a.c * b.c AS DOUBLE)), 6) AS pmi
+        |  round(log2(c12) + log2(n1.n1) * 2 - log2(n2.n2)
+        |    - log2(a.c) - log2(b.c), 6) AS pmi
         |FROM top JOIN c1 a ON top.w1 = a.w JOIN c1 b ON top.w2 = b.w
         |CROSS JOIN n1 CROSS JOIN n2
         |ORDER BY w1, w2""".stripMargin,

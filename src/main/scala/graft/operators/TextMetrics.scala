@@ -251,8 +251,12 @@ object TextMetrics {
     * forward at most k bigrams; no global sort of the bigram
     * vocabulary), and only the k survivors join the unigram counts —
     * the expensive side never shuffles more than once. PMI evaluates
-    * as exact decimal(38,0) products (HUGEINT on the oracle side)
-    * collapsed by one double divide + log2, rounded to 6. */
+    * in LOG SPACE — log2(c12) + 2·log2(n1) − log2(n2) − log2(c1a) −
+    * log2(c1b), same term order on both engines — because the integer
+    * product c12·n1² overflows decimal(38,0) once the corpus passes
+    * ~10^12 tokens and would go silently NULL under non-ANSI
+    * arithmetic; counts are exact in double up to 2^53, so the log
+    * terms (and the round-6 result) are engine-identical. */
   def collocPmi(spark: SparkSession, sfDir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -277,10 +281,8 @@ object TextMetrics {
       .join(c1.select(col("w").as("w2"), col("c").as("c1b")), Seq("w2"))
       .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
       .select(col("w1"), col("w2"), col("c12"),
-        round(log2(
-          (col("c12").cast("decimal(38,0)") * col("n1") * col("n1")).cast("double")
-            / (col("n2").cast("decimal(38,0)") * col("c1a") * col("c1b")).cast("double")), 6)
-          .as("pmi"))
+        round(log2(col("c12")) + log2(col("n1")) * 2 - log2(col("n2"))
+          - log2(col("c1a")) - log2(col("c1b")), 6).as("pmi"))
   }
 
   /** Whitespace and BPE-ish token counts. The regex splits letter runs

@@ -169,7 +169,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     // brute force: global window multiset, then per-doc interval union
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+      // limit -1 keeps trailing empty tokens, matching Spark/DuckDB
+      // split semantics — Java's default drops them, which would
+      // desync window positions on a trailing-space document
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).toSeq)
     val k = 8
     val windowCount = scala.collection.mutable.Map.empty[String, Int]
     for ((_, toks) <- docs; i <- 0 to toks.length - k)
@@ -202,7 +205,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val uni = scala.collection.mutable.Map.empty[String, Long]
     val bi = scala.collection.mutable.Map.empty[(String, String), Long]
     for (t <- texts) {
-      val toks = t.split(" ")
+      val toks = t.split(" ", -1) // -1: keep trailing empties like Spark/DuckDB split
       toks.filter(_.nonEmpty).foreach(w => uni.updateWith(w)(c => Some(c.getOrElse(0L) + 1)))
       toks.sliding(2).filter(_.length == 2)
         .foreach(p => bi.updateWith((p(0), p(1)))(c => Some(c.getOrElse(0L) + 1)))
