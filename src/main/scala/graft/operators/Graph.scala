@@ -85,8 +85,35 @@ object Graph {
     * satisfied on the cached side, so per round only the (much smaller)
     * rank table moves. Without it, every round re-exchanged and
     * re-sorted the full edge list (r05 plan: 10 exchanges, SMJ×6). */
-  private def directedEdges(spark: SparkSession, sfDir: String): DataFrame =
-    prepareDirected(spark, coPurchaseEdges(spark, sfDir))
+  /** The iteration-ready both-direction edge list, derived with the
+    * MINIMUM shuffle count (2) rather than via coPurchaseEdges (4-5):
+    * items dedup on (ok, pk) inside an explicit hash(ok) layout that
+    * the self-join then reuses (HashPartitioning(ok) satisfies the
+    * aggregate's ClusteredDistribution(ok, pk) and the join's
+    * ClusteredDistribution(ok) — no re-exchange), the join emits BOTH
+    * directions at once (a.pk ≠ b.pk instead of canonical < plus a
+    * union), and the final dedup on (u, v) runs inside the hash(u)
+    * layout every PageRank round needs anyway. Same edge set as
+    * coPurchaseEdges ∪ its reverse — triangle counting keeps the
+    * canonical derivation, whose (u < v) orientation it needs. */
+  private def directedEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val items = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .repartition(n, col("ok"))
+      .dropDuplicates("ok", "pk")
+    val directed = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .repartition(n, col("u"))
+      .dropDuplicates("u", "v")
+      .persist()
+    // eager count, same reason as prepareDirected: expose the cached
+    // HashPartitioning(u, n) to every consumer round
+    directed.count()
+    directed
+  }
 
   /** Both-direction view of a canonical undirected (u, v) edge list,
     * persisted pre-partitioned and MATERIALIZED — the iteration-ready
@@ -136,8 +163,15 @@ object Graph {
 
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val directed = directedEdges(spark, sfDir)
-    var pr = prInit(directed)
-    for (_ <- 1 to PrIters) pr = prStep(directed, pr)
+    // localCheckpoint per round: prStep references pr TWICE (contrib
+    // and the left join side), so an unmaterialized k-round unroll
+    // re-executes round i up to 2^(k-i) times — and the edge-side
+    // stages are deliberately exchange-free, so no ReusedExchange
+    // boundary exists to dedupe them. Materializing each round once
+    // makes the unroll linear: k × (one SHJ + one contribution
+    // shuffle), the textbook PageRank cost.
+    var pr = prInit(directed).localCheckpoint()
+    for (_ <- 1 to PrIters) pr = prStep(directed, pr).localCheckpoint()
     pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
   }
 
