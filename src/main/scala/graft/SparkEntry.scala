@@ -90,12 +90,15 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dup_clusters" -> (Dedup.dupClusters _),
+    "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "doc_keywords" -> (TextMetrics.docKeywords _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLsh _),
+    "embedding_quantize" -> (Ann.embeddingQuantize _),
+    "ann_pq" -> (Pq.annPq _),
     "ann_ivf" -> (Ann.annIvf _),
     "lang_id" -> (TextMetrics.langId _),
     "quality_score" -> (TextMetrics.qualityScore _),
@@ -721,6 +724,49 @@ object SparkEntry {
         |SELECT vec_a, vec_b, cos FROM p2 WHERE cos >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_eval" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+        |ks AS (SELECT unnest([3,4,5,6,8,10,12,16,20,24,32,48]) AS k),
+        |v AS (SELECT doc_id, k, toks,
+        |  list_filter(list_transform(range(1, len(toks)+1),
+        |    i -> CASE WHEN i % k != 0 THEN toks[i] END), x -> x IS NOT NULL) AS vtoks
+        |  FROM t CROSS JOIN ks),
+        |sh AS (SELECT doc_id, k,
+        |  list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sho,
+        |  list_distinct(list_transform(range(1, len(vtoks) - 1),
+        |    i -> vtoks[i] || ' ' || vtoks[i+1] || ' ' || vtoks[i+2])) AS shv
+        |  FROM v WHERE len(vtoks) >= 3),
+        |j AS (SELECT doc_id, k,
+        |  CAST(len(list_intersect(sho, shv)) AS DOUBLE)
+        |    / (len(sho) + len(shv) - len(list_intersect(sho, shv))) AS jaccard FROM sh),
+        |uo AS (SELECT doc_id, k, unnest(sho) AS s FROM sh),
+        |uv AS (SELECT doc_id, k, unnest(shv) AS s FROM sh),
+        |seeds AS (SELECT i, md5_number_lower('minhash-a-' || i) % 2305843009213693950 + 1 AS a,
+        |  md5_number_lower('minhash-b-' || i) % 2305843009213693951 AS b FROM range(16) r(i)),
+        |sigo AS (SELECT doc_id, k, i, min(CAST((CAST(a AS HUGEINT)
+        |    * (md5_number_lower(s) % 2305843009213693951) + b) % 2305843009213693951 AS BIGINT)) AS m
+        |  FROM uo CROSS JOIN seeds GROUP BY doc_id, k, i),
+        |sigv AS (SELECT doc_id, k, i, min(CAST((CAST(a AS HUGEINT)
+        |    * (md5_number_lower(s) % 2305843009213693951) + b) % 2305843009213693951 AS BIGINT)) AS m
+        |  FROM uv CROSS JOIN seeds GROUP BY doc_id, k, i),
+        |bo AS (SELECT doc_id, k, i // 2 AS band, string_agg(m, ',' ORDER BY i) AS bk
+        |  FROM sigo GROUP BY doc_id, k, i // 2),
+        |bv AS (SELECT doc_id, k, i // 2 AS band, string_agg(m, ',' ORDER BY i) AS bk
+        |  FROM sigv GROUP BY doc_id, k, i // 2),
+        |f AS (SELECT bo.doc_id, bo.k FROM bo JOIN bv
+        |    ON bo.doc_id = bv.doc_id AND bo.k = bv.k AND bo.band = bv.band AND bo.bk = bv.bk
+        |  GROUP BY bo.doc_id, bo.k),
+        |m AS (SELECT j.jaccard, f.doc_id IS NOT NULL AS found
+        |  FROM j LEFT JOIN f ON j.doc_id = f.doc_id AND j.k = f.k)
+        |SELECT floor(jaccard*10)/10 AS bucket,
+        |  count(*) AS n_pairs,
+        |  count(CASE WHEN found THEN 1 END) AS n_found,
+        |  round(avg(jaccard), 6) AS avg_jaccard,
+        |  round(avg(1 - pow(1 - pow(jaccard, 2), 8)), 6) AS lsh_theory,
+        |  round(CAST(count(CASE WHEN found THEN 1 END) AS DOUBLE) / count(*), 6) AS recall
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "dup_clusters" ->
       s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM mh
@@ -796,6 +842,68 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
         |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "ann_pq" ->
+      """WITH qv AS (SELECT vec_id, CAST(d // 8 AS INT) AS s, CAST(d % 8 AS INT) AS j,
+        |    CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |c0 AS (SELECT vec_id AS c_id, s, j, qd FROM qv WHERE vec_id < 16),
+        |d0 AS (SELECT qv.vec_id, qv.s, c0.c_id,
+        |    CAST(sum((qv.qd - c0.qd) * (qv.qd - c0.qd)) AS BIGINT) AS dist
+        |  FROM qv JOIN c0 ON c0.s = qv.s AND c0.j = qv.j GROUP BY qv.vec_id, qv.s, c0.c_id),
+        |a0 AS (SELECT vec_id, s, c_id FROM (SELECT vec_id, s, c_id,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c_id) AS rk FROM d0) WHERE rk = 1),
+        |sums AS (SELECT a0.s, a0.c_id, qv.j, CAST(sum(qv.qd) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM a0 JOIN qv ON qv.vec_id = a0.vec_id AND qv.s = a0.s GROUP BY a0.s, a0.c_id, qv.j),
+        |c1 AS (SELECT c0.s, c0.c_id, c0.j,
+        |    coalesce((sq - (((sq % cnt) + cnt) % cnt)) // cnt, c0.qd) AS qd
+        |  FROM c0 LEFT JOIN sums ON sums.s = c0.s AND sums.c_id = c0.c_id AND sums.j = c0.j),
+        |d1 AS (SELECT qv.vec_id, qv.s, c1.c_id,
+        |    CAST(sum((qv.qd - c1.qd) * (qv.qd - c1.qd)) AS BIGINT) AS dist
+        |  FROM qv JOIN c1 ON c1.s = qv.s AND c1.j = qv.j GROUP BY qv.vec_id, qv.s, c1.c_id),
+        |codes AS (SELECT vec_id, s, c_id AS code FROM (SELECT vec_id, s, c_id,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c_id) AS rk FROM d1) WHERE rk = 1),
+        |qdist AS (SELECT qv.vec_id AS q_id, qv.s, c1.c_id,
+        |    CAST(sum((qv.qd - c1.qd) * (qv.qd - c1.qd)) AS BIGINT) AS qd2
+        |  FROM qv JOIN c1 ON c1.s = qv.s AND c1.j = qv.j
+        |  WHERE qv.vec_id % 100 = 0 GROUP BY qv.vec_id, qv.s, c1.c_id),
+        |adc AS (SELECT qdist.q_id, codes.vec_id, CAST(sum(qdist.qd2) AS BIGINT) AS adc_dist
+        |  FROM codes JOIN qdist ON qdist.s = codes.s AND qdist.c_id = codes.code
+        |  GROUP BY qdist.q_id, codes.vec_id),
+        |short AS (SELECT q_id, vec_id, adc_dist FROM (SELECT q_id, vec_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS ark
+        |  FROM adc WHERE vec_id <> q_id) WHERE ark <= 20),
+        |rr AS (SELECT sh.q_id, sh.vec_id, sh.adc_dist,
+        |    CAST(sum((qa.qd - qb.qd) * (qa.qd - qb.qd)) AS BIGINT) AS l2_dist
+        |  FROM short sh JOIN qv qa ON qa.vec_id = sh.q_id
+        |    JOIN qv qb ON qb.vec_id = sh.vec_id AND qb.s = qa.s AND qb.j = qa.j
+        |  GROUP BY sh.q_id, sh.vec_id, sh.adc_dist),
+        |r AS (SELECT q_id, vec_id, adc_dist, l2_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY l2_dist, vec_id) AS rank
+        |  FROM rr)
+        |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, adc_dist, l2_dist
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, label, v,
+        |    list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) / 127.0 AS scale
+        |  FROM e),
+        |q AS (SELECT vec_id, label, v, scale,
+        |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER) * scale) AS dq
+        |  FROM s WHERE scale > 0),
+        |m AS (SELECT vec_id, label, scale, len(v) AS n,
+        |    list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> (v[i] - dq[i]) * (v[i] - dq[i])), (a, b) -> a + b) AS se,
+        |    list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> abs(v[i] - dq[i])), (a, b) -> greatest(a, b)) AS max_abs_err,
+        |    list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> v[i] * dq[i]), (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nv,
+        |    list_reduce(list_transform(dq, x -> x * x), (a, b) -> a + b) AS nq
+        |  FROM q)
+        |SELECT vec_id, label, scale, se / n AS mse, max_abs_err,
+        |  dot / (sqrt(nv) * sqrt(nq)) AS cos_sim
+        |FROM m ORDER BY vec_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |g AS (SELECT doc_id, CASE WHEN n < 8 THEN CAST([] AS BIGINT[]) ELSE

@@ -156,4 +156,40 @@ object Ann {
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
       .select(col("q_id"), col("vec_id"), col("cos")))
   }
+
+  /** Int8 scalar quantization of the embedding column with per-vector
+    * reconstruction diagnostics — the 4× memory lever that lets a
+    * 100 TB ANN index hold in cluster RAM. Symmetric per-vector
+    * scheme: scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋ (explicit
+    * floor-of-shifted so both engines round identically; |q_i| ≤ 127
+    * by construction, no clamp needed). Emits the quantization scale
+    * plus MSE, max absolute error, and cosine(original, dequantized)
+    * per vector — the table a user reads to decide whether int8 (or a
+    * coarser codebook) is safe for their recall target.
+    *
+    * Entirely row-local (one projection, zero joins, zero shuffles
+    * beyond the test-layout spread); every fold runs left-to-right via
+    * `aggregate` with a 0.0 seed, bit-identical to the oracle's
+    * list_reduce, so the doubles compare exactly un-rounded. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    spread(Tables.embeddings(spark, sfDir))
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("scale", expr(
+        "aggregate(v, cast(0 as double), (m, x) -> greatest(m, abs(x))) / 127.0"))
+      .filter(col("scale") > 0)
+      .withColumn("dq", expr(
+        "transform(v, x -> cast(floor(x / scale + 0.5) as int) * scale)"))
+      .withColumn("se", expr(
+        "aggregate(zip_with(v, dq, (a, b) -> (a-b)*(a-b)), cast(0 as double), (s, x) -> s + x)"))
+      .withColumn("max_abs_err", expr(
+        "aggregate(zip_with(v, dq, (a, b) -> abs(a-b)), cast(0 as double), (m, x) -> greatest(m, x))"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, dq, (a, b) -> a*b), cast(0 as double), (s, x) -> s + x)"))
+      .withColumn("nv", expr(
+        "aggregate(v, cast(0 as double), (s, x) -> s + x*x)"))
+      .withColumn("nq", expr(
+        "aggregate(dq, cast(0 as double), (s, x) -> s + x*x)"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        (col("se") / size(col("v"))).as("mse"), col("max_abs_err"),
+        (col("dot") / (sqrt(col("nv")) * sqrt(col("nq")))).as("cos_sim"))
 }

@@ -277,6 +277,64 @@ object Dedup {
     * duplicated-window occurrences × k). At 100 TB the shingle key
     * would be a 128-bit hash (collision-free in practice); here it
     * stays the literal string so the DuckDB oracle is value-exact. */
+  /** LSH-parameter evaluation via controlled corruption — the dedup
+    * analogue of matchEval (the reference tunes its matcher against a
+    * labeled sample, script/itemtoid_test.py:179; a dedup pipeline
+    * tunes its bands×rows the same way). Natural corpora are bimodal
+    * (jaccard ≈ 0 noise plus ≥ 0.9 near-copies), so measuring recall
+    * on organic pairs exercises two buckets; instead each sampled doc
+    * is corrupted at 12 controlled rates (drop every k-th token,
+    * k ∈ 3..48), which sweeps the true-jaccard axis end to end. Per
+    * jaccard bucket the table reports measured band-collision recall
+    * of the 8×2 MinHash scheme next to its analytic S-curve
+    * 1-(1-j²)⁸ — the two columns agreeing is what justifies
+    * dedupMinhash's parameters; a user re-tunes by editing bands/rows
+    * here and re-reading the table.
+    *
+    * Every pair is (original, its own variant), so the whole operator
+    * is ROW-LOCAL — shingle, sign, and band-compare happen inside one
+    * projection with no pair join anywhere; the only shuffle is the
+    * 11-bucket final agg. At 100 TB the eval sample is a fixed-size
+    * labeled holdout; here it is the deterministic doc_id % 10 slice. */
+  def dedupEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = 8
+    val rows = 2
+    val ks = Seq(3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 48)
+    def shingles(c: String) = expr(
+      s"array_distinct(transform(sequence(1, size($c)-2), i -> " +
+        s"concat_ws(' ', element_at($c,i), element_at($c,i+1), element_at($c,i+2))))")
+    val pairs = Partitioning.spread(Tables.documents(spark, sfDir))
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("k", explode(typedLit(ks)))
+      // 1-based position i survives iff i % k ≠ 0 (DuckDB's range is
+      // 1-based; Spark's lambda index is 0-based, hence i+1)
+      .withColumn("vtoks", expr(
+        "filter(transform(toks, (x, i) -> IF((i+1) % k != 0, x, NULL)), x -> x IS NOT NULL)"))
+      .filter(size(col("vtoks")) >= 3)
+      .withColumn("sho", shingles("toks"))
+      .withColumn("shv", shingles("vtoks"))
+      .withColumn("inter", size(array_intersect(col("sho"), col("shv"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sho")) + size(col("shv")) - col("inter")))
+      .withColumn("sig_o", Similarity.minhashSig(col("sho"), bands * rows))
+      .withColumn("sig_v", Similarity.minhashSig(col("shv"), bands * rows))
+      .withColumn("found", expr(
+        s"exists(sequence(0, ${bands - 1}), b -> " +
+          s"slice(sig_o, b*$rows+1, $rows) = slice(sig_v, b*$rows+1, $rows))"))
+    pairs
+      .groupBy((floor(col("jaccard") * 10) / 10.0).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("found"), 1)).as("n_found"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"),
+        round(avg(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), rows), bands)), 6)
+          .as("lsh_theory"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("n_pairs"), 6))
+  }
+
   def substringDup(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     val docs = Partitioning.spread(Tables.documents(spark, sfDir))
       .withColumn("toks", split(col("text"), " "))

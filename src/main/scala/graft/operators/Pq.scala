@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Product-quantization ANN (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+  * codebook path a 100 TB vector corpus actually ships: 64-dim
+  * embeddings split into M=8 subspaces of 8 dims, each subspace
+  * k-means-coded to 4 bits (K=16 centroids), so a vector compresses
+  * 64 floats → 8 nibbles and search scans codes against a per-query
+  * ADC (asymmetric distance computation) lookup table instead of raw
+  * floats.
+  *
+  * Cross-engine exactness follows the Cluster.scala discipline:
+  * coordinates quantize to floor(x·2^20) longs, every subspace L2
+  * distance is an exact integer sum ((x-y)² ≤ 2^42, ×8 dims ≤ 2^45 —
+  * no overflow), the Lloyd update floor-divides integer sums via
+  * pmod, and ADC totals are exact longs — the DuckDB oracle replays
+  * the whole train → encode → search pipeline value-for-value.
+  *
+  * Scale shape: both codebook passes broadcast ≤ M×K centroid rows
+  * against the subvector table; the Lloyd update shuffles M×K×8
+  * partial sums, not vectors; search joins the corpus code table
+  * against a broadcast M×K-per-query ADC table and reduces with the
+  * bounded-heap TopKPerGroup — the corpus side never shuffles more
+  * than k×queries rows. */
+object Pq {
+
+  val M = 8      // subspaces
+  val Dsub = 8   // dims per subspace
+  val K = 16     // centroids per subspace (4-bit codes)
+  val TopN = 5
+  val Shortlist = 20 // ADC candidates kept per query for exact rerank
+
+  /** floor(x·2^20) per dimension — integer-exact quantization (the
+    * Cluster.scala / HyperplaneLsh convention). */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * 1048576).cast("long"))
+
+  /** Exact integer L2 distance between two quantized subvectors. */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest centroid per (vec_id, s) against a broadcast codebook
+    * `(s, c_id, cq)`; ties toward the smaller c_id. The bounded-heap
+    * TopK keeps the K-way fan-out from ever shuffling. */
+  private def assign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("s"))
+      .withColumn("dist", l2(col("subq"), col("cq")))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("vec_id", "s"), Seq("dist" -> true, "c_id" -> true), 1))
+
+  /** Train (seed + one exact Lloyd refinement per subspace), encode
+    * the corpus, run ADC for the sampled query set, then exact-rerank
+    * the per-query ADC shortlist (the FAISS refine stage — ADC alone
+    * at 4 bits recalls ~0.24 of exact top-5 here; reranking the top-20
+    * shortlist with true integer L2 doubles that while touching only
+    * Shortlist×queries full vectors). Emits
+    * `(q_id, neighbor_id, rank, adc_dist, l2_dist)`. */
+  private[graft] def debugCodes(spark: SparkSession, sfDir: String): DataFrame =
+    stages(spark, sfDir)._1
+  private[graft] def debugAdc(spark: SparkSession, sfDir: String): DataFrame =
+    stages(spark, sfDir)._2
+
+  def annPq(spark: SparkSession, sfDir: String): DataFrame =
+    stages(spark, sfDir)._3
+
+  private def stages(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(spark, sfDir)
+    // full quantized vectors: reused by the subvector cut AND the
+    // rerank payload joins
+    val qfull = Partitioning.spread(emb)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .persist()
+    // (vec_id, s, subq): the corpus cut into M quantized subvectors;
+    // reused by both assignment passes, the Lloyd update, and the
+    // query-side ADC table — persist or the scan+quantize runs 4×
+    val sub = qfull
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(q, s*$Dsub+1, $Dsub))"))
+        .as(Seq("s", "subq")))
+      .persist()
+
+    // seed codebook: subvectors of vec_id < K, per subspace
+    val cents0 = sub.filter(col("vec_id") < K)
+      .select(col("s"), col("vec_id").as("c_id"), col("subq").as("cq"))
+    val a0 = assign(sub, cents0).select(col("vec_id"), col("s"), col("c_id"))
+
+    // one Lloyd step: exact integer per-(s, c_id, j) sums, floor-div
+    // mean (pmod keeps negative sums flooring identically on both
+    // engines); an empty cluster keeps its seed centroid
+    val sums = a0.join(sub, Seq("vec_id", "s"))
+      .select(col("s"), col("c_id"), posexplode(col("subq")).as(Seq("j", "qd")))
+      .groupBy(col("s"), col("c_id"), col("j"))
+      .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
+    val seedDims = cents0
+      .select(col("s"), col("c_id"), posexplode(col("cq")).as(Seq("j", "seed_qd")))
+    val cents1 = seedDims
+      .join(sums.select(col("s"), col("c_id"), col("j"), col("cd")),
+        Seq("s", "c_id", "j"), "left")
+      .withColumn("cd", coalesce(col("cd"), col("seed_qd")))
+      .groupBy(col("s"), col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cd")))),
+        x => x.getField("cd")).as("cq"))
+
+    // encode: each corpus subvector → its 4-bit code
+    val codes = assign(sub, cents1)
+      .select(col("vec_id"), col("s"), col("c_id").as("code"))
+
+    // per-query ADC lookup table: exact L2 to every refined centroid.
+    // Renamed join keys: codes and qdist both descend from `sub`, so
+    // same-name column refs would resolve trivially-true self-equals.
+    val qdist = sub.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(cents1), Seq("s"))
+      .withColumn("qd2", l2(col("subq"), col("cq")))
+      .select(col("q_id"), col("s").as("qs"), col("c_id").as("qc"), col("qd2"))
+
+    // ADC scan: code table × broadcast lookup, exact long totals
+    val adc = codes
+      .join(broadcast(qdist),
+        col("s") === col("qs") && col("code") === col("qc"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_dist"))
+      .filter(col("vec_id") =!= col("q_id"))
+
+    // exact rerank of the ADC shortlist: true integer L2 over the full
+    // 64-dim quantized vectors, only Shortlist×queries pairs pay for it
+    val short = adc.transform(graft.plans.TopK.perGroup(
+      Seq("q_id"), Seq("adc_dist" -> true, "vec_id" -> true), Shortlist))
+    val reranked = short
+      .join(qfull.withColumnRenamed("q", "nv"), Seq("vec_id"))
+      .join(broadcast(qfull.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qv"))), Seq("q_id"))
+      .withColumn("l2_dist", l2(col("qv"), col("nv")))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("l2_dist"), col("vec_id"))
+    val result = reranked
+      .transform(graft.plans.TopK.perGroup(
+        Seq("q_id"), Seq("l2_dist" -> true, "vec_id" -> true), TopN))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("adc_dist"), col("l2_dist"))
+    (codes, adc, result)
+  }
+}

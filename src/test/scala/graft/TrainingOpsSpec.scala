@@ -43,6 +43,78 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"minhash covered $covered of ${ngram.size} ngram pairs")
   }
 
+  test("dedup_eval: row-local plan, exact-dup bucket fully recalled, sane bounds") {
+    val ev = Dedup.dedupEval(spark, sf)
+    // the whole eval is (original, own-variant) pairs — no pair join
+    // may appear anywhere in the physical plan
+    val plan = ev.queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "CartesianProduct")
+      .foreach(j => assert(!plan.contains(j), s"dedup_eval plan contains $j"))
+    val rows = ev.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs"); val f = r.getAs[Long]("n_found")
+      assert(f >= 0 && f <= n)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      // identical shingle sets hash to identical signatures: the 1.0
+      // bucket must be found by every band, i.e. recall exactly 1
+      if (r.getAs[Double]("bucket") == 1.0) assert(rec == 1.0)
+      // high-jaccard buckets sit on the steep-right part of the S-curve
+      if (r.getAs[Double]("bucket") >= 0.8)
+        assert(r.getAs[Double]("lsh_theory") >= 0.9)
+    }
+  }
+
+  test("embedding_quantize: row-local plan, int8 error bounds hold") {
+    val qz = Ann.embeddingQuantize(spark, sf)
+    val plan = qz.queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "CartesianProduct")
+      .foreach(j => assert(!plan.contains(j), s"embedding_quantize plan contains $j"))
+    val rows = qz.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      // symmetric int8 rounding error is at most scale/2 per dimension
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-12)
+      assert(r.getAs[Double]("mse") <= scale * scale / 4 + 1e-12)
+      assert(r.getAs[Double]("cos_sim") > 0.99,
+        s"vec ${r.getAs[Long]("vec_id")} cos ${r.getAs[Double]("cos_sim")}")
+    }
+  }
+
+  test("ann_pq: ranks contiguous, distances monotone, useful recall vs exact L2") {
+    val pq = Pq.annPq(spark, sf).collect()
+    assert(pq.nonEmpty)
+    val byQ = pq.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val dists = sorted.map(_.getAs[Long]("l2_dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // exact integer-L2 top-5 (same floor(x*2^20) quantization) as truth
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576).toLong).toArray)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val truth = vecs.filter(_._1 % 100 == 0).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (l2(qv, v), id) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val found = byQ.map { case (q, rows) =>
+      q -> rows.map(_.getAs[Long]("neighbor_id")).toSet
+    }
+    // keysIterator, not keys: mapping a key SET to counts would
+    // deduplicate equal per-query counts before the sum
+    val hits = truth.keysIterator.map(q => (truth(q) & found.getOrElse(q, Set())).size).sum
+    val total = truth.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.4,
+      s"PQ rerank recall@5 vs exact L2 = $hits/$total")
+  }
+
   test("dedup_simhash pairs are within hamming bound") {
     Dedup.dedupSimhash(spark, sf).collect()
       .foreach(r => assert(r.getAs[Int]("hamming") <= 3))
