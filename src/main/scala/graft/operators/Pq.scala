@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import graft.expressions.{ArgminLong, L2Long, PqAdc, PqDists}
 import graft.sources.Tables
 
 /** Product-quantization ANN (Jégou, Douze, Schmid, "Product
@@ -40,19 +42,33 @@ object Pq {
   private def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * 1048576).cast("long"))
 
-  /** Exact integer L2 distance between two quantized subvectors. */
+  /** Exact integer L2 distance — the codegen'd kernel. */
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    column(L2Long(expression(a), expression(b)))
 
-  /** Nearest centroid per (vec_id, s) against a broadcast codebook
-    * `(s, c_id, cq)`; ties toward the smaller c_id. The bounded-heap
-    * TopK keeps the K-way fan-out from ever shuffling. */
-  private def assign(sub: DataFrame, cents: DataFrame): DataFrame =
-    sub.join(broadcast(cents), Seq("s"))
-      .withColumn("dist", l2(col("subq"), col("cq")))
-      .transform(graft.plans.TopK.perGroup(
-        Seq("vec_id", "s"), Seq("dist" -> true, "c_id" -> true), 1))
+  /** Codebook pivoted to one row per subspace, `(s, cents[K][Dsub])`
+    * ordered by c_id — c_id values are exactly 0..K-1 (seeded from
+    * vec_id < K), so array index ≡ centroid id. */
+  private def centsWide(c: DataFrame): DataFrame =
+    c.groupBy(col("s"))
+      .agg(transform(array_sort(collect_list(struct(col("c_id"), col("cq")))),
+        x => x.getField("cq")).as("cents"))
+
+  /** Row-local assignment: join each subvector with its subspace's
+    * ONE broadcast codebook row, compute all K distances in a single
+    * projection (`dists`), take the argmin (`c_id`; strict < keeps
+    * the first minimum — ties toward the smaller centroid id, the
+    * oracle's ORDER BY dist, c_id). No K-way row fan-out, no
+    * aggregation, no shuffle — the corpus streams through one stage.
+    * An earlier join+TopK formulation materialized corpus×K rows
+    * through the grouping operator and cost 3× the whole pipeline; a
+    * higher-order-function formulation of the K×Dsub sweep ran
+    * interpreted with a lambda allocation per row — the PqDists /
+    * ArgminLong kernels are single JIT'd loops inside codegen. */
+  private def withCode(sub: DataFrame, cw: DataFrame): DataFrame =
+    sub.join(broadcast(cw), Seq("s"))
+      .withColumn("dists", column(PqDists(expression(col("subq")), expression(col("cents")))))
+      .withColumn("c_id", column(ArgminLong(expression(col("dists")))))
 
   /** Train (seed + one exact Lloyd refinement per subspace), encode
     * the corpus, run ADC for the sampled query set, then exact-rerank
@@ -61,15 +77,7 @@ object Pq {
     * shortlist with true integer L2 doubles that while touching only
     * Shortlist×queries full vectors). Emits
     * `(q_id, neighbor_id, rank, adc_dist, l2_dist)`. */
-  private[graft] def debugCodes(spark: SparkSession, sfDir: String): DataFrame =
-    stages(spark, sfDir)._1
-  private[graft] def debugAdc(spark: SparkSession, sfDir: String): DataFrame =
-    stages(spark, sfDir)._2
-
-  def annPq(spark: SparkSession, sfDir: String): DataFrame =
-    stages(spark, sfDir)._3
-
-  private def stages(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     // full quantized vectors: reused by the subvector cut AND the
     // rerank payload joins
@@ -88,12 +96,12 @@ object Pq {
     // seed codebook: subvectors of vec_id < K, per subspace
     val cents0 = sub.filter(col("vec_id") < K)
       .select(col("s"), col("vec_id").as("c_id"), col("subq").as("cq"))
-    val a0 = assign(sub, cents0).select(col("vec_id"), col("s"), col("c_id"))
+    val a0 = withCode(sub, centsWide(cents0))
 
     // one Lloyd step: exact integer per-(s, c_id, j) sums, floor-div
     // mean (pmod keeps negative sums flooring identically on both
     // engines); an empty cluster keeps its seed centroid
-    val sums = a0.join(sub, Seq("vec_id", "s"))
+    val sums = a0
       .select(col("s"), col("c_id"), posexplode(col("subq")).as(Seq("j", "qd")))
       .groupBy(col("s"), col("c_id"), col("j"))
       .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
@@ -108,26 +116,37 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cd")))),
         x => x.getField("cd")).as("cq"))
 
-    // encode: each corpus subvector → its 4-bit code
-    val codes = assign(sub, cents1)
-      .select(col("vec_id"), col("s"), col("c_id").as("code"))
+    // encode: each corpus subvector → its 4-bit code (row-local argmin
+    // against the refined broadcast codebook), then pivot the M rows
+    // into one code array per vector — the PQ code layout a real index
+    // stores (8 nibbles), and the shape that lets the ADC scan below
+    // run row-local instead of fanning M rows per (query, vector) pair
+    // through a shuffle. `enc` keeps the full per-subspace distance
+    // row, which IS the query-side ADC table — computed once.
+    val enc = withCode(sub, centsWide(cents1))
+    val codes = enc.select(col("vec_id"), col("s"), col("c_id").as("code"))
+    val codesWide = codes
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
 
-    // per-query ADC lookup table: exact L2 to every refined centroid.
-    // Renamed join keys: codes and qdist both descend from `sub`, so
-    // same-name column refs would resolve trivially-true self-equals.
-    val qdist = sub.filter(pmod(col("vec_id"), lit(100)) === 0)
-      .withColumnRenamed("vec_id", "q_id")
-      .join(broadcast(cents1), Seq("s"))
-      .withColumn("qd2", l2(col("subq"), col("cq")))
-      .select(col("q_id"), col("s").as("qs"), col("c_id").as("qc"), col("qd2"))
+    // per-query ADC lookup table: the M distance rows flattened to one
+    // M×K array per query, indexed dtab[s*K + code]
+    val qtab = enc.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("dists")))),
+        x => x.getField("dists"))).as("dtab"))
+      .select(col("vec_id").as("q_id"), col("dtab"))
 
-    // ADC scan: code table × broadcast lookup, exact long totals
-    val adc = codes
-      .join(broadcast(qdist),
-        col("s") === col("qs") && col("code") === col("qc"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qd2")).as("adc_dist"))
+    // ADC scan: corpus codes × broadcast query tables, the distance a
+    // pure 8-lookup integer fold — no join key, no aggregation, no
+    // shuffle; the only exchange left is TopK's bounded k×queries rows
+    val adc = codesWide
+      .crossJoin(broadcast(qtab))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist",
+        column(PqAdc(expression(col("codes")), expression(col("dtab")), K)))
+      .select(col("q_id"), col("vec_id"), col("adc_dist"))
 
     // exact rerank of the ADC shortlist: true integer L2 over the full
     // 64-dim quantized vectors, only Shortlist×queries pairs pay for it
@@ -140,12 +159,11 @@ object Pq {
       .withColumn("l2_dist", l2(col("qv"), col("nv")))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("l2_dist"), col("vec_id"))
-    val result = reranked
+    reranked
       .transform(graft.plans.TopK.perGroup(
         Seq("q_id"), Seq("l2_dist" -> true, "vec_id" -> true), TopN))
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("adc_dist"), col("l2_dist"))
-    (codes, adc, result)
   }
 }

@@ -40,6 +40,35 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("pq kernels equal brute-force references") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-2000000L, 2000000L))
+    val gen = for {
+      sub <- vecGen
+      cents <- Gen.listOfN(16, vecGen)
+    } yield (sub, cents)
+    for ((sub, cents) <- samples(gen)) {
+      val expected = cents.map(c =>
+        sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val dists = PqDists.compute(larr(sub),
+        new GenericArrayData(cents.map(c => larr(c)).toArray[Any]))
+      assert((0 until 16).map(dists.getLong) == expected)
+      // first-minimum argmin (ties toward the smaller index)
+      val idx = ArgminLong.compute(larr(expected))
+      assert(expected(idx.toInt) == expected.min)
+      assert(!expected.take(idx.toInt).exists(_ == expected.min))
+      assert(L2Long.compute(larr(sub), larr(cents.head)) == expected.head)
+    }
+    // ADC lookup: dtab[s*k + code[s]] summed
+    val adcGen = for {
+      codes <- Gen.listOfN(8, Gen.chooseNum(0L, 15L))
+      dtab <- Gen.listOfN(128, Gen.chooseNum(0L, 1000000L))
+    } yield (codes, dtab)
+    for ((codes, dtab) <- samples(adcGen)) {
+      val expected = codes.zipWithIndex.map { case (c, s) => dtab(s * 16 + c.toInt) }.sum
+      assert(PqAdc.compute(larr(codes), larr(dtab), 16) == expected)
+    }
+  }
+
   test("sorted_jaccard equals naive set jaccard") {
     val gen = for {
       a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
