@@ -172,6 +172,10 @@ object Graph {
     // shuffle), the textbook PageRank cost.
     var pr = prInit(directed).localCheckpoint()
     for (_ <- 1 to PrIters) pr = prStep(directed, pr).localCheckpoint()
+    // the eager checkpoints above are the last consumers of the edge
+    // cache — release it so repeated invocations (bench passes, long
+    // sessions) don't accumulate edge tables in executor memory
+    directed.unpersist()
     pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
   }
 
