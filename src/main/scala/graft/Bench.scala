@@ -79,6 +79,8 @@ object Bench {
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(nPasses >= 1,
+      s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $nPasses")
     // passes(p)(i) = pass p's timing of query i; a query that failed in
     // pass 1 is not retried (failures are code, not host noise)
     val passes = Array.ofDim[Double](nPasses, names.length)
@@ -120,11 +122,22 @@ object Bench {
       s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     }
     val line = (3 to 1 by -1).map(lineAt).find(_.length <= 1950).getOrElse(lineAt(1))
+    // even the 1-decimal fallback can outgrow the driver's 2000-char
+    // tail as queries accumulate — warn loudly (on stderr, never the
+    // data channel) so the breach is visible BEFORE BENCH_r{N} parses
+    // null, and drop to 0 decimals as a last resort
+    val guarded =
+      if (line.length <= 1950) line
+      else {
+        System.err.println(s"[bench] WARNING: stdout line ${line.length} chars " +
+          "exceeds the 1950 budget even at 1 decimal; emitting 0-decimal timings")
+        lineAt(0)
+      }
 
     // stop Spark BEFORE emitting the metric line: shutdown logging (or a
     // 2>&1 merge downstream) must not land after our JSON on the tail
     spark.stop()
-    realOut.println(line)
+    realOut.println(guarded)
     realOut.flush()
   }
 }

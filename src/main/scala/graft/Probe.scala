@@ -18,6 +18,12 @@ object Probe {
   private def committed(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
 
+  /** Multi-output build blocks must gate on EVERY table they write: a
+    * kill between the block's first and last commit would otherwise
+    * leave the first table's _SUCCESS satisfying the guard while a
+    * sibling is truncated or absent. */
+  private def committedAll(dirs: String*): Boolean = dirs.forall(committed)
+
   /** Iterative-operator scale probe (`runMain graft.Probe iter100`):
     * dup_clusters and graph_pagerank are the only operators whose cost
     * is rounds × shuffles, and round count is GRAPH-shaped, not
@@ -91,7 +97,7 @@ object Probe {
     val big = "/tmp/sfbig"
     val shards = 10
 
-    if (!committed(s"$big/documents.parquet")) {
+    if (!committedAll(s"$big/documents.parquet", s"$big/embeddings.parquet")) {
       val docs = graft.sources.Tables.documents(spark, sf)
       (0 until shards).map(i => docs
           .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
@@ -121,7 +127,8 @@ object Probe {
         .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     }
 
-    if (!committed(s"$big/orders.parquet")) {
+    if (!committedAll(s"$big/orders.parquet", s"$big/customer.parquet",
+        s"$big/part.parquet")) {
       // orders/customer shift together so the custkey join keys stay
       // consistent; part stays a single copy (lineitem keeps original
       // partkeys — a fixed dim under a 10× fact, the realistic shape)

@@ -37,6 +37,11 @@ object Multimodal {
   private def u32le(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  /** Signed little-endian i32 — biWidth/biHeight are LONG per
+    * BITMAPINFOHEADER; a top-down BMP carries a NEGATIVE biHeight,
+    * which an unsigned read would render as ~4.29 billion. */
+  private def s32le(b: Array[Byte], o: Int): Long =
+    u32le(b, o).toInt.toLong
 
   /** Header decoder — one call per record inside the partition
     * iterator, like a native codec would be batched. The digest
@@ -58,7 +63,7 @@ object Multimodal {
     if (b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
       MediaMeta(r.doc_id, "bmp", b.length.toLong,
         data_bytes = u32le(b, 34),         // biSizeImage
-        width = u32le(b, 18), height = u32le(b, 22),
+        width = s32le(b, 18), height = s32le(b, 22),
         sample_rate = 0L, channels = 0L,
         bit_depth = u16le(b, 28).toLong, magic = magic, content_sha256 = sha)
     else if (b.length >= 44 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&

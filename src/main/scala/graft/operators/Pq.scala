@@ -159,11 +159,19 @@ object Pq {
       .withColumn("l2_dist", l2(col("qv"), col("nv")))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("l2_dist"), col("vec_id"))
-    reranked
+    val result = reranked
       .transform(graft.plans.TopK.perGroup(
         Seq("q_id"), Seq("l2_dist" -> true, "vec_id" -> true), TopN))
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         col("adc_dist"), col("l2_dist"))
+      // TopN×queries rows: materialize eagerly so the two pipeline
+      // caches can be released here instead of leaking one full-vector
+      // and one 8×-exploded cache per invocation (the graphPagerank /
+      // dupClusters loop discipline)
+      .localCheckpoint()
+    qfull.unpersist()
+    sub.unpersist()
+    result
   }
 }

@@ -255,8 +255,13 @@ object TextMetrics {
     * log2(c1b), same term order on both engines — because the integer
     * product c12·n1² overflows decimal(38,0) once the corpus passes
     * ~10^12 tokens and would go silently NULL under non-ANSI
-    * arithmetic; counts are exact in double up to 2^53, so the log
-    * terms (and the round-6 result) are engine-identical. */
+    * arithmetic; counts are exact in double up to 2^53. Caveat: each
+    * of the five log2 calls may differ by an ulp between the JVM and
+    * DuckDB's libm, so "engine-identical" here means identical AFTER
+    * round(·, 6) — a flip needs a PMI within ~5·2⁻⁴⁶ of a 0.5e-6
+    * boundary, never observed across the three gate SFs; a corpus
+    * that hit one would need the single-log exact-ratio form
+    * (quotient+remainder split) instead. */
   def collocPmi(spark: SparkSession, sfDir: String,
       minCount: Int = 5, k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

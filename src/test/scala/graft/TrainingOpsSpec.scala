@@ -176,12 +176,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     val wav = "RIFF".getBytes ++ le32(52) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
       le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++ le32(44100 * 4) ++
       le16(4) ++ le16(16) ++ "data".getBytes ++ le32(16) ++ Array.fill[Byte](16)(1)
+    // top-down variant: biHeight is SIGNED per BITMAPINFOHEADER — a
+    // Windows screen capture carries height -2, not 4294967294
+    val bmpTopDown = bmp.clone()
+    le32(-2L & 0xffffffffL).copyToArray(bmpTopDown, 22)
     val out = Multimodal.decodeMeta(
-        Seq(MediaRecord(1L, bmp), MediaRecord(2L, wav)).toDS())
+        Seq(MediaRecord(1L, bmp), MediaRecord(2L, wav),
+          MediaRecord(3L, bmpTopDown)).toDS())
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     val b = out(1L)
     assert(b.getAs[String]("media_type") == "bmp")
     assert(b.getAs[Long]("width") == 2 && b.getAs[Long]("height") == 2)
+    assert(out(3L).getAs[Long]("height") == -2L)
     assert(b.getAs[Long]("bit_depth") == 24 && b.getAs[Long]("data_bytes") == 16)
     assert(b.getAs[Long]("byte_len") == 70)
     val w = out(2L)
