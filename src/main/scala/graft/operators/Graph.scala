@@ -26,21 +26,34 @@ object Graph {
   final val PrScale = 1000000000000L
   final val PrIters = 3
 
-  /** Canonical undirected co-purchase edges (u < v by part id). */
+  /** Canonical undirected co-purchase edges (u < v by part id),
+    * derived with TWO shuffles via the same layout reuse as
+    * directedEdges below: the (ok, pk) dedup runs inside an explicit
+    * hash(ok) layout that the self-join then consumes without
+    * re-exchanging, and the (u, v) dedup runs inside the hash(u)
+    * layout the wedge stages key on. The earlier bare-distinct form
+    * cost 4-5 exchanges before the first wedge formed. */
   private[operators] def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
     val items = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 25)
       .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
-      .distinct()
+      .repartition(n, col("ok"))
+      .dropDuplicates("ok", "pk")
     items.as("a").join(items.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+      .repartition(n, col("u"))
+      .dropDuplicates("u", "v")
   }
 
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    // canonical undirected edges, keyed (u < v) by part id
-    val edges = coPurchaseEdges(spark, sfDir)
+    // canonical undirected edges, keyed (u < v) by part id — persisted
+    // and MATERIALIZED: four stages consume them (degree agg, the two
+    // degree joins, the wedge-close join), and without the persist the
+    // scan→dedup→self-join derivation replays for each
+    val edges = coPurchaseEdges(spark, sfDir).persist()
+    edges.count()
     val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): src = smaller endpoint in that total order
@@ -58,10 +71,15 @@ object Graph {
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
     val triangles = wedges.join(edges,
       col("y") === col("u") && col("z") === col("v"))
-    triangles
+    val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("partkey"))
       .groupBy(col("partkey"))
       .agg(count(lit(1)).as("n_triangles"))
+      // per-vertex counts: materialize eagerly so the edge cache can be
+      // released here (the graphPagerank / annPq discipline)
+      .localCheckpoint()
+    edges.unpersist()
+    counts
   }
 
   /** PageRank over the (undirected → both-direction) co-purchase
