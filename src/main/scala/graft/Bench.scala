@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
   *     (System.out is rerouted to stderr for the whole run), sbt status
   *     lines (build.sbt: StdoutOutput + showSuccess=false) — goes to
   *     stderr, so the driver's tail-parse cannot fail on a prefix.
-  *   - three full INTERLEAVED passes (pass1 runs all 92 queries, then
-  *     pass2, then pass3; per-query min across passes). Back-to-back
+  *   - three full INTERLEAVED passes (pass1 runs every declared query,
+  *     then pass2, then pass3; per-query min across passes). Back-to-back
   *     min-of-two lets one multi-second host spike poison both samples
   *     of the same query (BENCH_r05: dq_checks 40.9s on two consecutive
   *     samples of a 0.9s query); interleaving separates a query's
@@ -131,7 +131,15 @@ object Bench {
       else {
         System.err.println(s"[bench] WARNING: stdout line ${line.length} chars " +
           "exceeds the 1950 budget even at 1 decimal; emitting 0-decimal timings")
-        lineAt(0)
+        val zero = lineAt(0)
+        if (zero.length <= 1950) zero
+        else {
+          // last resort: drop the per-query map entirely — the total
+          // alone still parses, and BENCH_LOCAL.json has every timing
+          System.err.println(s"[bench] WARNING: 0-decimal line ${zero.length} chars " +
+            "still over budget; emitting total-only metric line")
+          s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec","queries":{},"sf":"$sfShort"}"""
+        }
       }
 
     // stop Spark BEFORE emitting the metric line: shutdown logging (or a

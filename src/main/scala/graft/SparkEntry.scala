@@ -219,6 +219,12 @@ object SparkEntry {
   private def mmU16(i: Int): String = s"(${mmByte(i)} + 256*${mmByte(i + 1)})"
   private def mmU32(i: Int): String =
     s"(${mmByte(i)} + 256*${mmByte(i + 1)} + 65536*${mmByte(i + 2)} + 16777216*${mmByte(i + 3)})"
+  /** Signed little-endian i32 — mirrors the Spark decoder's s32le:
+    * biWidth/biHeight are SIGNED per BITMAPINFOHEADER (a top-down BMP
+    * carries negative biHeight), so the oracle must sign-extend too or
+    * the engines would diverge on a negative payload. */
+  private def mmS32(i: Int): String =
+    s"(CASE WHEN ${mmU32(i)} >= 2147483648 THEN ${mmU32(i)} - 4294967296 ELSE ${mmU32(i)} END)"
   private val multimodalMetaSql: String =
     s"""WITH g AS (SELECT doc_id, ${Multimodal.mediaHexSql} AS hx FROM documents)
        |SELECT doc_id,
@@ -227,8 +233,8 @@ object SparkEntry {
        |  CAST(length(hx)/2 AS BIGINT) AS byte_len,
        |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(35)}
        |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(41)} ELSE 0 END AS data_bytes,
-       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(19)} ELSE 0 END AS width,
-       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(23)} ELSE 0 END AS height,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmS32(19)} ELSE 0 END AS width,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmS32(23)} ELSE 0 END AS height,
        |  CASE WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(25)} ELSE 0 END AS sample_rate,
        |  CASE WHEN substr(hx,1,8) = '52494646' THEN ${mmU16(23)} ELSE 0 END AS channels,
        |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU16(29)}

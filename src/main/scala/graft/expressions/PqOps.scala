@@ -51,6 +51,9 @@ object PqDists {
     var c = 0
     while (c < k) {
       val cq = cents.getArray(c)
+      if (cq.numElements() != d)
+        throw new IllegalArgumentException(
+          s"pq_dists: centroid $c has ${cq.numElements()} dims, subvector has $d")
       var acc = 0L
       var j = 0
       while (j < d) {
@@ -90,6 +93,8 @@ case class ArgminLong(child: Expression) extends UnaryExpression {
 object ArgminLong {
   def compute(a: ArrayData): Long = {
     val n = a.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException("argmin_long: empty array has no argmin")
     var best = a.getLong(0)
     var idx = 0
     var i = 1
@@ -129,10 +134,17 @@ case class PqAdc(left: Expression, right: Expression, k: Int) extends BinaryExpr
 object PqAdc {
   def compute(codes: ArrayData, dtab: ArrayData, k: Int): Long = {
     val m = codes.numElements()
+    if (dtab.numElements() != m * k)
+      throw new IllegalArgumentException(
+        s"pq_adc: lookup table has ${dtab.numElements()} entries, expected $m subspaces x $k codes")
     var acc = 0L
     var s = 0
     while (s < m) {
-      acc += dtab.getLong(s * k + codes.getLong(s).toInt)
+      val code = codes.getLong(s)
+      if (code < 0 || code >= k)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at subspace $s outside [0, $k)")
+      acc += dtab.getLong(s * k + code.toInt)
       s += 1
     }
     acc
@@ -166,6 +178,9 @@ case class L2Long(left: Expression, right: Expression) extends BinaryExpression 
 object L2Long {
   def compute(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"l2_long: length mismatch ($n vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -95,8 +95,14 @@ object Multimodal {
     s"(${byteHex(v)} || ${byteHex(s"($v)/256")})"
   private def u32hex(v: String) =
     s"(${byteHex(v)} || ${byteHex(s"($v)/256")} || ${byteHex(s"($v)/65536")} || ${byteHex(s"($v)/16777216")})"
+  /** First `len` BYTES of the document rendered as hex, padded with
+    * 'x' (0x78) bytes. Slices and pads in HEX SPACE (2 chars = 1 byte,
+    * always an even cut) instead of character space, so a multi-byte
+    * UTF-8 document cannot hex to more bytes than the header's size
+    * fields claim — the byte_len == header + data_bytes invariant
+    * holds by construction for ANY input text, not just ASCII. */
   private def dataHex(len: String) =
-    s"upper(hex(rpad(substr(text, 1, CAST($len AS INT)), CAST($len AS INT), 'x')))"
+    s"rpad(substr(upper(hex(text)), 1, CAST(2*($len) AS INT)), CAST(2*($len) AS INT), '78')"
 
   // BMP: 54-byte BITMAPINFOHEADER file; width/height/row padding per spec
   private val bmpW = "(2 + doc_id % 14)"

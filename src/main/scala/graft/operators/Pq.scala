@@ -47,12 +47,22 @@ object Pq {
     column(L2Long(expression(a), expression(b)))
 
   /** Codebook pivoted to one row per subspace, `(s, cents[K][Dsub])`
-    * ordered by c_id — c_id values are exactly 0..K-1 (seeded from
-    * vec_id < K), so array index ≡ centroid id. */
+    * ordered by c_id — the downstream kernels index `cents` BY POSITION,
+    * so the contract is that every subspace carries exactly c_id 0..K-1
+    * (seeded from vec_id < K). A 1-based or sparse id set would
+    * otherwise mis-index silently; the guard raises at train time
+    * instead (M rows pay one array compare — negligible). */
   private def centsWide(c: DataFrame): DataFrame =
     c.groupBy(col("s"))
-      .agg(transform(array_sort(collect_list(struct(col("c_id"), col("cq")))),
-        x => x.getField("cq")).as("cents"))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cq")))).as("packed"))
+      .select(col("s"),
+        when(transform(col("packed"), x => x.getField("c_id")) ===
+            sequence(lit(0L), lit((K - 1).toLong)),
+          transform(col("packed"), x => x.getField("cq")))
+          .otherwise(raise_error(concat(
+            lit("pq codebook: subspace "), col("s").cast("string"),
+            lit(s" c_ids are not exactly 0..${K - 1}"))))
+          .as("cents"))
 
   /** Row-local assignment: join each subvector with its subspace's
     * ONE broadcast codebook row, compute all K distances in a single
