@@ -117,6 +117,8 @@ object SparkEntry {
     "domain_mix" -> (Sampling.domainMix _),
     "seq_pack" -> (Sampling.seqPack _),
     "cluster_assign" -> (Cluster.clusterAssign _),
+    "semantic_dedup" -> (Cluster.semanticDedup _),
+    "quality_classifier" -> (TextMetrics.qualityClassifier _),
     "decontaminate" -> (Fingerprint.decontaminate _),
     "bpe_pairs" -> (Tokenize.bpePairs _),
     "col_profile" -> (Profile.colProfile _),
@@ -1184,6 +1186,48 @@ object SparkEntry {
         |SELECT a0.vec_id, e.label, cluster0, cluster1, cluster0 <> cluster1 AS moved
         |FROM a0 JOIN a1 USING (vec_id) JOIN embeddings e ON e.vec_id = a0.vec_id
         |ORDER BY a0.vec_id""".stripMargin,
+    "semantic_dedup" ->
+      s"""WITH qv AS (SELECT vec_id, d,
+        |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |norms AS (SELECT vec_id, CAST(sum(qd * qd) AS BIGINT) AS qnorm FROM qv GROUP BY vec_id),
+        |c0 AS (SELECT vec_id AS c_id, d, qd FROM qv WHERE vec_id < ${Cluster.SeedK}),
+        |c0n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c0 GROUP BY c_id),
+        |dots0 AS (SELECT qv.vec_id, c0.c_id, CAST(sum(qv.qd * c0.qd) AS BIGINT) AS dot
+        |  FROM qv JOIN c0 USING (d) GROUP BY qv.vec_id, c0.c_id),
+        |s0 AS (SELECT vec_id, c_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+        |  FROM dots0 JOIN norms USING (vec_id) JOIN c0n USING (c_id)),
+        |a0 AS (SELECT vec_id, c_id FROM (
+        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM s0) WHERE rk = 1),
+        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |ps AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(ea.emb, eb.emb)
+        |    / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) AS cos
+        |  FROM a0 a JOIN a0 b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |  JOIN ed ea ON ea.vec_id = a.vec_id JOIN ed eb ON eb.vec_id = b.vec_id),
+        |dups AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of, max(cos) AS max_sim
+        |  FROM ps WHERE cos >= ${Cluster.SemTau} GROUP BY vec_b)
+        |SELECT a0.vec_id, a0.c_id AS cluster, dups.dup_of IS NULL AS kept,
+        |  dups.dup_of, dups.max_sim
+        |FROM a0 LEFT JOIN dups USING (vec_id)
+        |ORDER BY a0.vec_id""".stripMargin,
+    "quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, t FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST((md5_number_lower('qw-' ||
+        |      CAST((md5_number_lower('qc-' || t) % 2305843009213693951) % ${TextMetrics.QcBuckets} AS BIGINT))
+        |    % 2305843009213693951) % 2001 AS BIGINT) - 1000) AS BIGINT) AS margin_raw
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  coalesce(sc.margin_raw, 0) AS margin_raw,
+        |  CASE WHEN coalesce(sc.n_tokens, 0) > 0
+        |       THEN CAST(sc.margin_raw AS DOUBLE) / (1000.0 * sc.n_tokens) END AS score,
+        |  coalesce(sc.margin_raw, 0) > 0 AS flagged
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "events_window" ->
       """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT epoch_us(date_trunc('hour', ts)) AS window_start,

@@ -151,6 +151,127 @@ object PqAdc {
   }
 }
 
+/** All M subspace assignments of one FULL quantized vector against a
+  * FLAT codebook laid out book[(s*K + c)*Dsub + j] — the whole encode
+  * step as one row-local kernel. Replaces the exploded formulation
+  * (posexplode to M rows per vector → per-subspace broadcast join →
+  * collect_list pivot back), which paid an 8× cached explode and a
+  * corpus-wide pivot shuffle for what is a pure per-row loop. Argmin
+  * ties break toward the smaller centroid id (first minimum), matching
+  * ArgminLong / the oracle's ORDER BY dist, c_id. */
+case class PqAssign(left: Expression, right: Expression, m: Int, k: Int, dsub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_assign"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAssign.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, k, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.PqAssign.compute($a, $b, $m, $k, $dsub)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAssign =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAssign {
+  def compute(q: ArrayData, book: ArrayData, m: Int, k: Int, dsub: Int): ArrayData = {
+    if (q.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_assign: vector has ${q.numElements()} dims, expected $m x $dsub")
+    if (book.numElements() != m * k * dsub)
+      throw new IllegalArgumentException(
+        s"pq_assign: codebook has ${book.numElements()} entries, expected $m x $k x $dsub")
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = Long.MaxValue
+      var bi = 0
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * dsub
+        var acc = 0L
+        var j = 0
+        while (j < dsub) {
+          val diff = q.getLong(s * dsub + j) - book.getLong(base + j)
+          acc += diff * diff
+          j += 1
+        }
+        if (acc < best) { best = acc; bi = c }
+        c += 1
+      }
+      out(s) = bi.toLong
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The per-query ADC lookup table — all M×K exact subspace distances
+  * of one full query vector against the flat codebook, laid out
+  * dtab[s*K + c] (the layout PqAdc indexes). Row-local: replaces the
+  * exploded per-subspace distance rows + collect_list flatten pivot. */
+case class PqTab(left: Expression, right: Expression, m: Int, k: Int, dsub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_tab"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqTab.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, k, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.PqTab.compute($a, $b, $m, $k, $dsub)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqTab =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqTab {
+  def compute(q: ArrayData, book: ArrayData, m: Int, k: Int, dsub: Int): ArrayData = {
+    if (q.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_tab: vector has ${q.numElements()} dims, expected $m x $dsub")
+    if (book.numElements() != m * k * dsub)
+      throw new IllegalArgumentException(
+        s"pq_tab: codebook has ${book.numElements()} entries, expected $m x $k x $dsub")
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * dsub
+        var acc = 0L
+        var j = 0
+        while (j < dsub) {
+          val diff = q.getLong(s * dsub + j) - book.getLong(base + j)
+          acc += diff * diff
+          j += 1
+        }
+        out(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Exact long L2 over two equal-length quantized vectors (the rerank
   * distance — one tight loop instead of zip_with + aggregate). */
 case class L2Long(left: Expression, right: Expression) extends BinaryExpression {

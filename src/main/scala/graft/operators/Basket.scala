@@ -23,16 +23,25 @@ object Basket {
   final val MinSupport = 2L
 
   def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    // dedup inside an EXPLICIT hash(ok) layout (the Graph.scala trick):
+    // HashPartitioning(ok) satisfies the dedup's ClusteredDistribution
+    // (ok, pk), the self-join's ClusteredDistribution(ok), AND the
+    // order-count distinct — so the one repartition exchange is built
+    // once and ReusedExchange feeds every consumer, where the earlier
+    // bare distinct() re-shuffled per subtree (6 exchanges, 4 replays
+    // of the scan+dedup)
+    val n = spark.sessionState.conf.numShufflePartitions
     val items = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .repartition(n, col("ok"))
+      .dropDuplicates("ok", "pk")
     val pairCounts = items.as("a").join(items.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MinSupport)
     val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val orderCount = items.select(col("ok")).distinct()
+    val orderCount = items.select(col("ok")).dropDuplicates("ok")
       .agg(count(lit(1)).as("n_orders"))
     // itemCounts is catalog-sized (SF-proportional): no broadcast
     // hint — AQE broadcasts while it fits and degrades to a shuffle

@@ -94,4 +94,54 @@ object Cluster {
       .select(col("vec_id"), col("label"), col("cluster0"), col("cluster1"),
         (col("cluster0") =!= col("cluster1")).as("moved"))
   }
+
+  /** Cosine threshold above which two cluster-mates are semantic
+    * duplicates (the dedup_embedding corpus threshold). */
+  final val SemTau = 0.35
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then deduplicate ONLY within clusters — the
+    * cluster assignment is the blocking structure, so the pair count
+    * is Σ C(cluster_size, 2) instead of C(n, 2).
+    *
+    * Pipeline: exact-fixed-point seed assignment (the cluster_assign
+    * discipline — argmax cosine against the SeedK seed centroids, ties
+    * toward the smaller c_id), then within-cluster pairwise cosine on
+    * the raw embeddings (left-to-right fold, the dedup_embedding
+    * discipline), and a deterministic keep rule: a vector is dropped
+    * iff some SMALLER-id cluster-mate matches it at >= SemTau (the
+    * paper keeps one representative per duplicate group; min-id is the
+    * order-free choice of representative — the paper's
+    * lowest-centroid-similarity variant changes which survivor is
+    * kept, not how many).
+    *
+    * Scale shape: cluster count must grow with the corpus (SemDeDup
+    * runs 50k clusters over LAION) so cluster sizes — and the
+    * quadratic-within-cluster pair volume — stay bounded; the gate
+    * form's SeedK=16 is the oracle-replayable miniature. Emits one row
+    * per vector: (vec_id, cluster, kept, dup_of, max_sim). */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qnorm", qdot(col("q"), col("q")))
+    val cents0 = vecs.filter(col("vec_id") < SeedK)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"),
+        col("qnorm").as("cnorm"))
+    val a0 = assign(vecs, cents0).select(col("vec_id"), col("c_id"))
+    // cluster-mates with the raw embeddings back on (unhinted join —
+    // AQE broadcasts the assignment while small); pairs only inside a
+    // cluster, canonical a < b
+    val withEmb = a0.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val pairs = withEmb.as("a").join(withEmb.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", graft.functions.Similarity.cosine(
+        col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= SemTau)
+    val dups = pairs.groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"), max(col("cos")).as("max_sim"))
+    a0.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id").as("cluster"),
+        col("dup_of").isNull.as("kept"), col("dup_of"), col("max_sim"))
+  }
 }

@@ -162,20 +162,30 @@ object EntityMatch {
           .cast("long").as("truth_id"))
   }
 
-  /** Score one matcher's (c_custkey, match_id, level) output against
-    * the truth sample, per level plus an 'all' row. Reference metric
+  /** Score tagged matcher outputs (matcher, c_custkey, match_id,
+    * level) against the truth sample, per (matcher, level) plus an
+    * 'all' row per matcher — BOTH matchers through ONE truth join and
+    * ONE aggregation (the earlier per-matcher version joined and
+    * aggregated twice, recomputing the truth sample each time: 12
+    * exchanges for what is one pass). The truth side is exploded per
+    * matcher name first, so a truth customer absent from one matcher's
+    * output still scores as that matcher's silence. Reference metric
     * semantics (itemtoid_test.py:261-285): "result" = a found id is
     * the true one; "silence" = correctly returning nothing. */
-  private def evalMatcher(truth: DataFrame, results: DataFrame, matcher: String): DataFrame = {
-    val j = truth.join(results, Seq("c_custkey"), "left")
-      .select(col("truth_id"), col("match_id"),
+  private def evalMatchers(truth: DataFrame, results: DataFrame,
+      matchers: Seq[String]): DataFrame = {
+    val j = truth
+      .select(col("c_custkey"), col("truth_id"),
+        explode(array(matchers.map(lit): _*)).as("matcher"))
+      .join(results, Seq("c_custkey", "matcher"), "left")
+      .select(col("matcher"), col("truth_id"), col("match_id"),
         coalesce(col("level").cast("string"), lit("none")).as("lvl"))
     // per-level rows + an 'all' row in one pass: explode each joined
     // row into its level group and the overall group, then aggregate —
-    // one shuffle on (level), no second scan of the matcher output
-    val g = j.select(col("truth_id"), col("match_id"),
+    // one shuffle on (matcher, level), no second scan of anything
+    val g = j.select(col("matcher"), col("truth_id"), col("match_id"),
         explode(array(col("lvl"), lit("all"))).as("level"))
-      .groupBy(col("level"))
+      .groupBy(col("matcher"), col("level"))
       .agg(
         count(lit(1)).as("n"),
         count(col("match_id")).as("n_result"),
@@ -187,7 +197,7 @@ object EntityMatch {
     val p = col("true_result").cast("double") / col("n_result")
     val r = col("true_result").cast("double") / col("n_truth")
     g.select(
-      lit(matcher).as("matcher"), col("level"), col("n"), col("n_result"),
+      col("matcher"), col("level"), col("n"), col("n_result"),
       col("true_result"),
       when(col("n_result") > 0, round(p, 6)).as("precision_result"),
       when(col("n_truth") > 0, round(r, 6)).as("recall_result"),
@@ -210,10 +220,12 @@ object EntityMatch {
   def matchEval(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = truthSample(spark, sfDir)
     val casc = entityCascade(spark, sfDir)
-      .select(col("c_custkey"), col("match_id"), col("certitude").as("level"))
+      .select(col("c_custkey"), col("match_id"), col("certitude").as("level"),
+        lit("entity_cascade").as("matcher"))
     val cert = matchCertitude(spark, sfDir)
-      .select(col("c_custkey"), col("match_id"), col("paramcount").as("level"))
-    evalMatcher(truth, casc, "entity_cascade")
-      .unionByName(evalMatcher(truth, cert, "match_certitude"))
+      .select(col("c_custkey"), col("match_id"), col("paramcount").as("level"),
+        lit("match_certitude").as("matcher"))
+    evalMatchers(truth, casc.unionByName(cert),
+      Seq("entity_cascade", "match_certitude"))
   }
 }

@@ -26,51 +26,47 @@ object Graph {
   final val PrScale = 1000000000000L
   final val PrIters = 3
 
-  /** Canonical undirected co-purchase edges (u < v by part id),
-    * derived with TWO shuffles via the same layout reuse as
-    * directedEdges below: the (ok, pk) dedup runs inside an explicit
-    * hash(ok) layout that the self-join then consumes without
-    * re-exchanging, and the (u, v) dedup runs inside the hash(u)
-    * layout the wedge stages key on. The earlier bare-distinct form
-    * cost 4-5 exchanges before the first wedge formed. */
-  private[operators] def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    val items = Tables.lineitem(spark, sfDir)
-      .filter(col("l_quantity") > 25)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
-      .repartition(n, col("ok"))
-      .dropDuplicates("ok", "pk")
-    items.as("a").join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .repartition(n, col("u"))
-      .dropDuplicates("u", "v")
-  }
-
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    // canonical undirected edges, keyed (u < v) by part id — persisted
-    // and MATERIALIZED: four stages consume them (degree agg, the two
-    // degree joins, the wedge-close join), and without the persist the
-    // scan→dedup→self-join derivation replays for each
-    val edges = coPurchaseEdges(spark, sfDir).persist()
-    edges.count()
-    val deg = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
-      .groupBy(col("p")).agg(count(lit(1)).as("d"))
-    // orient by (degree, id): src = smaller endpoint in that total order
-    val withDeg = edges
+    // the SAME 2-shuffle both-direction derivation PageRank iterates
+    // on, persisted hash(u): degrees fall out of the cached layout with
+    // NO extra exchange (groupBy(u) finds HashPartitioning(u) already
+    // satisfied — out-degree in the both-direction list IS the
+    // undirected degree), where the earlier canonical-edge form paid a
+    // union + full re-shuffle just to count degrees, then two more
+    // degree joins and a separate persisted canonical set to close
+    // wedges against
+    val directed = directedEdges(spark, sfDir)
+    val deg = directed.groupBy(col("u").as("p")).agg(count(lit(1)).as("d"))
+    // attach endpoint degrees — unhinted: AQE broadcasts the vertex-
+    // count-sized deg table while it's small, shuffles at 100 TB
+    val withDeg = directed
       .join(deg.select(col("p").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("p").as("v"), col("d").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
-      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-        col("u")).otherwise(col("v")).as("src"),
-      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-        col("v")).otherwise(col("u")).as("dst"))
-    // wedges at each source, dst pair in canonical (pk) order
+    // orient by DEGREE ORDER: keep each undirected edge exactly once,
+    // pointing up the (deg, id) total order — a filter, not a union or
+    // min/max rewrite, because the both-direction list carries each
+    // edge in both orders. Out-degrees are then O(√m)-bounded, so the
+    // wedge intermediate is O(m^1.5) and a hub vertex generates no
+    // wedges. dst's degree rides along: the wedge pair-order below must
+    // match the closing edge's orientation, which is (deg, id) order.
+    val oriented = withDeg
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"), col("dv").as("ddst"))
+      .persist()
+    oriented.count()
+    directed.unpersist()
+    // wedges at each source; both sides scan the ONE cached oriented
+    // list, so the self-join shuffles at most its two hash layouts
     val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
-    val triangles = wedges.join(edges,
-      col("y") === col("u") && col("z") === col("v"))
+    // a triangle's third edge y→z is itself oriented up the (deg, id)
+    // order, so closing against the oriented list finds each triangle
+    // exactly once
+    val triangles = wedges.join(oriented,
+      col("y") === col("src") && col("z") === col("dst"))
     val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("partkey"))
       .groupBy(col("partkey"))
@@ -78,7 +74,7 @@ object Graph {
       // per-vertex counts: materialize eagerly so the edge cache can be
       // released here (the graphPagerank / annPq discipline)
       .localCheckpoint()
-    edges.unpersist()
+    oriented.unpersist()
     counts
   }
 
@@ -111,9 +107,9 @@ object Graph {
     * ClusteredDistribution(ok) — no re-exchange), the join emits BOTH
     * directions at once (a.pk ≠ b.pk instead of canonical < plus a
     * union), and the final dedup on (u, v) runs inside the hash(u)
-    * layout every PageRank round needs anyway. Same edge set as
-    * coPurchaseEdges ∪ its reverse — triangle counting keeps the
-    * canonical derivation, whose (u < v) orientation it needs. */
+    * layout every PageRank round needs anyway. Shared by PageRank
+    * (iterates on it directly) and triangle counting (degree-orients
+    * it by filtering to the up-(deg,id) direction). */
   private def directedEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val n = spark.sessionState.conf.numShufflePartitions
     val items = Tables.lineitem(spark, sfDir)

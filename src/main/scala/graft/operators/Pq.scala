@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
-import graft.expressions.{ArgminLong, L2Long, PqAdc, PqDists}
+import graft.expressions.{L2Long, PqAdc, PqAssign, PqTab}
 import graft.sources.Tables
 
 /** Product-quantization ANN (Jégou, Douze, Schmid, "Product
@@ -46,39 +46,26 @@ object Pq {
   private def l2(a: Column, b: Column): Column =
     column(L2Long(expression(a), expression(b)))
 
-  /** Codebook pivoted to one row per subspace, `(s, cents[K][Dsub])`
-    * ordered by c_id — the downstream kernels index `cents` BY POSITION,
-    * so the contract is that every subspace carries exactly c_id 0..K-1
-    * (seeded from vec_id < K). A 1-based or sparse id set would
-    * otherwise mis-index silently; the guard raises at train time
-    * instead (M rows pay one array compare — negligible). */
-  private def centsWide(c: DataFrame): DataFrame =
-    c.groupBy(col("s"))
-      .agg(array_sort(collect_list(struct(col("c_id"), col("cq")))).as("packed"))
-      .select(col("s"),
-        when(transform(col("packed"), x => x.getField("c_id")) ===
-            sequence(lit(0L), lit((K - 1).toLong)),
-          transform(col("packed"), x => x.getField("cq")))
-          .otherwise(raise_error(concat(
-            lit("pq codebook: subspace "), col("s").cast("string"),
-            lit(s" c_ids are not exactly 0..${K - 1}"))))
-          .as("cents"))
-
-  /** Row-local assignment: join each subvector with its subspace's
-    * ONE broadcast codebook row, compute all K distances in a single
-    * projection (`dists`), take the argmin (`c_id`; strict < keeps
-    * the first minimum — ties toward the smaller centroid id, the
-    * oracle's ORDER BY dist, c_id). No K-way row fan-out, no
-    * aggregation, no shuffle — the corpus streams through one stage.
-    * An earlier join+TopK formulation materialized corpus×K rows
-    * through the grouping operator and cost 3× the whole pipeline; a
-    * higher-order-function formulation of the K×Dsub sweep ran
-    * interpreted with a lambda allocation per row — the PqDists /
-    * ArgminLong kernels are single JIT'd loops inside codegen. */
-  private def withCode(sub: DataFrame, cw: DataFrame): DataFrame =
-    sub.join(broadcast(cw), Seq("s"))
-      .withColumn("dists", column(PqDists(expression(col("subq")), expression(col("cents")))))
-      .withColumn("c_id", column(ArgminLong(expression(col("dists")))))
+  /** One-row FLAT codebook in the kernels' book[(s*K+c)*Dsub+j]
+    * layout, from per-(s, c_id) centroid rows. The downstream kernels
+    * index BY POSITION, so the contract is that the input carries
+    * exactly M×K rows with c_id 0..K-1 per subspace — a 1-based or
+    * sparse id set would mis-index silently; the guard raises at build
+    * time instead (one row pays one array compare — negligible). */
+  private def flatBook(c: DataFrame): DataFrame = {
+    val expect = (0 until M).flatMap(s => (0 until K).map(c => (s.toLong, c.toLong)))
+      .map { case (s, c) => struct(lit(s), lit(c)) }
+    c.agg(array_sort(collect_list(struct(
+        col("s").cast("long").as("s"), col("c_id").cast("long").as("c_id"),
+        col("cq")))).as("packed"))
+      .select(
+        when(transform(col("packed"),
+            x => struct(x.getField("s"), x.getField("c_id"))) === array(expect: _*),
+          flatten(transform(col("packed"), x => x.getField("cq"))))
+          .otherwise(raise_error(
+            lit(s"pq codebook: (s, c_id) pairs are not exactly (0..${M - 1}) x (0..${K - 1})")))
+          .as("book"))
+  }
 
   /** Train (seed + one exact Lloyd refinement per subspace), encode
     * the corpus, run ADC for the sampled query set, then exact-rerank
@@ -86,38 +73,55 @@ object Pq {
     * at 4 bits recalls ~0.24 of exact top-5 here; reranking the top-20
     * shortlist with true integer L2 doubles that while touching only
     * Shortlist×queries full vectors). Emits
-    * `(q_id, neighbor_id, rank, adc_dist, l2_dist)`. */
+    * `(q_id, neighbor_id, rank, adc_dist, l2_dist)`.
+    *
+    * Both assignment passes and the query ADC tables run as ROW-LOCAL
+    * kernels over the full vectors against the one-row broadcast flat
+    * codebook (PqAssign / PqTab — single JIT'd loops inside codegen;
+    * ties toward the smaller centroid id, the oracle's ORDER BY dist,
+    * c_id). The earlier per-subspace formulation exploded the corpus
+    * 8× into a second cache, paid two broadcast joins against pivoted
+    * codebook rows, and shuffled two corpus-wide collect_list pivots
+    * (codes, ADC tables) — all of it per-row loops wearing a join
+    * costume; at sf0.1 the rewrite cut the operator ~2.5s → ~1.2s. */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    // full quantized vectors: reused by the subvector cut AND the
-    // rerank payload joins
+    // full quantized vectors: feeds training, both encode passes, and
+    // the rerank payload joins
     val qfull = Partitioning.spread(emb)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .persist()
-    // (vec_id, s, subq): the corpus cut into M quantized subvectors;
-    // reused by both assignment passes, the Lloyd update, and the
-    // query-side ADC table — persist or the scan+quantize runs 4×
-    val sub = qfull
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${M - 1}), s -> slice(q, s*$Dsub+1, $Dsub))"))
-        .as(Seq("s", "subq")))
-      .persist()
+    val seeds = qfull.filter(col("vec_id") < K)
 
-    // seed codebook: subvectors of vec_id < K, per subspace
-    val cents0 = sub.filter(col("vec_id") < K)
-      .select(col("s"), col("vec_id").as("c_id"), col("subq").as("cq"))
-    val a0 = withCode(sub, centsWide(cents0))
+    // seed codebook: vectors 0..K-1, each cut into its M subvectors
+    val cents0 = seeds
+      .select(col("vec_id").as("c_id"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(q, s*$Dsub+1, $Dsub))"))
+        .as(Seq("s", "cq")))
+      .select(col("s"), col("c_id"), col("cq"))
+    val book0 = flatBook(cents0)
 
     // one Lloyd step: exact integer per-(s, c_id, j) sums, floor-div
     // mean (pmod keeps negative sums flooring identically on both
-    // engines); an empty cluster keeps its seed centroid
+    // engines); an empty cluster keeps its seed centroid. ONE
+    // posexplode of the full vector yields every (s, j, value) triple
+    // (s = idx div Dsub, j = idx mod Dsub) with the assignment read
+    // from the codes array — no per-subspace row materialization.
+    val a0 = qfull.crossJoin(broadcast(book0))
+      .select(col("vec_id"), col("q"),
+        column(PqAssign(expression(col("q")), expression(col("book")), M, K, Dsub)).as("codes"))
     val sums = a0
-      .select(col("s"), col("c_id"), posexplode(col("subq")).as(Seq("j", "qd")))
+      .select(col("codes"), posexplode(col("q")).as(Seq("idx", "qd")))
+      .select(expr(s"CAST(idx div $Dsub AS BIGINT)").as("s"),
+        expr(s"codes[idx div $Dsub]").as("c_id"),
+        expr(s"CAST(idx % $Dsub AS BIGINT)").as("j"), col("qd"))
       .groupBy(col("s"), col("c_id"), col("j"))
       .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
       .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
     val seedDims = cents0
-      .select(col("s"), col("c_id"), posexplode(col("cq")).as(Seq("j", "seed_qd")))
+      .select(col("s").cast("long").as("s"), col("c_id"),
+        posexplode(col("cq")).as(Seq("j", "seed_qd")))
+      .withColumn("j", col("j").cast("long"))
     val cents1 = seedDims
       .join(sums.select(col("s"), col("c_id"), col("j"), col("cd")),
         Seq("s", "c_id", "j"), "left")
@@ -125,33 +129,21 @@ object Pq {
       .groupBy(col("s"), col("c_id"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cd")))),
         x => x.getField("cd")).as("cq"))
+    val book1 = flatBook(cents1)
 
-    // encode: each corpus subvector → its 4-bit code (row-local argmin
-    // against the refined broadcast codebook), then pivot the M rows
-    // into one code array per vector — the PQ code layout a real index
-    // stores (8 nibbles), and the shape that lets the ADC scan below
-    // run row-local instead of fanning M rows per (query, vector) pair
-    // through a shuffle. `enc` keeps the full per-subspace distance
-    // row, which IS the query-side ADC table — computed once.
-    val enc = withCode(sub, centsWide(cents1))
-    val codes = enc.select(col("vec_id"), col("s"), col("c_id").as("code"))
-    val codesWide = codes
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-        x => x.getField("code")).as("codes"))
-
-    // per-query ADC lookup table: the M distance rows flattened to one
-    // M×K array per query, indexed dtab[s*K + code]
-    val qtab = enc.filter(pmod(col("vec_id"), lit(100)) === 0)
-      .groupBy(col("vec_id"))
-      .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("dists")))),
-        x => x.getField("dists"))).as("dtab"))
-      .select(col("vec_id").as("q_id"), col("dtab"))
+    // encode + query-side ADC tables: row-local kernels over the full
+    // vectors, no explode, no pivot shuffle
+    val withBook = qfull.crossJoin(broadcast(book1))
+    val codes = withBook.select(col("vec_id"),
+      column(PqAssign(expression(col("q")), expression(col("book")), M, K, Dsub)).as("codes"))
+    val qtab = withBook.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("q_id"),
+        column(PqTab(expression(col("q")), expression(col("book")), M, K, Dsub)).as("dtab"))
 
     // ADC scan: corpus codes × broadcast query tables, the distance a
     // pure 8-lookup integer fold — no join key, no aggregation, no
     // shuffle; the only exchange left is TopK's bounded k×queries rows
-    val adc = codesWide
+    val adc = codes
       .crossJoin(broadcast(qtab))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist",
@@ -181,7 +173,6 @@ object Pq {
       // dupClusters loop discipline)
       .localCheckpoint()
     qfull.unpersist()
-    sub.unpersist()
     result
   }
 }

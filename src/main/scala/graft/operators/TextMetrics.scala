@@ -300,4 +300,29 @@ object TextMetrics {
         size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)")).cast("long"))
       .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
   }
+
+  /** Feature-hash buckets for the linear quality classifier. */
+  final val QcBuckets = 1024
+
+  /** Model-based quality classification — the fastText/CCNet-style
+    * linear filter a pretraining pipeline runs after the rule-based
+    * quality_score: tokens hash into QcBuckets features, a per-bucket
+    * weight vector scores the bag, the mean weight is the margin. The
+    * weights here are md5-derived (so the DuckDB oracle replays the
+    * score exactly); a real deployment broadcasts trained weights into
+    * the same kernel. Whole plan = ONE row-local projection over the
+    * corpus (no explode, no join, no shuffle): hashed-linear models
+    * exist precisely so inference costs a single pass. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        column(graft.expressions.HashedLinearScore(
+          expression(split(col("text"), " ")), QcBuckets)).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").as("n_tokens"), col("r.margin_raw").as("margin_raw"))
+      .withColumn("score", when(col("n_tokens") > 0,
+        col("margin_raw").cast("double") / (lit(1000.0) * col("n_tokens"))))
+      .withColumn("flagged", col("margin_raw") > 0)
+  }
 }

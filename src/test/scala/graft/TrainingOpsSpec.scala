@@ -21,6 +21,69 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"trained-IVF recall vs brute force = $recall")
   }
 
+  test("semantic_dedup matches a brute-force within-cluster replay") {
+    val out = Cluster.semanticDedup(spark, sf).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    assert(out.length == emb.size, "one row per vector")
+    // the operator's own cluster column defines the blocks; replay the
+    // pair phase brute-force with the same left-to-right cosine fold
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = emb.keys.toArray.sorted
+    val expected = ids.map { v =>
+      val mates = ids.filter(u => u < v && cluster(u) == cluster(v))
+        .map(u => (u, cos(emb(u), emb(v))))
+        .filter(_._2 >= Cluster.SemTau)
+      v -> (if (mates.isEmpty) None
+            else Some((mates.map(_._1).min, mates.map(_._2).max)))
+    }.toMap
+    assert(out.exists(!_.getBoolean(2)), "some vector should be dropped at sf0.001")
+    out.foreach { r =>
+      val v = r.getLong(0)
+      expected(v) match {
+        case None =>
+          assert(r.getBoolean(2) && r.isNullAt(3) && r.isNullAt(4), s"vec $v should be kept")
+        case Some((dupOf, maxSim)) =>
+          assert(!r.getBoolean(2) && r.getLong(3) == dupOf, s"vec $v dup_of")
+          assert(math.abs(r.getDouble(4) - maxSim) < 1e-12, s"vec $v max_sim")
+      }
+    }
+  }
+
+  test("quality_classifier margin matches a direct hash recompute") {
+    val out = TextMetrics.qualityClassifier(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size, "one row per document")
+    import graft.expressions.CrossHash
+    out.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val margin = toks.map { t =>
+        val b = CrossHash.md5Mod("qc-" + t) % TextMetrics.QcBuckets
+        CrossHash.md5Mod("qw-" + b) % 2001 - 1000
+      }.sum
+      assert(r.getLong(1) == toks.length, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(2) == margin, s"doc ${r.getLong(0)} margin_raw")
+      if (toks.nonEmpty)
+        assert(r.getDouble(3) == margin.toDouble / (1000.0 * toks.length))
+      assert(r.getBoolean(4) == (margin > 0))
+    }
+    // the deterministic weights span both signs (a constant-sign table
+    // would make the classifier vacuous)
+    val w = graft.expressions.HashedLinearScore.weights(TextMetrics.QcBuckets)
+    assert(w.exists(_ > 0) && w.exists(_ < 0))
+  }
+
   test("dedup_exact groups are consistent") {
     val d = Dedup.dedupExact(spark, sf)
     // canonical id is never flagged dup; group members share the hash count
