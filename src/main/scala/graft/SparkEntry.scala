@@ -120,6 +120,8 @@ object SparkEntry {
     "semantic_dedup" -> (Cluster.semanticDedup _),
     "quality_classifier" -> (TextMetrics.qualityClassifier _),
     "decontaminate" -> (Fingerprint.decontaminate _),
+    "doc_chunk" -> (Chunk.docChunk _),
+    "cms_topk" -> (Sketch.cmsTopk _),
     "bpe_pairs" -> (Tokenize.bpePairs _),
     "col_profile" -> (Profile.colProfile _),
     "zorder_layout" -> (Layout.zorderLayout _),
@@ -1338,6 +1340,41 @@ object SparkEntry {
         |  coalesce(n_shared, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits USING (doc_id)
         |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "doc_chunk" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, text, n,
+        |  unnest(range(CASE WHEN n <= ${operators.Chunk.Size} THEN 1
+        |    ELSE (n - ${operators.Chunk.Size} + ${operators.Chunk.Stride - 1})
+        |      // ${operators.Chunk.Stride} + 1 END)) AS chunk_idx
+        |  FROM d),
+        |x AS (SELECT doc_id, chunk_idx, chunk_idx * ${operators.Chunk.Stride} AS chunk_start,
+        |  substr(text, CAST(chunk_idx * ${operators.Chunk.Stride} + 1 AS INT),
+        |    ${operators.Chunk.Size}) AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, chunk_start,
+        |  CAST(length(chunk_text) AS BIGINT) AS chunk_len,
+        |  CAST(len(list_filter(string_split(chunk_text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  md5(chunk_text) AS chunk_hash
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "cms_topk" ->
+      s"""WITH vocab AS (SELECT t AS token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> '' GROUP BY t),
+        |cells AS (SELECT d, (md5_number_lower('cms' || d || '-' || token)
+        |    % 2305843009213693951) % ${operators.Sketch.Width} AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS cell
+        |  FROM vocab CROSS JOIN range(${operators.Sketch.Depth}) dd(d) GROUP BY 1, 2),
+        |cands AS (SELECT token, cnt FROM vocab
+        |  ORDER BY cnt DESC, token LIMIT ${operators.Sketch.TopN}),
+        |est AS (SELECT c.token, min(cell) AS cms_est
+        |  FROM cands c CROSS JOIN range(${operators.Sketch.Depth}) dd(d)
+        |  JOIN cells ON cells.d = dd.d AND cells.bucket =
+        |    (md5_number_lower('cms' || dd.d || '-' || c.token)
+        |      % 2305843009213693951) % ${operators.Sketch.Width}
+        |  GROUP BY 1)
+        |SELECT c.token, CAST(c.cnt AS BIGINT) AS exact_cnt, est.cms_est,
+        |  est.cms_est - c.cnt AS over_est
+        |FROM cands c JOIN est USING (token) ORDER BY exact_cnt DESC, token""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS p1,

@@ -328,4 +328,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     val l = TextMetrics.langId(spark, sf)
     assert(l.count() == graft.sources.Tables.documents(spark, sf).count())
   }
+
+  test("doc_chunk tiles every document with the declared stride and runs shuffle-free") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Chunk.docChunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet, "every doc chunked")
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id).length
+      val expected = if (n <= Chunk.Size) 1L
+        else (n - Chunk.Size + Chunk.Stride - 1) / Chunk.Stride + 1L
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks, expected $expected")
+      cs.sortBy(_.getAs[Long]("chunk_idx")).zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_start") == i.toLong * Chunk.Stride)
+        val len = math.min(Chunk.Size, n - i * Chunk.Stride)
+        assert(c.getAs[Long]("chunk_len") == len, s"doc $id chunk $i length")
+      }
+      // the final chunk reaches the end of the document
+      val last = cs.maxBy(_.getAs[Long]("chunk_idx"))
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len") == n)
+    }
+    // map-only fan-out: the physical plan must contain no exchange
+    val plan = Chunk.docChunk(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "doc_chunk must not shuffle")
+  }
+
+  test("cms_topk estimates never undershoot and hit the true heavy hitters") {
+    val out = Sketch.cmsTopk(spark, sf).collect()
+    assert(out.length == Sketch.TopN)
+    out.foreach { r =>
+      assert(r.getAs[Long]("over_est") >= 0, s"CMS underestimated ${r}")
+      assert(r.getAs[Long]("cms_est") ==
+        r.getAs[Long]("exact_cnt") + r.getAs[Long]("over_est"))
+    }
+    // candidates are the true exact top-k: replay with a plain global sort
+    val brute = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t")).limit(Sketch.TopN)
+      .collect().map(_.getString(0)).toSet
+    assert(out.map(_.getAs[String]("token")).toSet == brute)
+  }
 }
