@@ -149,18 +149,34 @@ object Graph {
     directed
   }
 
-  /** Uniform initial ranks: (id, deg, n, pr = PrScale div n). */
-  private def prInit(directed: DataFrame): DataFrame = {
+  /** The static vertex table (id, deg, n) every round's rank rebuild
+    * joins against. Persisted LAZILY by callers: all consumers of the
+    * unroll serialize (round k depends on round k-1), so the first use
+    * materializes the cache and the rest hit it — no concurrent-fill
+    * race, and no extra eager job. */
+  private def prNodes(directed: DataFrame): DataFrame = {
     val nodes = directed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
     val nCount = nodes.agg(count(lit(1)).as("n"))
-    nodes.crossJoin(broadcast(nCount))
-      .select(col("id"), col("deg"), col("n"), expr(s"${PrScale}L div n").as("pr"))
+    nodes.crossJoin(broadcast(nCount)).select(col("id"), col("deg"), col("n"))
   }
+
+  /** Uniform initial ranks: (id, deg, n, pr = PrScale div n). */
+  private def prInit(nodes: DataFrame): DataFrame =
+    nodes.select(col("id"), col("deg"), col("n"), expr(s"${PrScale}L div n").as("pr"))
 
   /** One synchronous damped round — the SINGLE definition of the
     * recurrence, shared by the gate row's static unroll and the
-    * converged variant so the two can never de-twin. */
-  private def prStep(directed: DataFrame, pr: DataFrame): DataFrame = {
+    * converged variant so the two can never de-twin.
+    *
+    * `pr` is referenced exactly ONCE (the contribution projection);
+    * the rank rebuild joins the in-sums against the STATIC cached
+    * vertex table instead of the previous rank table. A k-round unroll
+    * is therefore a linear-lineage plan — no per-round checkpoint
+    * needed to stop re-execution, so the whole fixed unroll runs as a
+    * single job instead of one eager materialization per round (the
+    * double-reference shape re-executed round i up to 2^(k-i) times
+    * unless each round was checkpointed). */
+  private def prStep(nodes: DataFrame, directed: DataFrame, pr: DataFrame): DataFrame = {
     // shuffle_hash on the rank side: the cached edge partitions stream
     // through unsorted (a sort-merge join would re-sort the full edge
     // list every round); the build side is one rank row per vertex in
@@ -169,7 +185,10 @@ object Graph {
       .hint("shuffle_hash")
     val inSum = directed.join(contrib, col("u") === col("src"))
       .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
-    pr.join(inSum, col("id") === col("dst"), "left")
+    // left join + coalesce: on the both-direction edge list every
+    // vertex has an in-edge, but the recurrence keeps the dangling-
+    // vertex semantics explicit so the oracle CTEs replay it verbatim
+    nodes.join(inSum, col("id") === col("dst"), "left")
       .select(col("id"), col("deg"), col("n"),
         (expr(s"(3 * (${PrScale}L div n)) div 20") +
           expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))
@@ -177,20 +196,19 @@ object Graph {
 
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val directed = directedEdges(spark, sfDir)
-    // localCheckpoint per round: prStep references pr TWICE (contrib
-    // and the left join side), so an unmaterialized k-round unroll
-    // re-executes round i up to 2^(k-i) times — and the edge-side
-    // stages are deliberately exchange-free, so no ReusedExchange
-    // boundary exists to dedupe them. Materializing each round once
-    // makes the unroll linear: k × (one SHJ + one contribution
-    // shuffle), the textbook PageRank cost.
-    var pr = prInit(directed).localCheckpoint()
-    for (_ <- 1 to PrIters) pr = prStep(directed, pr).localCheckpoint()
-    // the eager checkpoints above are the last consumers of the edge
-    // cache — release it so repeated invocations (bench passes, long
-    // sessions) don't accumulate edge tables in executor memory
+    val nodes = prNodes(directed).persist()
+    nodes.count()
+    var pr = prInit(nodes)
+    for (_ <- 1 to PrIters) pr = prStep(nodes, directed, pr)
+    // ONE materializing job for the whole unroll (prStep's lineage is
+    // linear), then release the edge and vertex caches — the output
+    // checkpoint is self-contained, so repeated invocations (bench
+    // passes, long sessions) don't accumulate tables in executor memory
+    val out = pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
+      .localCheckpoint()
+    nodes.unpersist()
     directed.unpersist()
-    pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled"))
+    out
   }
 
   /** The library path for open-ended PageRank: iterate to a delta
@@ -230,23 +248,30 @@ object Graph {
       tol: Long = PrScale / 1000000L,
       maxRounds: Int = 60,
       checkpointEvery: Int = 3): (DataFrame, Int) = {
-    var pr = prInit(directed).localCheckpoint()
+    val nodes = prNodes(directed).persist()
+    var pr = prInit(nodes).localCheckpoint()
     var rounds = 0
     var delta = Long.MaxValue
     while (delta > tol && rounds < maxRounds) {
       val prev = pr
       var stepped = 0
       while (stepped < checkpointEvery && rounds + stepped < maxRounds) {
-        pr = prStep(directed, pr)
+        pr = prStep(nodes, directed, pr)
         stepped += 1
       }
+      // single-reference prStep keeps the inter-checkpoint lineage
+      // LINEAR (checkpointEvery joins deep, each round executed once);
+      // the checkpoint exists to truncate lineage growth across many
+      // rounds, not to stop re-execution
       pr = pr.localCheckpoint()
       rounds += stepped
       delta = pr.join(prev.select(col("id"), col("pr").as("prev_pr")), Seq("id"))
         .agg(max(abs(col("pr") - col("prev_pr"))).as("d"))
         .head().getLong(0)
     }
+    nodes.unpersist()
     require(delta <= tol, s"pagerank did not converge in $rounds rounds (delta=$delta)")
     (pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled")), rounds)
   }
+
 }
