@@ -20,14 +20,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events table ships TIMESTAMP(NANOS) parquet, which Spark only
-    * reads as raw longs (spark.sql.legacy.parquet.nanosAsLong, set in
-    * GraftSession); truncate to micros for a true TimestampType ts. */
+  /** The events table's `ts` physical type has varied across harness
+    * data generations — TIMESTAMP(NANOS) (read as raw longs via
+    * spark.sql.legacy.parquet.nanosAsLong, set in GraftSession),
+    * micros with isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or a
+    * true UTC-adjusted timestamp. Normalize all three to session-tz
+    * TimestampType so every consumer (unix_micros arithmetic, window
+    * functions, the gate's epoch-micros canonicalization) sees one
+    * type. Sessions pin spark.sql.session.timeZone=UTC, so the
+    * NTZ→LTZ cast is value-preserving and the gate's epoch micros
+    * equal the oracle's epoch_us over the same naive values. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
