@@ -122,6 +122,7 @@ object SparkEntry {
     "decontaminate" -> (Fingerprint.decontaminate _),
     "doc_chunk" -> (Chunk.docChunk _),
     "cms_topk" -> (Sketch.cmsTopk _),
+    "hll_distinct" -> (Sketch.hllDistinct _),
     "bpe_pairs" -> (Tokenize.bpePairs _),
     "col_profile" -> (Profile.colProfile _),
     "zorder_layout" -> (Layout.zorderLayout _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "events_funnel" -> (Events.eventsFunnel _),
     "events_retention" -> (Events.eventsRetention _),
     "events_anomaly" -> (Events.eventsAnomaly _),
+    "events_mad" -> (Events.eventsMad _),
     "events_gapfill" -> (Events.eventsGapfill _),
     "events_attribution" -> (Events.eventsAttribution _),
     "vocab_coverage" -> (Tokenize.vocabCoverage _),
@@ -1375,6 +1377,33 @@ object SparkEntry {
         |SELECT c.token, CAST(c.cnt AS BIGINT) AS exact_cnt, est.cms_est,
         |  est.cms_est - c.cnt AS over_est
         |FROM cands c JOIN est USING (token) ORDER BY exact_cnt DESC, token""".stripMargin,
+    "hll_distinct" ->
+      s"""WITH toks AS (SELECT DISTINCT source, t AS token FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |h AS (SELECT source, CAST(md5_number_lower('hll-' || token)
+        |    % 2305843009213693951 AS BIGINT) AS h FROM toks),
+        |b AS (SELECT source, h % ${operators.Sketch.HllM} AS bucket,
+        |  CASE WHEN h // ${operators.Sketch.HllM} = 0 THEN 54
+        |    ELSE 54 - length(ltrim(bin(h // ${operators.Sketch.HllM}), '0')) END AS rho
+        |  FROM h),
+        |regs AS (SELECT source, bucket, max(rho) AS r FROM b GROUP BY 1, 2),
+        |agg AS (SELECT source, count(*) AS nb,
+        |  sum(CAST(power(2, 62 - r) AS HUGEINT)) AS s_ne FROM regs GROUP BY 1),
+        |nd AS (SELECT source, count(*) AS ndv FROM toks GROUP BY source),
+        |fin AS (SELECT a.source, CAST(nd.ndv AS BIGINT) AS n_distinct_tokens,
+        |  CAST(${operators.Sketch.HllM} - a.nb AS BIGINT) AS n_zero_regs,
+        |  CAST(a.s_ne + CAST(${operators.Sketch.HllM} - a.nb AS HUGEINT)
+        |    * CAST(power(2, 62) AS HUGEINT) AS DOUBLE) AS reg_sum
+        |  FROM agg a JOIN nd ON a.source = nd.source),
+        |est AS (SELECT *, ${operators.Sketch.HllC} / reg_sum AS hll_raw FROM fin),
+        |est2 AS (SELECT *, round(CASE WHEN hll_raw <= ${2.5 * operators.Sketch.HllM}
+        |    AND n_zero_regs > 0
+        |  THEN ${operators.Sketch.HllM.toDouble} * ln(${operators.Sketch.HllM.toDouble} / n_zero_regs)
+        |  ELSE hll_raw END, 6) AS hll_est FROM est)
+        |SELECT source, n_distinct_tokens, n_zero_regs, reg_sum, hll_raw, hll_est,
+        |  round((hll_est - n_distinct_tokens) / n_distinct_tokens, 6) AS rel_err
+        |FROM est2 ORDER BY source""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT) AS p1,
@@ -1598,6 +1627,20 @@ object SparkEntry {
         |  FROM hourly h JOIN st2 USING (event_type))
         |SELECT event_type, epoch_us(hr) AS hr, cnt, round(mean_cnt, 6) AS mean_cnt, z
         |FROM j WHERE abs(z) > 2 ORDER BY event_type, hr""".stripMargin,
+    "events_mad" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med_cnt FROM hourly GROUP BY 1),
+        |dev AS (SELECT h.event_type, h.hr, h.cnt, m.med_cnt,
+        |    abs(h.cnt - m.med_cnt) AS adev
+        |  FROM hourly h JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type, epoch_us(d.hr) AS hr, d.cnt, d.med_cnt, a.mad,
+        |  round((d.cnt - d.med_cnt) / (${graft.queries.Events.MadK} * a.mad), 6) AS robust_z
+        |FROM dev d JOIN mad a USING (event_type)
+        |WHERE a.mad > 0 AND d.adev > 3 * a.mad
+        |ORDER BY event_type, hr""".stripMargin,
     "events_gapfill" ->
       """WITH ev AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events,

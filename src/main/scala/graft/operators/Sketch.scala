@@ -28,6 +28,14 @@ import graft.sources.Tables
   */
 object Sketch {
 
+  /** HLL registers (p = 8, m = 2^p). */
+  final val HllM = 256
+  /** Bias-corrected constant alpha_m * m^2 * 2^62 folded into ONE double
+    * literal computed here and embedded verbatim in the oracle SQL, so
+    * both engines divide the identical numerator. */
+  final val HllC: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, 62)
+
   /** Independent hash rows. */
   final val Depth = 4
   /** Counters per row. */
@@ -38,6 +46,77 @@ object Sketch {
   private def bucket(term: Column, d: Column): Column =
     pmod(graft.functions.Similarity.md5Mod(
       concat(lit("cms"), d.cast("string"), lit("-"), term)), lit(Width.toLong))
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) audited
+    * against the exact NDV — the OTHER fixed-memory sketch a corpus
+    * pipeline keeps (CMS answers "how often", HLL answers "how many
+    * distinct"). Per source: m=256 max-rho registers over md5-derived
+    * 61-bit hashes; bucket = low 8 bits, rho = leading-zero rank of the
+    * remaining 53 bits, computed EXACTLY in both engines as
+    * 54 - length(ltrim(bin(w),'0')) — no float log2, no engine-native
+    * HLL (Spark's and DuckDB's built-in sketches hash differently, so
+    * the estimate itself is the thing the gate must pin).
+    *
+    * The harmonic denominator sum(2^-reg) is kept EXACT as integers:
+    * each register contributes 2^(62-r) (a power of two, exact through
+    * the double->decimal cast), empties contribute 2^62, the decimal
+    * sum collapses to one double cast and ONE division by the
+    * Scala-computed constant HllC — deterministic IEEE in both engines,
+    * independent of aggregation order (the float-sum trap a naive
+    * sum(pow(2,-r)) would hit under Spark's nondeterministic partition
+    * order).
+    *
+    * Scale shape: registers are max-aggregates — duplicate-insensitive
+    * and mergeable, so map-side partial max does the heavy lifting and
+    * only (source x 256) cells shuffle. The exact-NDV audit column is
+    * the one genuinely heavy shuffle (distinct on (source, token));
+    * at 100 TB the audit drops and the sketch IS the answer — 2 KB of
+    * state per source, merged associatively across 1000 executors. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .dropDuplicates("source", "token")
+    // both branches (registers, exact NDV) share this distinct subtree;
+    // ReusedExchange feeds the second — the cms_topk discipline
+    val hashed = toks
+      .withColumn("h", graft.functions.Similarity.md5Mod(
+        concat(lit("hll-"), col("token"))))
+      .withColumn("bucket", col("h").bitwiseAND(lit((HllM - 1).toLong)))
+      .withColumn("w", shiftright(col("h"), 8))
+      .withColumn("rho", when(col("w") === 0, lit(54))
+        .otherwise(lit(54) - length(ltrim(bin(col("w")), "0"))))
+    val regs = hashed.groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val perSource = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("nb"),
+        sum(pow(lit(2.0), lit(62) - col("r")).cast("decimal(38,0)")).as("s_ne"))
+    val exact = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_tokens"))
+    val two62 = lit(4611686018427387904L).cast("decimal(38,0)")
+    // standard two-regime estimator: the raw harmonic estimate biases
+    // high when ndv << m (few registers hit), so below the 2.5m knee
+    // with zero registers present, LINEAR COUNTING m*ln(m/zeros) takes
+    // over — same branch, same ln, in both engines
+    perSource.join(exact, Seq("source"))
+      .withColumn("n_zero_regs", (lit(HllM) - col("nb")).cast("long"))
+      .withColumn("reg_sum",
+        (col("s_ne") + col("n_zero_regs").cast("decimal(38,0)") * two62)
+          .cast("double"))
+      .withColumn("hll_raw", lit(HllC) / col("reg_sum"))
+      // round the ln-path estimate to 6 decimals (the events_anomaly /
+      // bm25 discipline): Java's and DuckDB's ln differ in the last
+      // ulp, and rel_err then derives from the ROUNDED estimate so
+      // both engines divide identical inputs
+      .withColumn("hll_est", round(
+        when(col("hll_raw") <= lit(2.5 * HllM) && col("n_zero_regs") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("n_zero_regs").cast("double")))
+          .otherwise(col("hll_raw")), 6))
+      .select(col("source"), col("n_distinct_tokens"), col("n_zero_regs"),
+        col("reg_sum"), col("hll_raw"), col("hll_est"),
+        round((col("hll_est") - col("n_distinct_tokens").cast("double")) /
+          col("n_distinct_tokens").cast("double"), 6).as("rel_err"))
+  }
 
   def cmsTopk(spark: SparkSession, sfDir: String): DataFrame = {
     // both consumers (cells, cands) share this exact subtree, so the

@@ -11,6 +11,10 @@ import graft.sources.Tables
   */
 object Events {
 
+  /** MAD→sigma consistency scale (1/Φ⁻¹(3/4) under normality); a
+    * single literal shared with the generated oracle SQL. */
+  final val MadK = 1.4826
+
   /** Tumbling 1-hour window aggregation by event type. `window()` is
     * the same expression Structured Streaming groups on, so batch and
     * stream share a plan shape. */
@@ -173,6 +177,46 @@ object Events {
       .filter(abs(col("z")) > 2)
       .select(col("event_type"), col("hr"), col("cnt"),
         round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
+  }
+
+  /** Robust-statistics twin of eventsAnomaly: hours flagged by MEDIAN
+    * ABSOLUTE DEVIATION instead of mean/stddev. A z-score baseline is
+    * itself dragged by the outliers it hunts (one huge hour inflates
+    * sigma and hides the rest); the MAD estimator has a 50% breakdown
+    * point, so a burst can't mask its siblings — the robust detector a
+    * pipeline actually wants on bursty telemetry.
+    *
+    * Exactness: hourly counts are integers, so the interpolated median
+    * is k or k+0.5 (exact in double), absolute deviations are exact
+    * halves, the MAD is again exact, and 3·MAD stays exact — the flag
+    * comparison is bit-deterministic in both engines. The consistency
+    * scale 1.4826 (≈1/Φ⁻¹(3/4), MAD→sigma under normality) is ONE
+    * Scala literal embedded verbatim in the oracle; robust_z rounds to
+    * 6 decimals after a deterministic IEEE divide.
+    *
+    * Scale shape: the only |events|-sized pass is the first hourly
+    * count (map-side combined); medians run over the tiny
+    * (type × hours) table — a holistic percentile there is fine
+    * because the state is bounded by hours-per-type, not events. The
+    * two stat tables broadcast back. No streaming twin: an exact
+    * median is not incrementally mergeable — the streaming analogue
+    * is events_anomaly's moment-based score. */
+  def eventsMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(percentile(col("cnt"), lit(0.5)).as("med_cnt"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cnt") - col("med_cnt")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0 && col("adev") > lit(3.0) * col("mad"))
+      .select(col("event_type"), col("hr"), col("cnt"), col("med_cnt"),
+        col("mad"),
+        round((col("cnt") - col("med_cnt")) / (lit(MadK) * col("mad")), 6)
+          .as("robust_z"))
   }
 
   /** Last-touch attribution: each purchase attributes to the user's

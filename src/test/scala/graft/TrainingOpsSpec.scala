@@ -371,4 +371,28 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(out.map(_.getAs[String]("token")).toSet == brute)
   }
+
+  test("hll_distinct estimate tracks the exact NDV within HLL error bounds") {
+    val out = Sketch.hllDistinct(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_distinct_tokens")
+      val est = r.getAs[Double]("hll_est")
+      val zeros = r.getAs[Long]("n_zero_regs")
+      assert(exact > 0 && est > 0)
+      assert(zeros >= 0 && zeros <= Sketch.HllM)
+      // m=256 gives sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma (the
+      // raw estimator biases high below ~3m, where linear counting
+      // would normally take over — the audit columns expose that zone)
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.26, s"source ${r.getAs[String]("source")}: est $est vs exact $exact")
+      // rel_err column restates (est - exact) / exact, rounded to 6
+      val r6 = BigDecimal((est - exact) / exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rel_err") == r6)
+      // the harmonic sum is bounded by its all-empty/all-saturated ends
+      val regSum = r.getAs[Double]("reg_sum")
+      assert(regSum > 0 && regSum <= Sketch.HllM.toDouble * math.pow(2.0, 62))
+    }
+  }
 }

@@ -141,6 +141,35 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty || expected.isEmpty)
   }
 
+  test("events_mad flags exactly the >3-MAD hours against a local replay") {
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = s(h.toInt)
+      val hi = s(math.ceil(h).toInt)
+      lo + (hi - lo) * (h - h.toInt)
+    }
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (t, hs) =>
+      val med = medianOf(hs.map(_._3.toDouble).toSeq)
+      val mad = medianOf(hs.map(h => math.abs(h._3 - med)).toSeq)
+      if (mad <= 0) Seq.empty
+      else hs.toSeq.filter(h => math.abs(h._3 - med) > 3 * mad).map(h => (t, h._2))
+    }.toSet
+    val got = Events.eventsMad(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getTimestamp(1))).toSet == expected)
+    // robust_z restates (cnt - med) / (MadK * mad), rounded to 6
+    got.foreach { r =>
+      val z = (r.getLong(2) - r.getDouble(3)) / (Events.MadK * r.getDouble(4))
+      val r6 = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == r6)
+      assert(math.abs(r.getLong(2) - r.getDouble(3)) > 3 * r.getDouble(4))
+    }
+  }
+
   test("events_gapfill grids are dense per user and LOCF-filled") {
     val rows = Events.eventsGapfill(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))

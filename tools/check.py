@@ -24,6 +24,9 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if len(sys.argv) > 3:  # optional name filter for the local dev loop
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
