@@ -100,6 +100,9 @@ object SparkEntry {
     "embedding_quantize" -> (Ann.embeddingQuantize _),
     "ann_pq" -> (Pq.annPq _),
     "ann_ivf" -> (Ann.annIvf _),
+    "rrf_fusion" -> (Fusion.rrfFusion _),
+    "containment_dup" -> (Dedup.containmentDup _),
+    "filter_attrition" -> (Quality.filterAttrition _),
     "lang_id" -> (TextMetrics.langId _),
     "quality_score" -> (TextMetrics.qualityScore _),
     "token_count" -> (TextMetrics.tokenCount _),
@@ -964,6 +967,92 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
         |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "filter_attrition" -> {
+      import operators.Quality._
+      s"""WITH d AS (SELECT doc_id, n_chars,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+        |  md5(text) AS h FROM documents),
+        |d2 AS (SELECT doc_id, n_chars, len(toks) AS nt,
+        |  len(list_distinct(toks)) AS ndt,
+        |  coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0) AS sl,
+        |  min(doc_id) OVER (PARTITION BY h) AS canon FROM d),
+        |f AS (SELECT n_chars >= $MinChars AS p1, nt >= $MinToks AS p2,
+        |  doc_id = canon AS p3,
+        |  (nt - ndt) * $DupFracDen <= nt * $DupFracNum AS p4,
+        |  sl >= $WlLo * nt AND sl <= $WlHi * nt AS p5 FROM d2),
+        |a AS (SELECT count(*) AS n0,
+        |  count(*) FILTER (p1) AS s1,
+        |  count(*) FILTER (p1 AND p2) AS s2,
+        |  count(*) FILTER (p1 AND p2 AND p3) AS s3,
+        |  count(*) FILTER (p1 AND p2 AND p3 AND p4) AS s4,
+        |  count(*) FILTER (p1 AND p2 AND p3 AND p4 AND p5) AS s5 FROM f),
+        |u AS (
+        |  SELECT 1 AS stage, 'min_chars' AS rule, n0 AS n_in, s1 AS n_out, n0 FROM a
+        |  UNION ALL SELECT 2, 'min_tokens', s1, s2, n0 FROM a
+        |  UNION ALL SELECT 3, 'exact_dedup', s2, s3, n0 FROM a
+        |  UNION ALL SELECT 4, 'dup_word_frac', s3, s4, n0 FROM a
+        |  UNION ALL SELECT 5, 'word_len_band', s4, s5, n0 FROM a)
+        |SELECT CAST(stage AS BIGINT) AS stage, rule,
+        |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(n_in - n_out AS BIGINT) AS n_dropped,
+        |  CASE WHEN n_in = 0 THEN 0.0 ELSE CAST(n_in - n_out AS DOUBLE) / n_in END AS drop_rate,
+        |  CAST(n_out AS DOUBLE) / n0 AS cum_survival
+        |FROM u ORDER BY stage""".stripMargin
+    },
+    "containment_dup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${operators.Dedup.ContainW - 2}),
+        |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + ${operators.Dedup.ContainW - 1} AS INT)], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= ${operators.Dedup.ContainW}),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CAST(md5_number_lower(gram) % 2305843009213693951 AS BIGINT) AS h FROM g0),
+        |dfr AS (SELECT h FROM g GROUP BY h
+        |  HAVING count(*) <= ${operators.Dedup.ContainDfCap}),
+        |gc AS (SELECT doc_id, h FROM g JOIN dfr USING (h)),
+        |nsz AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_shared
+        |  FROM gc a JOIN gc b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT src_id, dst_id, CAST(n.n AS BIGINT) AS n_src_grams,
+        |  CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_shared AS DOUBLE) / n.n AS containment
+        |FROM inter JOIN nsz n ON n.doc_id = src_id
+        |WHERE n_shared * ${operators.Dedup.ContainDen} >= n.n * ${operators.Dedup.ContainNum}
+        |ORDER BY src_id, dst_id""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
+        |s AS (SELECT q_id, vec_id AS id,
+        |  list_dot_product(q_emb, emb)
+        |    / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))) AS cos
+        |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+        |sem0 AS (SELECT q_id, id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS BIGINT) AS sem_rank
+        |  FROM s),
+        |sem AS (SELECT * FROM sem0 WHERE sem_rank <= ${operators.Fusion.ListK}),
+        |p AS (SELECT DISTINCT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |dfr AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+        |qt AS (SELECT q.q_id, p.term FROM p JOIN q ON p.doc_id = q.q_id
+        |  JOIN dfr USING (term) CROSS JOIN nd
+        |  WHERE df * ${operators.Fusion.DfCapInv} <= n_docs),
+        |lexs AS (SELECT qt.q_id, p.doc_id AS id, count(*) AS score
+        |  FROM p JOIN qt USING (term) WHERE p.doc_id <> qt.q_id GROUP BY 1, 2),
+        |lex0 AS (SELECT q_id, id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id) AS BIGINT) AS lex_rank
+        |  FROM lexs),
+        |lex AS (SELECT * FROM lex0 WHERE lex_rank <= ${operators.Fusion.ListK}),
+        |f AS (SELECT coalesce(sem.q_id, lex.q_id) AS q_id,
+        |    coalesce(sem.id, lex.id) AS id, sem.sem_rank, lex.lex_rank,
+        |    coalesce(CAST(1 AS DOUBLE) / (${operators.Fusion.RrfK} + sem_rank), CAST(0 AS DOUBLE))
+        |      + coalesce(CAST(1 AS DOUBLE) / (${operators.Fusion.RrfK} + lex_rank), CAST(0 AS DOUBLE)) AS rrf_score
+        |  FROM sem FULL JOIN lex ON sem.q_id = lex.q_id AND sem.id = lex.id),
+        |r AS (SELECT q_id, id,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, id) AS BIGINT) AS fused_rank,
+        |  rrf_score, sem_rank, lex_rank FROM f)
+        |SELECT * FROM r WHERE fused_rank <= ${operators.Fusion.OutK}
+        |ORDER BY q_id, fused_rank""".stripMargin,
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),

@@ -364,4 +364,70 @@ object Dedup {
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("dup_coverage"))
   }
+
+  /** Word 5-grams per containment doc pair participate only while
+    * their corpus frequency stays under this bound — the fan-out cap
+    * that keeps the gram self-join linear under boilerplate. */
+  final val ContainDfCap = 64
+  /** Containment window width (tokens). */
+  final val ContainW = 5
+  /** Keep threshold containment >= ContainNum/ContainDen (exact
+    * integer comparison; the double is display only). */
+  final val ContainNum = 4
+  final val ContainDen = 5
+
+  /** ASYMMETRIC near-dup detection: Jaccard CONTAINMENT
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| over distinct word
+    * 5-grams. Jaccard-based dedup (dedup_ngram/minhash) is blind to
+    * the quote/subset case — a short doc wholly embedded in a long one
+    * scores tiny symmetric Jaccard but containment ≈ 1 from the short
+    * side. This is the detector for quotation mining, doc-in-doc
+    * training leakage, and version-of relationships (Broder's
+    * containment from the original resemblance paper).
+    *
+    * Both directions of every pair emit (C is not symmetric). The
+    * gram space is df-capped: grams seen in more than ContainDfCap
+    * docs (boilerplate) leave BOTH the numerator and the denominator,
+    * so the measure is self-consistent on the rare-gram space and the
+    * self-join's per-gram fan-out is bounded by the cap² — no hub-gram
+    * cross product at any corpus size. The keep test is the exact
+    * integer form 5·shared ≥ 4·|A| (containment ≥ 0.8) — the reported
+    * double is one deterministic divide.
+    *
+    * Scale shape: one distinct-gram shuffle, one gram-frequency agg
+    * (map-side combined), the capped equi-self-join, one (src,dst)
+    * count shuffle. The df table is gram-cardinality sized, so its
+    * join stays UNHINTED — AQE broadcasts at test scale, shuffles at
+    * 100 TB. */
+  def containmentDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Partitioning.spread(Tables.documents(spark, sfDir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= ContainW)
+      .withColumn("g", explode(expr(
+        s"""transform(sequence(1, size(toks)-${ContainW - 1}),
+           | i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1),
+           |   element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))"""
+          .stripMargin)))
+      .select(col("doc_id"), Similarity.md5Mod(col("g")).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val dfr = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap)
+    val gc = grams.join(dfr.select(col("h")), Seq("h")).persist()
+    gc.count() // materialize once: feeds sizes, both join sides
+    val nsz = gc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = gc.select(col("doc_id").as("src_id"), col("h"))
+      .join(gc.select(col("doc_id").as("dst_id"), col("h")), Seq("h"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .groupBy(col("src_id"), col("dst_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = inter
+      .join(nsz.select(col("doc_id").as("src_id"), col("n").as("n_src_grams")),
+        Seq("src_id"))
+      .filter(col("n_shared") * ContainDen >= col("n_src_grams") * ContainNum)
+      .select(col("src_id"), col("dst_id"), col("n_src_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_src_grams")).as("containment"))
+      .localCheckpoint()
+    gc.unpersist()
+    out
+  }
 }

@@ -17,6 +17,72 @@ import graft.sources.Tables
   * Every count is an exact long. */
 object Quality {
 
+  /** filter_attrition rule constants (exact-integer thresholds). */
+  final val MinChars = 200
+  final val MinToks = 30
+  /** dup-word fraction keep bound: (nt - ndistinct) * Den <= nt * Num. */
+  final val DupFracNum = 3
+  final val DupFracDen = 10
+  /** mean word length band [WlLo, WlHi] as exact integer cross-mults. */
+  final val WlLo = 3
+  final val WlHi = 12
+
+  /** Per-rule attrition funnel of a pretraining filter chain — the
+    * observability table a corpus run publishes next to its output:
+    * how many documents entered each rule, how many it dropped, and
+    * the cumulative survival. Ordered rules (CCNet/Gopher shape):
+    * min length → min tokens → exact dedup (canonical-keeper) →
+    * dup-word fraction → mean-word-length band. A pipeline without
+    * this table cannot tell WHICH rule ate its corpus when the output
+    * shrinks — the number-one debugging question at ingest time.
+    *
+    * All five rule predicates and every funnel count fold into ONE
+    * conditional-aggregate pass (plus the dedup hash window, the only
+    * shuffle); the 5-row funnel explodes out of the single aggregate
+    * row. Thresholds are exact integer cross-multiplications; the two
+    * rates are single deterministic divides of exact longs. */
+  def filterAttrition(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("text_hash"))
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("ndt", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("sl", aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + length(t).cast("long")))
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("canon", min(col("doc_id")).over(w))
+      .withColumn("p1", col("n_chars") >= MinChars)
+      .withColumn("p2", col("nt") >= MinToks)
+      .withColumn("p3", col("doc_id") === col("canon"))
+      .withColumn("p4",
+        (col("nt") - col("ndt")) * DupFracDen <= col("nt") * DupFracNum)
+      .withColumn("p5",
+        col("sl") >= lit(WlLo) * col("nt") && col("sl") <= lit(WlHi) * col("nt"))
+    val a = d.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("p1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("p1") && col("p2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("p1") && col("p2") && col("p3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L).otherwise(0L)).as("s4"),
+      sum(when(col("p1") && col("p2") && col("p3") && col("p4") && col("p5"), 1L)
+        .otherwise(0L)).as("s5"))
+    val rules = Seq(
+      (1, "min_chars", "n0", "s1"), (2, "min_tokens", "s1", "s2"),
+      (3, "exact_dedup", "s2", "s3"), (4, "dup_word_frac", "s3", "s4"),
+      (5, "word_len_band", "s4", "s5"))
+    a.select(explode(array(rules.map { case (k, name, in, out) =>
+        struct(lit(k.toLong).as("stage"), lit(name).as("rule"),
+          col(in).as("n_in"), col(out).as("n_out"))
+      }: _*)).as("r"), col("n0"))
+      .select(col("r.stage"), col("r.rule"), col("r.n_in"), col("r.n_out"),
+        (col("r.n_in") - col("r.n_out")).as("n_dropped"),
+        when(col("r.n_in") === 0, lit(0.0))
+          .otherwise((col("r.n_in") - col("r.n_out")).cast("double") / col("r.n_in"))
+          .as("drop_rate"),
+        (col("r.n_out").cast("double") / col("n0")).as("cum_survival"))
+  }
+
   def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)

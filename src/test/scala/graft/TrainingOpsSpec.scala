@@ -395,4 +395,86 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(regSum > 0 && regSum <= Sketch.HllM.toDouble * math.pow(2.0, 62))
     }
   }
+
+  test("rrf_fusion ranks are dense, scores restate the reciprocal sum, sem side matches ann") {
+    val out = Fusion.rrfFusion(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("fused_rank")).sorted
+      assert(ranks.toSeq == (1L to rows.length).toSeq, s"query $q ranks not dense")
+      rows.foreach { r =>
+        val sem = Option(r.getAs[java.lang.Long]("sem_rank")).map(_.toLong)
+        val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+        assert(sem.nonEmpty || lex.nonEmpty)
+        val expect = sem.map(v => 1.0 / (Fusion.RrfK + v)).getOrElse(0.0) +
+          lex.map(v => 1.0 / (Fusion.RrfK + v)).getOrElse(0.0)
+        assert(r.getAs[Double]("rrf_score") == expect)
+      }
+      // fused order is non-increasing in score
+      val byRank = rows.sortBy(_.getAs[Long]("fused_rank")).map(_.getAs[Double]("rrf_score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // the semantic list is the ann_bruteforce ranking: where both
+    // report a (query, neighbor), the ranks agree
+    val ann = Ann.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rank"))
+      .toMap
+    out.foreach { r =>
+      Option(r.getAs[java.lang.Long]("sem_rank")).foreach { sr =>
+        ann.get((r.getAs[Long]("q_id"), r.getAs[Long]("id")))
+          .foreach(annRank => assert(annRank == sr.toLong))
+      }
+    }
+  }
+
+  test("containment_dup matches a local rare-gram replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // replay: distinct 5-gram STRINGS per doc (hash is injective enough
+    // for equality-of-sets here), df-capped, then pairwise containment
+    val gramSets = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      id -> (if (toks.length < Dedup.ContainW) Set.empty[String]
+             else toks.sliding(Dedup.ContainW).map(_.mkString(" ")).toSet)
+    }.toMap
+    val df = gramSets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val capped = gramSets.map { case (id, gs) =>
+      id -> gs.filter(g => df(g) <= Dedup.ContainDfCap)
+    }
+    val inv = capped.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val expected = (for {
+      (g, ids) <- inv.toSeq; a <- ids; b <- ids if a != b
+    } yield (a, b)).distinct.flatMap { case (a, b) =>
+      val shared = (capped(a) & capped(b)).size
+      if (capped(a).nonEmpty &&
+        shared * Dedup.ContainDen >= capped(a).size * Dedup.ContainNum)
+        Some((a, b) -> shared)
+      else None
+    }.toMap
+    val got = Dedup.containmentDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_shared")).toMap
+    assert(got == expected)
+  }
+
+  test("filter_attrition funnel chains and final survivors match a direct filter") {
+    val rows = Quality.filterAttrition(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[String]("rule")).toSeq ==
+      Seq("min_chars", "min_tokens", "exact_dedup", "dup_word_frac", "word_len_band"))
+    val n0 = rows.head.getAs[Long]("n_in")
+    assert(n0 == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+    }
+    // the funnel chains: stage k's intake is stage k-1's output
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next.getAs[Long]("n_in") == prev.getAs[Long]("n_out"))
+    }
+    assert(rows.last.getAs[Double]("cum_survival") ==
+      rows.last.getAs[Long]("n_out").toDouble / n0)
+  }
 }
