@@ -66,6 +66,7 @@ object SparkEntry {
     "sample_group" -> (Sampling.sampleGroup _),
     "bm25_rank" -> (Search.bm25Rank _),
     "graph_triangles" -> (Graph.graphTriangles _),
+    "graph_linkpred" -> (Graph.graphLinkpred _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "cms_topk" -> (Sketch.cmsTopk _),
     "hll_distinct" -> (Sketch.hllDistinct _),
     "bpe_pairs" -> (Tokenize.bpePairs _),
+    "bpe_train2" -> (Tokenize.bpeTrain2 _),
     "col_profile" -> (Profile.colProfile _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "inverted_index" -> (Index.invertedIndex _),
@@ -1418,6 +1420,27 @@ object SparkEntry {
         |    i -> substr(word, CAST(i AS INT), 2))) AS pair, wc FROM w)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "bpe_train2" ->
+      s"""WITH w AS (SELECT word, count(*) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p1 AS (SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> substr(word, CAST(i AS INT), 2))) AS pair, wc FROM w),
+        |c1 AS (SELECT pair, sum(wc) AS cnt FROM p1 GROUP BY pair),
+        |m AS (SELECT pair AS m FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+        |sp AS (SELECT word, wc,
+        |  array_to_string(list_transform(range(1, length(word) + 1),
+        |    i -> substr(word, CAST(i AS INT), 1)), ' ') AS spaced FROM w),
+        |mg AS (SELECT wc, string_split(
+        |    replace(spaced, substr(m, 1, 1) || ' ' || substr(m, 2, 1), m), ' ') AS syms
+        |  FROM sp CROSS JOIN m),
+        |p2 AS (SELECT wc, syms[CAST(i AS INT)] AS left_sym,
+        |    syms[CAST(i AS INT) + 1] AS right_sym
+        |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i FROM mg
+        |    WHERE len(syms) >= 2) u)
+        |SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS cnt FROM p2
+        |GROUP BY 1, 2 ORDER BY cnt DESC, left_sym, right_sym
+        |LIMIT ${operators.Tokenize.Bpe2TopN}""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, md5_number_lower(gram) % 2305843009213693951 AS g
@@ -1700,6 +1723,22 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |SELECT partkey, count(*) AS n_triangles FROM verts
         |GROUP BY partkey ORDER BY partkey""".stripMargin,
+    "graph_linkpred" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |bo AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u, count(*) AS d FROM bo GROUP BY u),
+        |cap AS (SELECT b.u, b.v FROM bo b JOIN deg ON deg.u = b.u
+        |  WHERE deg.d <= ${operators.Graph.LpDegCap}),
+        |w AS (SELECT e1.v AS a, e2.v AS b FROM cap e1 JOIN cap e2
+        |  ON e1.u = e2.u AND e1.v < e2.v),
+        |cn AS (SELECT a, b, count(*) AS common_neighbors FROM w GROUP BY 1, 2),
+        |ne AS (SELECT cn.a, cn.b, cn.common_neighbors FROM cn
+        |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL)
+        |SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors FROM ne
+        |ORDER BY common_neighbors DESC, a, b LIMIT ${operators.Graph.LpTopN}""".stripMargin,
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt

@@ -68,4 +68,58 @@ object Tokenize {
       .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(50)
+
+  /** Pairs reported by the second training iteration. */
+  final val Bpe2TopN = 30
+
+  /** The SECOND byte-pair-encoding iteration — the part of tokenizer
+    * training bpePairs leaves out: pick the argmax pair of iteration
+    * one, APPLY the merge to every word (greedy leftmost non-
+    * overlapping, the BPE rule), and recount adjacent-symbol pairs
+    * over the merged symbol sequences. Demonstrates the full
+    * train-loop body a V-sized vocabulary run iterates; symbols are
+    * now variable-length, so pairs are (left, right) columns, not
+    * 2-char substrings.
+    *
+    * Merge application is STRING-LEVEL and engine-portable: each word
+    * becomes its space-joined character sequence, and one plain
+    * (non-regex) replace of "x y" -> "xy" IS the greedy leftmost merge
+    * — sound because every pre-merge symbol is a single character, so
+    * the pattern can only match at symbol boundaries, and both
+    * engines' replace() scan leftmost non-overlapping.
+    *
+    * Scale shape: identical to bpePairs — everything after the
+    * vocabulary collapse is per-distinct-word row-local work; the
+    * argmax merge is a 1-row bounded-heap aggregate broadcast onto the
+    * vocabulary. A full V-round trainer iterates this plan with the
+    * merge TABLE growing by one row per round (checkpoint cadence, the
+    * graph_pagerank discipline); one gated round keeps the oracle
+    * replayable. */
+  def bpeTrain2(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val merge1 = words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq(), Seq("cnt" -> false, "pair" -> true), 1))
+      .select(col("pair").as("m"))
+    words.crossJoin(broadcast(merge1))
+      .withColumn("spaced", expr(
+        "array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), ' ')"))
+      .withColumn("merged", expr(
+        "replace(spaced, concat(substr(m, 1, 1), ' ', substr(m, 2, 1)), m)"))
+      .withColumn("syms", split(col("merged"), " "))
+      .filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+      .limit(Bpe2TopN)
+  }
 }

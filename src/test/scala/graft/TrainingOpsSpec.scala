@@ -458,6 +458,62 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bpe_train2 applies the argmax merge greedily and recounts merged symbols") {
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.length >= 2)
+    // replay iteration 1 -> argmax merge
+    val c1 = words.flatMap(w => w.sliding(2)).groupBy(identity)
+      .map { case (p, o) => p -> o.size.toLong }
+    val merge = c1.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+    // apply greedy leftmost merge, recount variable-length symbol pairs
+    def symbols(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w.substring(i, i + 2) == merge) {
+          out += merge; i += 2
+        } else { out += w.substring(i, i + 1); i += 1 }
+      }
+      out.toSeq
+    }
+    val c2 = words.flatMap(w => symbols(w).sliding(2).filter(_.length == 2)
+        .map(s => (s(0), s(1))))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val expected = c2.toSeq
+      .sortBy { case ((l, r), c) => (-c, l, r) }.take(Tokenize.Bpe2TopN)
+      .map { case ((l, r), c) => (l, r, c) }
+    val got = Tokenize.bpeTrain2(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("graph_linkpred candidates are non-edges scored by capped common neighbors") {
+    val rows = Graph.graphLinkpred(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= Graph.LpTopN)
+    // replay the graph locally
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val edges = items.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    rows.foreach { case (a, b, cn) =>
+      assert(a < b && !edges.contains((a, b)), s"($a,$b) is an existing edge")
+      val commonCapped = (adj(a) & adj(b))
+        .count(w => adj(w).size <= Graph.LpDegCap)
+      assert(cn == commonCapped, s"($a,$b): got $cn, replay $commonCapped")
+    }
+    // scores arrive in non-increasing order
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+
   test("filter_attrition funnel chains and final survivors match a direct filter") {
     val rows = Quality.filterAttrition(spark, sf).collect()
       .sortBy(_.getAs[Long]("stage"))
