@@ -118,6 +118,7 @@ object SparkEntry {
     "repetition_score" -> (TextMetrics.repetitionScore _),
     "bigram_lm_score" -> (TextMetrics.bigramLmScore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
     "seq_pack" -> (Sampling.seqPack _),
     "cluster_assign" -> (Cluster.clusterAssign _),
@@ -1204,6 +1205,33 @@ object SparkEntry {
         |  coalesce(sum_c2, 0) AS sum_c2, mean_logp
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "dsir_sample" -> {
+      import operators.Sampling.{DsirB, DsirK, DsirTarget}
+      s"""WITH toks AS (SELECT doc_id, source,
+        |  CAST(md5_number_lower('dsir-' || t) % 2305843009213693951 AS BIGINT) % $DsirB AS bkt
+        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) u WHERE t <> ''),
+        |tgt AS (SELECT bkt, count(*) AS ct FROM toks WHERE source = '$DsirTarget' GROUP BY bkt),
+        |raw AS (SELECT bkt, count(*) AS cr FROM toks WHERE source <> '$DsirTarget' GROUP BY bkt),
+        |tot AS (SELECT (SELECT sum(ct) FROM tgt) AS tt, (SELECT sum(cr) FROM raw) AS tr),
+        |w AS (SELECT r.range AS bkt,
+        |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + $DsirB AS DOUBLE))
+        |      - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(tr + $DsirB AS DOUBLE)) AS lw
+        |  FROM range($DsirB) r LEFT JOIN tgt ON tgt.bkt = r.range
+        |  LEFT JOIN raw ON raw.bkt = r.range CROSS JOIN tot),
+        |sc AS (SELECT doc_id, count(*) AS n_toks,
+        |    round(list_sum(list_sort(list(lw))), 6) AS log_ratio
+        |  FROM toks JOIN w USING (bkt) WHERE source <> '$DsirTarget' GROUP BY doc_id),
+        |g AS (SELECT doc_id, n_toks, log_ratio,
+        |    round(-ln(-ln(CAST(CAST(md5_number_lower('dsir-g-' || doc_id)
+        |        % 2305843009213693951 AS BIGINT) + 1 AS DOUBLE)
+        |      / 2305843009213693952.0)), 6) AS gumbel_key
+        |  FROM sc),
+        |s2 AS (SELECT *, log_ratio + gumbel_key AS score FROM g)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, log_ratio, gumbel_key, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM s2 ORDER BY score DESC, doc_id LIMIT $DsirK""".stripMargin
+    },
     "sample_stratified" -> {
       val rCase = "CASE lang " + Sampling.strataRates
         .map { case (l, r) => s"WHEN '${sq(l)}' THEN $r" }.mkString(" ") + " END"

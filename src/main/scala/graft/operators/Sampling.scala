@@ -188,4 +188,76 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_offset"),
         col("seq_first"), col("seq_last"), col("n_seqs"))
   }
+
+  /** DSIR hashed-feature buckets. */
+  final val DsirB = 1024L
+  /** Documents selected. */
+  final val DsirK = 100
+  /** The target domain a raw document is scored against. */
+  final val DsirTarget = "src0"
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) — the
+    * data-selection recipe behind domain-targeted pretraining mixes:
+    * fit two hashed unigram bag-of-words models (target domain vs the
+    * raw pool), score every raw document by the log importance ratio
+    * Σ_tokens [ln p_tgt(h(w)) − ln p_raw(h(w))], add per-document
+    * Gumbel keys, and keep the top-K — Gumbel-top-K IS sampling
+    * without replacement proportional to the importance weights, but
+    * with md5-derived uniforms it is also fully deterministic and
+    * oracle-replayable.
+    *
+    * Determinism discipline: bucket log-ratios are computed ONCE per
+    * bucket (1024-row table) from exact integer counts, per-doc sums
+    * fold a SORTED collect_list (the bigram_lm_score pattern — float
+    * addition reordered by parallelism would split the gate), and
+    * every ln-derived value rounds to 6 decimals before entering the
+    * ranking, with doc_id as the total-order tiebreak.
+    *
+    * Scale shape: two map-side-combined bucket aggregates (1024 cells
+    * each — mergeable, executor-count-independent), the tiny weight
+    * table broadcast onto the token stream, one per-doc reduce, and a
+    * bounded-heap global top-K. The corpus never shuffles un-reduced. */
+  def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("bkt", pmod(Similarity.md5Mod(
+        concat(lit("dsir-"), col("token"))), lit(DsirB)))
+    val tgt = toks.filter(col("source") === DsirTarget)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val raw = toks.filter(col("source") =!= DsirTarget)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val spine = spark.range(0, DsirB).select(col("id").as("bkt"))
+    val weights = spine
+      .join(tgt, Seq("bkt"), "left").join(raw, Seq("bkt"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("cr", coalesce(col("cr"), lit(0L)))
+      .crossJoin(broadcast(
+        tgt.agg(sum(col("ct")).as("tt")).crossJoin(raw.agg(sum(col("cr")).as("tr")))))
+      .withColumn("lw",
+        log((col("ct") + 1).cast("double") / (col("tt") + DsirB).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("tr") + DsirB).cast("double")))
+      .select(col("bkt"), col("lw"))
+    val scored = toks.filter(col("source") =!= DsirTarget)
+      .join(broadcast(weights), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sort_array(collect_list(col("lw"))).as("lws"))
+      .withColumn("log_ratio",
+        round(aggregate(col("lws"), lit(0.0), (a, x) => a + x), 6))
+      // Gumbel key from an md5 uniform on (0, 1): u = (h+1)/2^61 with
+      // h < 2^61-1, so neither ln can hit 0 or -inf
+      .withColumn("u",
+        (Similarity.md5Mod(concat(lit("dsir-g-"), col("doc_id"))) + 1).cast("double") /
+          lit(2305843009213693952.0))
+      .withColumn("gumbel_key", round(-log(-log(col("u"))), 6))
+      .withColumn("score", col("log_ratio") + col("gumbel_key"))
+      .select(col("doc_id"), col("n_toks"), col("log_ratio"),
+        col("gumbel_key"), col("score"))
+    scored.transform(graft.plans.TopK.perGroup(
+        Seq(), Seq("score" -> false, "doc_id" -> true), DsirK))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
 }

@@ -514,6 +514,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("dsir_sample selects K non-target docs by gumbel-perturbed log ratio") {
+    val out = Sampling.dsirSample(spark, sf).collect()
+    assert(out.length == math.min(Sampling.DsirK,
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("source") =!= Sampling.DsirTarget).count()).toInt)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to out.length).toSeq)
+    out.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        r.getAs[Double]("log_ratio") + r.getAs[Double]("gumbel_key"))
+      assert(r.getAs[Long]("n_toks") > 0)
+    }
+    // selection excludes the target domain entirely
+    val targetIds = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source") === Sampling.DsirTarget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !targetIds.contains(r.getAs[Long]("doc_id"))))
+    // scores arrive in rank order
+    val byRank = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("filter_attrition funnel chains and final survivors match a direct filter") {
     val rows = Quality.filterAttrition(spark, sf).collect()
       .sortBy(_.getAs[Long]("stage"))
