@@ -131,6 +131,7 @@ object SparkEntry {
     "bpe_pairs" -> (Tokenize.bpePairs _),
     "bpe_train2" -> (Tokenize.bpeTrain2 _),
     "col_profile" -> (Profile.colProfile _),
+    "q_histogram_eq" -> (Profile.histogramEquiHeight _),
     "zorder_layout" -> (Layout.zorderLayout _),
     "inverted_index" -> (Index.invertedIndex _),
     "skew_agg" -> (Salting.skewAgg _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "events_retention" -> (Events.eventsRetention _),
     "events_anomaly" -> (Events.eventsAnomaly _),
     "events_mad" -> (Events.eventsMad _),
+    "events_forecast" -> (Events.eventsForecast _),
     "events_gapfill" -> (Events.eventsGapfill _),
     "events_attribution" -> (Events.eventsAttribution _),
     "vocab_coverage" -> (Tokenize.vocabCoverage _),
@@ -1673,6 +1675,20 @@ object SparkEntry {
         |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_value,
         |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6) AS mean_value
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_histogram_eq" -> {
+      val probes = (0 to operators.Profile.EqBuckets)
+        .map(i => (i.toDouble / operators.Profile.EqBuckets).toString).mkString(", ")
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        s"""SELECT '$c' AS column_name, b.bucket, b.lo, b.hi, count(t.v) AS n
+           |FROM (SELECT CAST(i AS BIGINT) AS bucket, qs[CAST(i AS INT)] AS lo,
+           |    qs[CAST(i AS INT) + 1] AS hi
+           |  FROM (SELECT quantile_cont($c, [$probes]) AS qs FROM lineitem) q,
+           |    (SELECT unnest(range(1, ${operators.Profile.EqBuckets + 1})) AS i) r) b
+           |LEFT JOIN (SELECT $c AS v FROM lineitem) t
+           |  ON (t.v > b.lo AND t.v <= b.hi) OR (b.bucket = 1 AND t.v = b.lo)
+           |GROUP BY b.bucket, b.lo, b.hi""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name, bucket")
+    },
     "value_histogram" ->
       """WITH c AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -1797,6 +1813,35 @@ object SparkEntry {
         |FROM dev d JOIN mad a USING (event_type)
         |WHERE a.mad > 0 AND d.adev > 3 * a.mad
         |ORDER BY event_type, hr""".stripMargin,
+    "events_forecast" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |hourly AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+        |    hour(date_trunc('hour', ts)) AS hod, count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2, 3),
+        |cut AS (SELECT max(hr_us) - (CAST(${graft.queries.Events.FcTestHours} AS BIGINT) - 1)
+        |    * 3600 * 1000000 AS cut_us FROM hourly),
+        |train AS (SELECT h.* FROM hourly h, cut WHERE hr_us < cut_us),
+        |test AS (SELECT h.* FROM hourly h, cut WHERE hr_us >= cut_us),
+        |model AS (SELECT event_type, hod, CAST(sum(cnt) AS BIGINT) AS s,
+        |    count(*) AS n FROM train GROUP BY 1, 2),
+        |base AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS st,
+        |    CAST(sum(n) AS BIGINT) AS nt FROM model GROUP BY 1),
+        |th AS (SELECT event_type, count(*) AS n_train_hours FROM train GROUP BY 1),
+        |sc AS (SELECT t.event_type, count(*) AS n_test_hours,
+        |    round(list_sum(list_sort(list(
+        |      abs(CAST(t.cnt AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))))
+        |      / count(*), 6) AS mae_model,
+        |    round(list_sum(list_sort(list(
+        |      abs(CAST(t.cnt AS DOUBLE) - CAST(b.st AS DOUBLE) / CAST(b.nt AS DOUBLE)))))
+        |      / count(*), 6) AS mae_base
+        |  FROM test t JOIN model m ON t.event_type = m.event_type AND t.hod = m.hod
+        |  JOIN base b ON b.event_type = t.event_type
+        |  GROUP BY t.event_type)
+        |SELECT sc.event_type, CAST(th.n_train_hours AS BIGINT) AS n_train_hours,
+        |  CAST(sc.n_test_hours AS BIGINT) AS n_test_hours, mae_model, mae_base,
+        |  CASE WHEN mae_base > 0 THEN round(1.0 - mae_model / mae_base, 6) END AS skill
+        |FROM sc JOIN th ON th.event_type = sc.event_type
+        |ORDER BY sc.event_type""".stripMargin,
     "events_gapfill" ->
       """WITH ev AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events,

@@ -96,6 +96,44 @@ object Profile {
         (max(col("cents")).cast("double") / 100.0).as("bin_max"))
       .withColumn("bin_lo", (col("bin") * binWidth).cast("double") / 100.0)
 
+  /** Equi-height buckets per profiled column. */
+  final val EqBuckets = 8
+
+  /** EQUI-HEIGHT histogram of the lineitem key columns — the
+    * optimizer-statistics twin of valueHistogram's equi-width form:
+    * bucket boundaries are the exact interpolated octile points
+    * (binary-fraction probes, so the interpolation is exact in double
+    * in both engines — the q_quantiles discipline), and each bucket
+    * reports its (lo, hi] population. Selectivity estimation wants
+    * equal-mass buckets; value profiling wants equal-width bins; a
+    * warehouse keeps both.
+    *
+    * Per column: one percentile aggregate (9 probes), the 1-row
+    * boundary array broadcast onto a second narrow scan, and ONE
+    * conditional-aggregate pass assigning all 8 buckets — no
+    * per-bucket scans, no join fan-out. Boundary ties collapse
+    * deterministically to the lowest bucket whose hi equals the value
+    * (strict > lo, inclusive <= hi; bucket 1 additionally owns the
+    * minimum), and empty buckets still emit with n = 0. */
+  def histogramEquiHeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val probes = (0 to EqBuckets).map(i => lit(i.toDouble / EqBuckets))
+    profiled.map { c =>
+      val q = li.agg(percentile(col(c), array(probes: _*)).as("qs"))
+      val aggs = Seq(first(col("qs")).as("qs")) ++ (1 to EqBuckets).map { b =>
+        sum(when((col("v") > col("qs")(b - 1) && col("v") <= col("qs")(b)) ||
+          (lit(b) === 1 && col("v") === col("qs")(0)), 1L).otherwise(0L)).as(s"n$b")
+      }
+      li.select(col(c).as("v")).crossJoin(broadcast(q))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((1 to EqBuckets).map(b =>
+          struct(lit(b.toLong).as("bucket"), col("qs")(b - 1).as("lo"),
+            col("qs")(b).as("hi"), col(s"n$b").as("n"))): _*)).as("r"))
+        .select(lit(c).as("column_name"), col("r.bucket"), col("r.lo"),
+          col("r.hi"), col("r.n"))
+    }.reduce(_ unionByName _)
+  }
+
   def approxProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val aggs: Seq[Column] = profiled.flatMap(c => Seq(

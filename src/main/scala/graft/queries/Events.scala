@@ -15,6 +15,9 @@ object Events {
     * single literal shared with the generated oracle SQL. */
   final val MadK = 1.4826
 
+  /** Forecast backtest holdout width (hours = one week). */
+  final val FcTestHours = 168L
+
   /** Tumbling 1-hour window aggregation by event type. `window()` is
     * the same expression Structured Streaming groups on, so batch and
     * stream share a plan shape. */
@@ -217,6 +220,63 @@ object Events {
         col("mad"),
         round((col("cnt") - col("med_cnt")) / (lit(MadK) * col("mad")), 6)
           .as("robust_z"))
+  }
+
+  /** Seasonal-profile forecast BACKTEST — the time-series evaluation a
+    * pipeline runs before trusting a volume forecast: hold out the
+    * last week of hourly counts, fit the hour-of-day seasonal profile
+    * per event type on the train span, score the holdout with MAE,
+    * and report SKILL vs the train-mean naive baseline (skill > 0 =
+    * the seasonal profile beats a flat forecast). Scored on observed
+    * test hours (the gapfill operator owns dense-grid semantics).
+    *
+    * Determinism: the split boundary is exact epoch-micros integer
+    * arithmetic off the global max hour; model and baseline
+    * predictions are single divides of exact integer sums; per-type
+    * MAE folds a SORTED error list (the bigram_lm_score pattern) and
+    * rounds to 6; skill derives from the two ROUNDED MAEs.
+    *
+    * Scale shape: one |events|-sized hourly reduce; everything after
+    * runs on (type × hours) and (type × 24) tables with the two
+    * scalar/model tables broadcast back. */
+  def eventsForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hr_us", unix_micros(col("hr")))
+      .withColumn("hod", hour(col("hr")))
+    val cut = hourly.agg(
+      (max(col("hr_us")) - (FcTestHours - 1) * 3600L * 1000000L).as("cut_us"))
+    val tagged = hourly.crossJoin(broadcast(cut))
+    val train = tagged.filter(col("hr_us") < col("cut_us"))
+    val test = tagged.filter(col("hr_us") >= col("cut_us"))
+    val model = train.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+    val base = model.groupBy(col("event_type"))
+      .agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+    val trainHours = train.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train_hours"))
+    val scored = test
+      .join(model, Seq("event_type", "hod"))
+      .join(broadcast(base), Seq("event_type"))
+      .withColumn("err_m",
+        abs(col("cnt").cast("double") - col("s").cast("double") / col("n").cast("double")))
+      .withColumn("err_b",
+        abs(col("cnt").cast("double") - col("st").cast("double") / col("nt").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test_hours"),
+        sort_array(collect_list(col("err_m"))).as("ems"),
+        sort_array(collect_list(col("err_b"))).as("ebs"))
+      .withColumn("mae_model", round(
+        aggregate(col("ems"), lit(0.0), (a, x) => a + x) / col("n_test_hours"), 6))
+      .withColumn("mae_base", round(
+        aggregate(col("ebs"), lit(0.0), (a, x) => a + x) / col("n_test_hours"), 6))
+    scored.join(trainHours, Seq("event_type"))
+      .select(col("event_type"), col("n_train_hours"), col("n_test_hours"),
+        col("mae_model"), col("mae_base"),
+        when(col("mae_base") > 0,
+          round(lit(1.0) - col("mae_model") / col("mae_base"), 6))
+          .otherwise(lit(null).cast("double")).as("skill"))
   }
 
   /** Last-touch attribution: each purchase attributes to the user's

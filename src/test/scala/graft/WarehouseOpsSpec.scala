@@ -170,6 +170,46 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_histogram_eq buckets cover every row exactly once per column") {
+    val rows = Profile.histogramEquiHeight(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val n = li.count()
+    rows.groupBy(_.getString(0)).foreach { case (c, bs) =>
+      assert(bs.length == Profile.EqBuckets)
+      // buckets partition the value range: total count equals the table
+      assert(bs.map(_.getAs[Long]("n")).sum == n, s"$c counts don't cover")
+      // boundaries are non-decreasing and chain lo(k+1) == hi(k)
+      val sorted = bs.sortBy(_.getAs[Long]("bucket"))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("hi") == b.getAs[Double]("lo"))
+        assert(a.getAs[Double]("lo") <= a.getAs[Double]("hi"))
+      }
+      // equi-height within interpolation slack: no bucket is empty
+      // unless its boundaries collapse
+      sorted.foreach { r =>
+        if (r.getAs[Double]("lo") < r.getAs[Double]("hi"))
+          assert(r.getAs[Long]("n") > 0)
+      }
+    }
+  }
+
+  test("events_forecast evaluates the holdout week against the train profile") {
+    val rows = Events.eventsForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train_hours") > 0)
+      assert(r.getAs[Long]("n_test_hours") > 0)
+      assert(r.getAs[Double]("mae_model") >= 0 && r.getAs[Double]("mae_base") >= 0)
+      if (!r.isNullAt(r.fieldIndex("skill"))) {
+        val skill = BigDecimal(1.0 - r.getAs[Double]("mae_model") / r.getAs[Double]("mae_base"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("skill") == skill)
+      }
+    }
+    // the split leaves at most a week of observed test hours per type
+    rows.foreach(r => assert(r.getAs[Long]("n_test_hours") <= Events.FcTestHours))
+  }
+
   test("events_gapfill grids are dense per user and LOCF-filled") {
     val rows = Events.eventsGapfill(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
