@@ -43,6 +43,22 @@ object Sketch {
   /** Heavy hitters reported. */
   final val TopN = 20
 
+  /** 61-bit md5 hash of a token under the HLL salt. */
+  private def hllHash(token: Column): Column =
+    graft.functions.Similarity.md5Mod(concat(lit("hll-"), token))
+
+  /** HLL register index: low 8 bits of the hash. Shared by the batch
+    * operator and the streaming sketch so the two cannot drift. */
+  def hllBucket(token: Column): Column =
+    hllHash(token).bitwiseAND(lit((HllM - 1).toLong))
+
+  /** HLL rho (leading-zero rank of the remaining 53 bits), computed
+    * with integer/string ops only — no float log2. */
+  def hllRho(token: Column): Column = {
+    val w = shiftright(hllHash(token), 8)
+    when(w === 0, lit(54)).otherwise(lit(54) - length(ltrim(bin(w), "0")))
+  }
+
   private def bucket(term: Column, d: Column): Column =
     pmod(graft.functions.Similarity.md5Mod(
       concat(lit("cms"), d.cast("string"), lit("-"), term)), lit(Width.toLong))
@@ -80,12 +96,8 @@ object Sketch {
     // both branches (registers, exact NDV) share this distinct subtree;
     // ReusedExchange feeds the second — the cms_topk discipline
     val hashed = toks
-      .withColumn("h", graft.functions.Similarity.md5Mod(
-        concat(lit("hll-"), col("token"))))
-      .withColumn("bucket", col("h").bitwiseAND(lit((HllM - 1).toLong)))
-      .withColumn("w", shiftright(col("h"), 8))
-      .withColumn("rho", when(col("w") === 0, lit(54))
-        .otherwise(lit(54) - length(ltrim(bin(col("w")), "0"))))
+      .withColumn("bucket", hllBucket(col("token")))
+      .withColumn("rho", hllRho(col("token")))
     val regs = hashed.groupBy(col("source"), col("bucket"))
       .agg(max(col("rho")).as("r"))
     val perSource = regs.groupBy(col("source"))

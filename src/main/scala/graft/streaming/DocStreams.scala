@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.operators.Sketch
+
+/** One (source, register-candidate) row routed into the sketch. */
+case class HllTok(source: String, bucket: Long, rho: Int)
+
+/** The 256 max-rho registers carried between micro-batches. */
+case class HllState(regs: Seq[Int])
+
+/** Sketch snapshot emitted per source per micro-batch. */
+case class HllUpdate(source: String, n_zero_regs: Long, reg_sum: Double,
+    hll_est: Double)
+
+/** Streaming sketch maintenance over a document stream — the proof
+  * that the fixed-memory sketches are MERGEABLE state, which is their
+  * whole reason to exist at 100 TB: per source, the 256 HyperLogLog
+  * max-rho registers ride in mapGroupsWithState (1 KB per key,
+  * CONSTANT in stream length), each micro-batch folds its tokens in
+  * with pointwise max, and every batch emits the refreshed estimate.
+  * Registers are duplicate-insensitive and order-insensitive, so the
+  * streaming fold needs no dedup state and no ordering contract —
+  * exactly-once, at-least-once, and out-of-order delivery all yield
+  * the identical final registers (StreamingSpec asserts final-state
+  * parity with the batch operator across chronological file slices).
+  *
+  * The hash→(bucket, rho) projection is the SAME column expression the
+  * batch operator compiles (Sketch.hllBucket/hllRho), so the stream
+  * and the gate-checked batch path cannot drift; the estimate math
+  * (exact BigInt harmonic sum → one double divide, linear-counting
+  * takeover below the 2.5m knee) restates the batch formula on the
+  * driver side of the state boundary. */
+object DocStreams {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Unbounded documents source: a parquet directory watched for files. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Per-source streaming HLL: emits the refreshed sketch snapshot for
+    * every source seen in each micro-batch (Update semantics — the
+    * LAST emission per source is the stream's answer). */
+  def hllSketch(spark: SparkSession, docs: DataFrame): Dataset[HllUpdate] = {
+    import spark.implicits._
+    // primitives copied to locals: the state closure must capture
+    // neither this singleton nor Sketch's (not serializable)
+    val hllC = Sketch.HllC
+    val hllM = Sketch.HllM
+
+    def step(source: String, rows: Iterator[HllTok],
+        state: GroupState[HllState]): HllUpdate = {
+      val regs = state.getOption.map(_.regs.toArray)
+        .getOrElse(Array.fill(hllM)(0))
+      rows.foreach { t =>
+        val b = t.bucket.toInt
+        if (t.rho > regs(b)) regs(b) = t.rho
+      }
+      state.update(HllState(regs.toSeq))
+      // the batch estimate formula restated on exact integers: BigInt
+      // harmonic sum (correctly-rounded toDouble), one IEEE divide,
+      // linear-counting takeover below the 2.5m knee, round to 6
+      val zeros = regs.count(_ == 0).toLong
+      val sD = regs.map(r => BigInt(1) << (62 - r)).sum.toDouble
+      val raw = hllC / sD
+      val est =
+        if (raw <= 2.5 * hllM && zeros > 0)
+          hllM.toDouble * math.log(hllM.toDouble / zeros)
+        else raw
+      HllUpdate(source, zeros, sD,
+        BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("source"), Sketch.hllBucket(col("token")).as("bucket"),
+        Sketch.hllRho(col("token")).cast("int").as("rho"))
+      .as[HllTok]
+      .groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
+}

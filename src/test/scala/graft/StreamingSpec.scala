@@ -381,4 +381,58 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSet
     assert(streamed == batch)
   }
+
+  /** Batch sketch projected to the streaming twin's columns. */
+  private lazy val batchHll: Set[String] =
+    graft.operators.Sketch.hllDistinct(spark, sf)
+      .select(col("source"), col("n_zero_regs"), col("reg_sum"), col("hll_est"))
+      .collect().map(_.mkString("|")).toSet
+
+  /** Last emission per source = the row with the minimal harmonic sum
+    * (registers only grow, so reg_sum strictly decreases on change). */
+  private def finalHll(name: String): Set[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    spark.table(name)
+      .withColumn("min_rs", min(col("reg_sum")).over(w))
+      .filter(col("reg_sum") === col("min_rs"))
+      .select(col("source"), col("n_zero_regs"), col("reg_sum"), col("hll_est"))
+      .distinct()
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  test("streaming HLL sketch registers converge to the batch sketch (single batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    graft.sources.Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.DocStreams
+      .hllSketch(spark, graft.streaming.DocStreams.readDocs(spark, dir))
+      .toDF().writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalHll("hll_stream") == batchHll)
+  }
+
+  test("streaming HLL sketch merges register state across micro-batches") {
+    // two doc_id-sliced files replayed as separate micro-batches: the
+    // second batch must MERGE into (not replace) the first's registers
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs2").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (s, i) =>
+        val sub = s"$dir/slice_$i"
+        s.coalesce(1).write.parquet(sub)
+        new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, s"slice_$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * (i + 1))
+        }
+      }
+    val src = spark.readStream.schema(graft.streaming.DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val q = graft.streaming.DocStreams.hllSketch(spark, src)
+      .toDF().writeStream.format("memory").queryName("hll_sliced")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalHll("hll_sliced") == batchHll)
+  }
 }
