@@ -123,6 +123,7 @@ object SparkEntry {
     "seq_pack" -> (Sampling.seqPack _),
     "cluster_assign" -> (Cluster.clusterAssign _),
     "semantic_dedup" -> (Cluster.semanticDedup _),
+    "embedding_pca" -> (Cluster.embeddingPca _),
     "quality_classifier" -> (TextMetrics.qualityClassifier _),
     "decontaminate" -> (Fingerprint.decontaminate _),
     "doc_chunk" -> (Chunk.docChunk _),
@@ -1311,6 +1312,28 @@ object SparkEntry {
         |SELECT a0.vec_id, e.label, cluster0, cluster1, cluster0 <> cluster1 AS moved
         |FROM a0 JOIN a1 USING (vec_id) JOIN embeddings e ON e.vec_id = a0.vec_id
         |ORDER BY a0.vec_id""".stripMargin,
+    "embedding_pca" -> {
+      val S = operators.Cluster.PcaScale
+      s"""WITH qd AS (SELECT vec_id, d,
+        |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * $S) AS HUGEINT) AS val
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |v0 AS (SELECT d, CAST($S AS HUGEINT) AS vd FROM range(64) dd(d)),
+        |w1 AS (SELECT vec_id, sum(val * vd) AS w FROM qd JOIN v0 USING (d) GROUP BY vec_id),
+        |u1 AS (SELECT d, sum(val * w) AS u FROM qd JOIN w1 USING (vec_id) GROUP BY d),
+        |m1 AS (SELECT max(abs(u)) AS m FROM u1),
+        |v1 AS (SELECT d, (u * $S - (((u * $S % m) + m) % m)) // m AS vd FROM u1, m1),
+        |w2 AS (SELECT vec_id, sum(val * vd) AS w FROM qd JOIN v1 USING (d) GROUP BY vec_id),
+        |u2 AS (SELECT d, sum(val * w) AS u FROM qd JOIN w2 USING (vec_id) GROUP BY d),
+        |m2 AS (SELECT max(abs(u)) AS m FROM u2),
+        |v2 AS (SELECT d, (u * $S - (((u * $S % m) + m) % m)) // m AS vd FROM u2, m2),
+        |w3 AS (SELECT vec_id, sum(val * vd) AS w FROM qd JOIN v2 USING (d) GROUP BY vec_id),
+        |sv AS (SELECT sum(vd * vd) AS sv2 FROM v2),
+        |sw AS (SELECT sum(w * w) AS sw2 FROM w3)
+        |SELECT CAST(d AS BIGINT) AS d, CAST(vd AS BIGINT) AS v_fixed,
+        |  CAST(vd AS DOUBLE) / sqrt(CAST(sv2 AS DOUBLE)) AS loading,
+        |  round(CAST(sw2 AS DOUBLE) / CAST(sv2 AS DOUBLE), 6) AS eigenvalue
+        |FROM v2, sv, sw ORDER BY d""".stripMargin
+    },
     "semantic_dedup" ->
       s"""WITH qv AS (SELECT vec_id, d,
         |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd

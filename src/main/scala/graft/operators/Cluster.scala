@@ -144,4 +144,76 @@ object Cluster {
       .select(col("vec_id"), col("c_id").as("cluster"),
         col("dup_of").isNull.as("kept"), col("dup_of"), col("max_sim"))
   }
+
+  /** Fixed-point scale shared with quantize (2^20). */
+  final val PcaScale = 1048576L
+  /** Power-iteration rounds (static unroll, oracle-replayable). */
+  final val PcaIters = 2
+
+  /** Top principal direction of the embedding cloud by POWER ITERATION
+    * in exact integer fixed point — distributed linear algebra under
+    * the cluster_assign discipline, with every iteration
+    * bit-reproducible and replayed by the DuckDB oracle:
+    *
+    *   w_i = q_i · v          (exact longs: 2^40-scale terms, 64 of them)
+    *   u_d = Σ_i q_{i,d} w_i  (decimal(38,0) sums — the only wide type)
+    *   v'  = floor(u · 2^20 / max|u|)   (re-quantized integer vector)
+    *
+    * The rescale divides exact integers via the subtract-pmod form, so
+    * floor-vs-truncate never matters; two unrolled rounds converge the
+    * direction to the dominant eigenvector (embeddings have a strong
+    * first component; a library run iterates with a convergence probe,
+    * the graphPagerankConverged discipline). Output: the 64 loadings
+    * (one deterministic divide by the exact integer norm) and the
+    * Rayleigh-quotient eigenvalue estimate Σw²/Σv² from exact sums.
+    *
+    * Scale shape: each round is ONE broadcast of the 64-long direction
+    * onto the vector table, a row-local dot, and a (dim)-keyed partial
+    * sum — 64 cells per executor merge associatively, so the update
+    * shuffle is constant-size regardless of corpus size. Nothing
+    * vector-count-sized ever shuffles. */
+  def embeddingPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+
+    val v0 = spark.range(1).select(
+      transform(sequence(lit(1), lit(Dims)), _ => lit(PcaScale)).as("v"))
+
+    def iterate(vprev: DataFrame): DataFrame = {
+      val w = vecs.crossJoin(broadcast(vprev))
+        .withColumn("w", qdot(col("q"), col("v")))
+        .select(col("vec_id"), col("q"), col("w"))
+      val u = w
+        .select(col("w"), posexplode(col("q")).as(Seq("d", "qd")))
+        .groupBy(col("d"))
+        .agg(sum(col("qd").cast("decimal(19,0)") * col("w").cast("decimal(19,0)"))
+          .as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      u.crossJoin(broadcast(m))
+        .withColumn("num", col("u") * lit(PcaScale).cast("decimal(19,0)"))
+        .withColumn("vd",
+          ((col("num") - pmod(col("num"), col("m"))) / col("m")).cast("long"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("vd")))),
+          s => s.getField("vd")).as("v"))
+    }
+
+    val vFinal = (1 to PcaIters).foldLeft(v0)((v, _) => iterate(v))
+    val wFinal = vecs.crossJoin(broadcast(vFinal))
+      .withColumn("w", qdot(col("q"), col("v")))
+    val lambda = wFinal
+      .agg(sum(col("w").cast("decimal(19,0)") * col("w").cast("decimal(19,0)"))
+        .as("sw2"))
+      .crossJoin(broadcast(vFinal.select(qdot(col("v"), col("v")).as("sv2"))))
+      .select(round(col("sw2").cast("double") / col("sv2").cast("double"), 6)
+        .as("eigenvalue"))
+    vFinal
+      .select(qdot(col("v"), col("v")).as("sv2"),
+        posexplode(col("v")).as(Seq("d", "v_fixed")))
+      .crossJoin(broadcast(lambda))
+      .select(col("d").cast("long").as("d"), col("v_fixed"),
+        (col("v_fixed").cast("double") / sqrt(col("sv2").cast("double")))
+          .as("loading"),
+        col("eigenvalue"))
+  }
 }

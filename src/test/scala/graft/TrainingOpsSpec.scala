@@ -514,6 +514,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("embedding_pca matches a local BigInt power-iteration replay") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => BigInt(math.floor(x.toDouble * Cluster.PcaScale).toLong)).toVector)
+    val dims = embs.head.length
+    var v = Vector.fill(dims)(BigInt(Cluster.PcaScale))
+    for (_ <- 1 to Cluster.PcaIters) {
+      val ws = embs.map(q => q.zip(v).map { case (a, b) => a * b }.sum)
+      val u = (0 until dims).map(d =>
+        embs.zip(ws).map { case (q, w) => q(d) * w }.sum).toVector
+      val m = u.map(_.abs).max
+      v = u.map { ud =>
+        val num = ud * Cluster.PcaScale
+        val p = ((num % m) + m) % m
+        (num - p) / m
+      }
+    }
+    val got = Cluster.embeddingPca(spark, sf).collect().sortBy(_.getLong(0))
+    assert(got.length == dims)
+    got.zipWithIndex.foreach { case (r, d) =>
+      assert(BigInt(r.getLong(1)) == v(d), s"dim $d: ${r.getLong(1)} vs ${v(d)}")
+    }
+    // loadings are the unit-normalized direction; eigenvalue positive
+    val norm2 = got.map(r => r.getDouble(2) * r.getDouble(2)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9)
+    assert(got.head.getDouble(3) > 0)
+  }
+
   test("dsir_sample selects K non-target docs by gumbel-perturbed log ratio") {
     val out = Sampling.dsirSample(spark, sf).collect()
     assert(out.length == math.min(Sampling.DsirK,
