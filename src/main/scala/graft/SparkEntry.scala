@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dup_clusters" -> (Dedup.dupClusters _),
+    "split_holdout" -> (Dedup.splitHoldout _),
     "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "doc_keywords" -> (TextMetrics.docKeywords _),
@@ -801,6 +802,23 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
          |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "split_holdout" ->
+      s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+         |  UNION ALL SELECT doc_b, doc_a FROM mh),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab FROM reach r JOIN e ON e.a = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_key,
+         |  CASE WHEN md5_number_lower('split-' || coalesce(cc.cluster_id, d.doc_id))
+         |      % 2305843009213693951
+         |      < 2305843009213693951 // ${operators.Dedup.SplitTestInv}
+         |    THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "substring_dup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS sh

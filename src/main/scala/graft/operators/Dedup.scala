@@ -228,6 +228,34 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Holdout fraction: test iff the group draw < P / SplitTestInv. */
+  final val SplitTestInv = 10L
+
+  /** LEAKAGE-SAFE train/test split — the holdout assignment an eval
+    * pipeline must use instead of a per-document coin flip: a
+    * document's split is keyed on its NEAR-DUP CLUSTER root
+    * (dupClusters' connected components over the verified minhash
+    * pair graph), so two near-duplicates can never straddle the
+    * boundary and leak test content into training. Singletons key on
+    * their own id; the draw is the md5-threshold rule shared with
+    * sample_stratified, so the oracle replays the exact assignment.
+    *
+    * Scale shape: the cluster labels are the dupClusters output
+    * (near-dup-pair-count sized, tiny next to the corpus) left-joined
+    * back unhinted; everything else is row-local hashing. */
+  def splitHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("draw", Similarity.md5Mod(
+        concat(lit("split-"), col("group_key"))))
+      .select(col("doc_id"), col("group_key"),
+        when(col("draw") < lit(graft.expressions.CrossHash.P / SplitTestInv),
+          lit("test")).otherwise(lit("train")).as("split"))
+  }
+
   /** HashMin label propagation over a BOTH-DIRECTION edge list
     * (doc_a, doc_b) — the library-level loop dupClusters runs, exposed
     * so callers (and the 100× scale probe) can run it on any edge set.

@@ -514,6 +514,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("split_holdout never separates near-duplicates") {
+    val split = Dedup.splitHoldout(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size == graft.sources.Tables.documents(spark, sf).count())
+    assert(split.values.map(_._2).toSet.subsetOf(Set("train", "test")))
+    // every verified near-dup pair lands on the same side
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) split across groups")
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) split across holdout")
+    }
+    // both sides are populated at this scale
+    assert(split.values.map(_._2).toSet == Set("train", "test"))
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
