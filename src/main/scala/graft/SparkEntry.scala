@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dup_clusters" -> (Dedup.dupClusters _),
     "split_holdout" -> (Dedup.splitHoldout _),
+    "pair_bleu" -> (Dedup.pairBleu _),
     "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
     "doc_keywords" -> (TextMetrics.docKeywords _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "corpus_filter" -> (TextMetrics.corpusFilter _),
+    "blocklist_filter" -> (TextMetrics.blocklistFilter _),
     "repetition_score" -> (TextMetrics.repetitionScore _),
     "bigram_lm_score" -> (TextMetrics.bigramLmScore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
@@ -819,6 +821,42 @@ object SparkEntry {
          |    THEN 'test' ELSE 'train' END AS split
          |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "pair_bleu" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM d),
+         |uni AS (SELECT doc_id, g, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(toks) AS g FROM d) u GROUP BY 1, 2),
+         |bi AS (SELECT doc_id, g, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS g
+         |  FROM d WHERE len(toks) >= 2) u GROUP BY 1, 2),
+         |uc AS (SELECT mh.doc_a, mh.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip1
+         |  FROM mh JOIN uni a ON a.doc_id = mh.doc_a
+         |  JOIN uni b ON b.doc_id = mh.doc_b AND b.g = a.g GROUP BY 1, 2),
+         |bc AS (SELECT mh.doc_a, mh.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip2
+         |  FROM mh JOIN bi a ON a.doc_id = mh.doc_a
+         |  JOIN bi b ON b.doc_id = mh.doc_b AND b.g = a.g GROUP BY 1, 2),
+         |j AS (SELECT mh.doc_a, mh.doc_b, la.len AS len_c, lb.len AS len_r,
+         |    coalesce(uc.clip1, 0) AS clip1, coalesce(bc.clip2, 0) AS clip2
+         |  FROM mh JOIN lens la ON la.doc_id = mh.doc_a
+         |  JOIN lens lb ON lb.doc_id = mh.doc_b
+         |  LEFT JOIN uc ON uc.doc_a = mh.doc_a AND uc.doc_b = mh.doc_b
+         |  LEFT JOIN bc ON bc.doc_a = mh.doc_a AND bc.doc_b = mh.doc_b),
+         |k AS (SELECT *, CAST(clip1 AS DOUBLE) / len_c AS p1,
+         |    CASE WHEN len_c >= 2 THEN CAST(clip2 AS DOUBLE) / (len_c - 1)
+         |      ELSE CAST(0 AS DOUBLE) END AS p2,
+         |    CAST(clip1 AS DOUBLE) / len_r AS rouge1,
+         |    CASE WHEN len_r >= 2 THEN CAST(clip2 AS DOUBLE) / (len_r - 1)
+         |      ELSE CAST(0 AS DOUBLE) END AS rouge2,
+         |    least(CAST(1 AS DOUBLE), exp(1 - CAST(len_r AS DOUBLE) / len_c)) AS bp
+         |  FROM j)
+         |SELECT doc_a, doc_b, len_c, len_r, clip1, clip2, p1, p2, rouge1, rouge2,
+         |  CASE WHEN p1 > 0 AND p2 > 0
+         |    THEN round(bp * exp((ln(p1) + ln(p2)) / 2), 6)
+         |    ELSE CAST(0 AS DOUBLE) END AS bleu2
+         |FROM k ORDER BY doc_a, doc_b""".stripMargin,
     "substring_dup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS sh
@@ -1022,6 +1060,21 @@ object SparkEntry {
         |  CASE WHEN n_in = 0 THEN 0.0 ELSE CAST(n_in - n_out AS DOUBLE) / n_in END AS drop_rate,
         |  CAST(n_out AS DOUBLE) / n0 AS cum_survival
         |FROM u ORDER BY stage""".stripMargin
+    },
+    "blocklist_filter" -> {
+      val list = operators.TextMetrics.blockWords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |d2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> list_contains($list, t))) AS BIGINT) AS n_hits,
+        |  CAST(len(list_intersect(list_distinct(toks), $list)) AS BIGINT) AS n_distinct_blocked
+        |  FROM d)
+        |SELECT doc_id, n_tokens, n_hits, n_distinct_blocked,
+        |  CAST(n_hits AS DOUBLE) / n_tokens AS hit_ratio,
+        |  n_hits * ${operators.TextMetrics.BlockDen}
+        |    >= n_tokens * ${operators.TextMetrics.BlockNum} AS flagged
+        |FROM d2 ORDER BY doc_id""".stripMargin
     },
     "containment_dup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

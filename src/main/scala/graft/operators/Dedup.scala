@@ -256,6 +256,73 @@ object Dedup {
           lit("test")).otherwise(lit("train")).as("split"))
   }
 
+  /** BLEU/ROUGE-style n-gram overlap metrics over the VERIFIED
+    * near-dup pairs — the eval-metric family (clipped n-gram
+    * precision, n-gram recall, brevity penalty) a pipeline uses to
+    * quantify how close candidate/reference text pairs are, here
+    * exercised on the minhash pairs so the workload is natural and
+    * the oracle replayable.
+    *
+    * Exactness: clipped counts Σ_g min(c_cand(g), c_ref(g)) and both
+    * denominators are exact integers (shared grams only — a gram
+    * missing from either side clips to 0), so p1/p2/rouge1/rouge2 are
+    * single deterministic divides; only the composed BLEU-2 touches
+    * exp/ln and rounds to 6 (the house ln discipline). Degenerate
+    * pairs with a zero precision score 0 by definition.
+    *
+    * Scale shape: pair-keyed joins against the two per-doc gram-count
+    * tables — everything is (doc, gram)-keyed equi-join work bounded
+    * by pair count × doc length; nothing quadratic, nothing
+    * corpus-sized after the count aggregation. */
+  def pairBleu(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+    val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val bi = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val lens = docs.select(col("doc_id"),
+      size(col("toks")).cast("long").as("len"))
+
+    def clipped(counts: DataFrame): DataFrame = pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("g"), col("c").as("ca")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("g"), col("c").as("cb")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("clip"))
+    def totals(counts: DataFrame, side: String): DataFrame = counts
+      .groupBy(col("doc_id").as(side)).agg(sum(col("c")).as(s"tot_$side"))
+
+    val uc = clipped(uni).withColumnRenamed("clip", "clip1")
+    val bc = clipped(bi).withColumnRenamed("clip", "clip2")
+    val out = pairs
+      .join(uc, Seq("doc_a", "doc_b"), "left")
+      .join(bc, Seq("doc_a", "doc_b"), "left")
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_c")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_r")), Seq("doc_b"))
+      .withColumn("clip1", coalesce(col("clip1"), lit(0L)))
+      .withColumn("clip2", coalesce(col("clip2"), lit(0L)))
+      .withColumn("p1", col("clip1").cast("double") / col("len_c"))
+      .withColumn("p2", when(col("len_c") >= 2,
+        col("clip2").cast("double") / (col("len_c") - 1)).otherwise(lit(0.0)))
+      .withColumn("rouge1", col("clip1").cast("double") / col("len_r"))
+      .withColumn("rouge2", when(col("len_r") >= 2,
+        col("clip2").cast("double") / (col("len_r") - 1)).otherwise(lit(0.0)))
+      .withColumn("bp", least(lit(1.0),
+        exp(lit(1.0) - col("len_r").cast("double") / col("len_c"))))
+      .withColumn("bleu2", when(col("p1") > 0 && col("p2") > 0,
+        round(col("bp") * exp((log(col("p1")) + log(col("p2"))) / 2), 6))
+        .otherwise(lit(0.0)))
+    out.select(col("doc_a"), col("doc_b"), col("len_c"), col("len_r"),
+      col("clip1"), col("clip2"), col("p1"), col("p2"),
+      col("rouge1"), col("rouge2"), col("bleu2"))
+  }
+
   /** HashMin label propagation over a BOTH-DIRECTION edge list
     * (doc_a, doc_b) — the library-level loop dupClusters runs, exposed
     * so callers (and the 100× scale probe) can run it on any edge set.

@@ -130,6 +130,43 @@ object TextMetrics {
       .select(col("doc_id"), col("pred_lang"), col("quality_score"))
   }
 
+  /** The configurable blocklist (the gate list uses corpus-present
+    * words across three frequency decades so every code path is
+    * exercised; a deployment swaps in its safety/NSFW/PII list). The
+    * oracle SQL is generated from this Seq so the sides cannot
+    * drift. */
+  val blockWords: Seq[String] = Seq("slow", "big", "dup")
+  /** Flag iff blocked hits >= BlockNum/BlockDen of the tokens (5%). */
+  final val BlockNum = 1
+  final val BlockDen = 20
+
+  /** Wordlist BLOCKLIST filtering — the mechanism behind safety /
+    * NSFW / spam list filters in corpus pipelines (the list is policy,
+    * the operator is the machinery): per document, total blocked-word
+    * occurrences, distinct blocked words seen, the exact-integer flag
+    * decision hits·Den >= tokens·Num, and the hit ratio as one
+    * deterministic divide.
+    *
+    * Entirely row-local (filter/array_intersect folds inside the row —
+    * the repetition_score discipline): zero shuffles at any corpus
+    * size, and the blocklist compiles into the expression as a literal
+    * array — at a realistic list size (10^4+) the library form swaps
+    * in a broadcast set join without changing the output contract. */
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = array(blockWords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_hits",
+        size(filter(col("toks"), t => t.isInCollection(blockWords))).cast("long"))
+      .withColumn("n_distinct_blocked",
+        size(array_intersect(array_distinct(col("toks")), words)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        col("n_distinct_blocked"),
+        (col("n_hits").cast("double") / col("n_tokens")).as("hit_ratio"),
+        (col("n_hits") * BlockDen >= col("n_tokens") * BlockNum).as("flagged"))
+  }
+
   /** Longest equal run in a sorted array = the modal element's count.
     * A within-row left fold (codegen'd HigherOrderFunction) — no
     * explode, no shuffle; the oracle states the same number as

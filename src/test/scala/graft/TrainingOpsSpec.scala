@@ -514,6 +514,51 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("blocklist_filter counts and flags match a local replay") {
+    val rows = TextMetrics.blocklistFilter(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val block = TextMetrics.blockWords.toSet
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val hits = toks.count(block)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Long]("n_distinct_blocked") == toks.toSet.intersect(block).size)
+      assert(r.getAs[Boolean]("flagged") ==
+        (hits * TextMetrics.BlockDen >= toks.length * TextMetrics.BlockNum))
+    }
+    // the gate list is chosen so both outcomes occur
+    assert(rows.exists(_.getAs[Boolean]("flagged")))
+    assert(rows.exists(!_.getAs[Boolean]("flagged")))
+  }
+
+  test("pair_bleu restates clipped overlap metrics on a sample pair") {
+    val out = Dedup.pairBleu(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    def counts(xs: Seq[String]) = xs.groupBy(identity).map { case (k, v) => k -> v.size }
+    out.foreach { r =>
+      val c = docs(r.getAs[Long]("doc_a"))
+      val ref = docs(r.getAs[Long]("doc_b"))
+      val c1 = counts(c); val r1 = counts(ref)
+      val clip1 = c1.map { case (g, n) => math.min(n, r1.getOrElse(g, 0)) }.sum
+      val c2 = counts(c.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq)
+      val r2 = counts(ref.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq)
+      val clip2 = c2.map { case (g, n) => math.min(n, r2.getOrElse(g, 0)) }.sum
+      assert(r.getAs[Long]("len_c") == c.length && r.getAs[Long]("len_r") == ref.length)
+      assert(r.getAs[Long]("clip1") == clip1, s"pair ${r.getLong(0)},${r.getLong(1)} clip1")
+      assert(r.getAs[Long]("clip2") == clip2)
+      assert(r.getAs[Double]("p1") == clip1.toDouble / c.length)
+      // near-dup pairs overlap heavily: BLEU-2 must be positive
+      assert(r.getAs[Double]("bleu2") > 0)
+    }
+  }
+
   test("split_holdout never separates near-duplicates") {
     val split = Dedup.splitHoldout(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
