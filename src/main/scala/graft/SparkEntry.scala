@@ -152,6 +152,7 @@ object SparkEntry {
     "events_anomaly" -> (Events.eventsAnomaly _),
     "events_mad" -> (Events.eventsMad _),
     "events_forecast" -> (Events.eventsForecast _),
+    "events_pattern" -> (Events.eventsPattern _),
     "events_gapfill" -> (Events.eventsGapfill _),
     "events_attribution" -> (Events.eventsAttribution _),
     "vocab_coverage" -> (Tokenize.vocabCoverage _),
@@ -1907,6 +1908,29 @@ object SparkEntry {
         |FROM dev d JOIN mad a USING (event_type)
         |WHERE a.mad > 0 AND d.adev > 3 * a.mad
         |ORDER BY event_type, hr""".stripMargin,
+    "events_pattern" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM ev
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS purchase_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS click_us FROM ev WHERE event_type = 'click'),
+        |pairs AS (SELECT p.purchase_id, p.user_id, p.purchase_us, v.view_id, v.view_us
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.view_us <= p.purchase_us
+        |    AND p.purchase_us - v.view_us <= CAST(3600 AS BIGINT) * 1000000),
+        |latest AS (SELECT * FROM (SELECT pairs.*,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY view_us DESC, view_id DESC) AS rk FROM pairs) t
+        |  WHERE rk = 1)
+        |SELECT purchase_id, user_id, view_id, view_us, purchase_us,
+        |  purchase_us - view_us AS gap_us
+        |FROM latest l
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |  WHERE c.user_id = l.user_id AND c.click_us > l.view_us
+        |    AND c.click_us < l.purchase_us)
+        |ORDER BY purchase_id""".stripMargin,
     "events_forecast" ->
       s"""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,

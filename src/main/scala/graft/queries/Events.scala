@@ -314,6 +314,59 @@ object Events {
         (col("purchase_us") - col("click_us")).as("gap_us"))
   }
 
+  /** Complex-event-processing pattern match: purchases whose LATEST
+    * view within the preceding hour had NO intervening click — the
+    * "A then B within t, without C between" shape (direct-conversion
+    * detection) that CEP engines express with MATCH_RECOGNIZE and a
+    * pipeline wants as a set-oriented plan.
+    *
+    * Execution strategy vs semantics: the (view, purchase) candidates
+    * form through the BUCKETIZED interval join (the attribution
+    * pattern — a purchase probes its own and the previous hour bucket,
+    * so no per-user cross product), the latest-view argmax runs
+    * through bounded-heap TopK with k=1, and the no-click-between
+    * negation is a SEMI-join (pairs with an intervening click) fed
+    * into an ANTI-join — never a per-row correlated probe. The oracle
+    * states the same semantics as a plain theta join + NOT EXISTS;
+    * bucketization changes the plan, not the answer.
+    *
+    * Scale shape: three filtered scans of the same events pass, joins
+    * keyed on (user, hour-bucket), candidate volume bounded by the
+    * 1-hour window; nothing is events×events. */
+  def eventsPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    val widthUs = 3600L * 1000000
+    val ev = Tables.events(spark, sfDir)
+    def typed(t: String, idAs: String, usAs: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .select(col("event_id").as(idAs), col("user_id"),
+          unix_micros(col("ts")).as(usAs))
+    val views = typed("view", "view_id", "view_us")
+      .withColumn("bucket", expr(s"view_us div $widthUs"))
+    val purchases = typed("purchase", "purchase_id", "purchase_us")
+      .withColumn("bucket", explode(array(
+        expr(s"purchase_us div $widthUs"), expr(s"purchase_us div $widthUs - 1"))))
+    val latest = purchases.join(views, Seq("user_id", "bucket"))
+      .filter(col("view_us") <= col("purchase_us") &&
+        col("purchase_us") - col("view_us") <= widthUs)
+      .transform(graft.plans.TopK.perGroup(
+        Seq("purchase_id"), Seq("view_us" -> false, "view_id" -> false), 1))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("view_id"), col("view_us"))
+    val clicks = typed("click", "click_id", "click_us")
+      .withColumn("cbucket", expr(s"click_us div $widthUs"))
+    // pairs WITH an intervening click (semi), then excluded (anti) —
+    // the exploded-bucket probe makes the semi an equi-join
+    val probed = latest.withColumn("cbucket", explode(array(
+      expr(s"view_us div $widthUs"), expr(s"purchase_us div $widthUs")))).distinct()
+    val withClick = probed.join(clicks, Seq("user_id", "cbucket"))
+      .filter(col("click_us") > col("view_us") && col("click_us") < col("purchase_us"))
+      .select(col("purchase_id")).distinct()
+    latest.join(withClick, Seq("purchase_id"), "left_anti")
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        col("view_us"), col("purchase_us"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+  }
+
   /** Cohort retention: users grouped by the week of their first signup
     * (weeks counted from the corpus epoch 2024-01-01), counted distinct
     * in each later week-offset where they emitted any event. Two

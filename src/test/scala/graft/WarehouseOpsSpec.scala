@@ -210,6 +210,32 @@ class WarehouseOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_test_hours") <= Events.FcTestHours))
   }
 
+  test("events_pattern matches a local CEP replay") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val hourUs = 3600L * 1000000
+    val byUser = ev.groupBy(_._2)
+    val expected = byUser.toSeq.flatMap { case (_, rows) =>
+      val views = rows.filter(_._3 == "view")
+      val clicks = rows.filter(_._3 == "click")
+      rows.filter(_._3 == "purchase").flatMap { p =>
+        val cand = views.filter(v => v._4 <= p._4 && p._4 - v._4 <= hourUs)
+        if (cand.isEmpty) None
+        else {
+          val latest = cand.maxBy(v => (v._4, v._1))
+          val blocked = clicks.exists(c => c._4 > latest._4 && c._4 < p._4)
+          if (blocked) None else Some((p._1, latest._1))
+        }
+      }
+    }.toSet
+    val got = Events.eventsPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("events_gapfill grids are dense per user and LOCF-filled") {
     val rows = Events.eventsGapfill(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
