@@ -121,8 +121,9 @@ object Profile {
     profiled.map { c =>
       val q = li.agg(percentile(col(c), array(probes: _*)).as("qs"))
       val aggs = Seq(first(col("qs")).as("qs")) ++ (1 to EqBuckets).map { b =>
-        sum(when((col("v") > col("qs")(b - 1) && col("v") <= col("qs")(b)) ||
-          (lit(b) === 1 && col("v") === col("qs")(0)), 1L).otherwise(0L)).as(s"n$b")
+        val inRange = col("v") > col("qs")(b - 1) && col("v") <= col("qs")(b)
+        val owns = if (b == 1) inRange || col("v") === col("qs")(0) else inRange
+        sum(when(owns, 1L).otherwise(0L)).as(s"n$b")
       }
       li.select(col(c).as("v")).crossJoin(broadcast(q))
         .agg(aggs.head, aggs.tail: _*)
