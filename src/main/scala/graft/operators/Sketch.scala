@@ -59,9 +59,13 @@ object Sketch {
     when(w === 0, lit(54)).otherwise(lit(54) - length(ltrim(bin(w), "0")))
   }
 
-  private def bucket(term: Column, d: Column): Column =
+  /** CMS cell index for hash row d — shared by the batch operator and
+    * the streaming heavy-hitter sketch so the two cannot drift. */
+  def cmsBucket(term: Column, d: Column): Column =
     pmod(graft.functions.Similarity.md5Mod(
       concat(lit("cms"), d.cast("string"), lit("-"), term)), lit(Width.toLong))
+
+  private def bucket(term: Column, d: Column): Column = cmsBucket(term, d)
 
   /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) audited
     * against the exact NDV — the OTHER fixed-memory sketch a corpus

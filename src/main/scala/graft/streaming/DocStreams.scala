@@ -16,6 +16,17 @@ case class HllState(regs: Seq[Int])
 case class HllUpdate(source: String, n_zero_regs: Long, reg_sum: Double,
     hll_est: Double)
 
+/** One (token, hash-row, cell) occurrence routed into the CMS. */
+case class CmsTok(token: String, d: Int, bucket: Int)
+
+/** CMS state: Depth×Width cells plus the tracked-candidate map
+  * (term -> its Depth cell indices). Both bounded: cells are constant,
+  * candidates capped at CmsCap by lowest-estimate eviction. */
+case class CmsState(cells: Seq[Long], terms: Map[String, Seq[Int]], gen: Long)
+
+/** One heavy-hitter row emitted per micro-batch generation. */
+case class CmsHh(gen: Long, term: String, cms_est: Long)
+
 /** Streaming sketch maintenance over a document stream — the proof
   * that the fixed-memory sketches are MERGEABLE state, which is their
   * whole reason to exist at 100 TB: per source, the 256 HyperLogLog
@@ -46,6 +57,69 @@ object DocStreams {
   /** Unbounded documents source: a parquet directory watched for files. */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Tracked-candidate capacity of the streaming CMS (space-saving
+    * style eviction above it; the test vocabulary fits inside, so the
+    * tracking is exact there and the parity assertion is strict). */
+  final val CmsCap = 64
+  /** Heavy hitters emitted per micro-batch. */
+  final val CmsTopN = 5
+
+  /** Streaming COUNT-MIN heavy hitters: the second mergeable sketch,
+    * as stream state. Cells are pure ADDS — order- and batch-
+    * insensitive, the mergeability that justifies the sketch — and the
+    * candidate set is the classic heavy-hitter companion structure
+    * (bounded, lowest-estimate eviction when over capacity). Each
+    * micro-batch emits its generation's top-CmsTopN terms by CMS
+    * estimate; the LAST generation is the stream's answer.
+    *
+    * The (token, d, cell) projection is the batch operator's own
+    * column expression (Sketch.cmsBucket), so stream and gate-checked
+    * batch cells cannot drift. Single-group state here (the test
+    * corpus is one sketch); a production deployment shards the cell
+    * array by hash range per key-group and merges — the adds commute,
+    * which is the whole point. */
+  def cmsHeavyHitters(spark: SparkSession, docs: DataFrame): Dataset[CmsHh] = {
+    import spark.implicits._
+    val depth = Sketch.Depth
+    val width = Sketch.Width
+    val cap = CmsCap
+    val topN = CmsTopN
+
+    def step(key: Int, rows: Iterator[CmsTok],
+        state: GroupState[CmsState]): Iterator[CmsHh] = {
+      val prev = state.getOption.getOrElse(
+        CmsState(Vector.fill(depth * width)(0L), Map.empty, 0L))
+      val cells = prev.cells.toArray
+      var terms = prev.terms
+      rows.foreach { t =>
+        cells(t.d * width + t.bucket) += 1L
+        val slots = terms.getOrElse(t.token, Vector.fill(depth)(-1))
+        terms += t.token -> slots.updated(t.d, t.bucket)
+      }
+      def est(slots: Seq[Int]): Long =
+        slots.zipWithIndex.map { case (b, d) => cells(d * width + b) }.min
+      // space-saving eviction: keep the cap best-estimated candidates
+      if (terms.size > cap)
+        terms = terms.toSeq.sortBy { case (t, s) => (-est(s), t) }.take(cap).toMap
+      val gen = prev.gen + 1
+      state.update(CmsState(cells.toVector, terms, gen))
+      terms.toSeq.map { case (t, s) => (t, est(s)) }
+        .sortBy { case (t, e) => (-e, t) }.take(topN)
+        .map { case (t, e) => CmsHh(gen, t, e) }.iterator
+    }
+
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("token"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("token"), col("d").cast("int").as("d"),
+        Sketch.cmsBucket(col("token"), col("d")).cast("int").as("bucket"))
+      .as[CmsTok]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
 
   /** Per-source streaming HLL: emits the refreshed sketch snapshot for
     * every source seen in each micro-batch (Update semantics — the

@@ -401,6 +401,62 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSet
   }
 
+  /** Expected heavy hitters from a batch replay of the CMS cells. */
+  private lazy val batchCmsTop: Set[(String, Long)] = {
+    import org.apache.spark.sql.DataFrame
+    val toks: DataFrame = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("token"),
+        explode(sequence(lit(0), lit(graft.operators.Sketch.Depth - 1))).as("d"))
+      .withColumn("bucket", graft.operators.Sketch.cmsBucket(col("token"), col("d")))
+    val cells = toks.groupBy(col("d"), col("bucket")).count()
+    toks.distinct().join(cells, Seq("d", "bucket"))
+      .groupBy(col("token")).agg(min(col("count")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, e) => (-e, t) }.take(graft.streaming.DocStreams.CmsTopN).toSet
+  }
+
+  private def finalCms(name: String): Set[(String, Long)] = {
+    val t = spark.table(name)
+    val maxGen = t.agg(max(col("gen"))).collect()(0).getLong(0)
+    t.filter(col("gen") === maxGen)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("cms_est"))).toSet
+  }
+
+  test("streaming CMS heavy hitters converge to the batch cells (single batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    graft.sources.Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.DocStreams
+      .cmsHeavyHitters(spark, graft.streaming.DocStreams.readDocs(spark, dir))
+      .toDF().writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalCms("cms_stream") == batchCmsTop)
+  }
+
+  test("streaming CMS cells merge across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms2").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (s, i) =>
+        val sub = s"$dir/slice_$i"
+        s.coalesce(1).write.parquet(sub)
+        new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, s"slice_$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * (i + 1))
+        }
+      }
+    val src = spark.readStream.schema(graft.streaming.DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val q = graft.streaming.DocStreams.cmsHeavyHitters(spark, src)
+      .toDF().writeStream.format("memory").queryName("cms_sliced")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalCms("cms_sliced") == batchCmsTop)
+  }
+
   test("streaming HLL sketch registers converge to the batch sketch (single batch)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
     graft.sources.Tables.documents(spark, sf).write.mode("overwrite").parquet(dir)
