@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_embedding" -> (Dedup.dedupEmbedding _),
     "ann_bruteforce" -> (Ann.annBruteforce _),
     "ann_lsh" -> (Ann.annLsh _),
+    "ann_eval" -> (Ann.annEval _),
     "embedding_quantize" -> (Ann.embeddingQuantize _),
     "ann_pq" -> (Pq.annPq _),
     "ann_ivf" -> (Ann.annIvf _),
@@ -166,6 +167,44 @@ object SparkEntry {
 
   /** SQL string literal escape for generated oracle fragments. */
   private def sq(s: String): String = s.replace("'", "''")
+
+  /** Brute-force cosine top-k oracle — shared by ann_bruteforce and as
+    * the ground-truth side of ann_eval. */
+  private val annBruteforceSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
+      |s AS (SELECT q_id, vec_id,
+      |  list_dot_product(q_emb, emb)
+      |    / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))) AS cos
+      |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
+      |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Hyperplane-LSH ANN oracle — shared by ann_lsh and as the
+    * approximate side of ann_eval. */
+  private val annLshSql: String =
+    """WITH planes AS (SELECT t, p, d,
+      |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM range(2) tt(t) CROSS JOIN range(8) pp(p) CROSS JOIN range(64) dd(d)),
+      |qv AS (SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN range(64) dd(d)),
+      |dots AS (SELECT vec_id, t, p, sum(sgn * q) AS dot FROM qv JOIN planes USING (d) GROUP BY vec_id, t, p),
+      |buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      |  FROM dots GROUP BY vec_id, t),
+      |qs AS (SELECT vec_id AS q_id, t, bucket FROM buckets WHERE vec_id % 100 = 0),
+      |cand AS (SELECT DISTINCT q.q_id, b.vec_id
+      |  FROM buckets b JOIN qs q ON b.t = q.t AND b.bucket = q.bucket WHERE b.vec_id <> q.q_id),
+      |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |scored AS (SELECT cand.q_id, cand.vec_id,
+      |  list_dot_product(qe.emb, ve.emb)
+      |    / (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ve.emb, ve.emb))) AS cos
+      |  FROM cand JOIN ed qe ON qe.vec_id = cand.q_id JOIN ed ve ON ve.vec_id = cand.vec_id),
+      |r AS (SELECT q_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+      |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
 
   /** MinHash+LSH pair oracle — shared verbatim by dedup_minhash and as
     * the edge source inside dup_clusters' recursive CTE. */
@@ -899,27 +938,7 @@ object SparkEntry {
         |  GROUP BY cand.doc_a, cand.doc_b)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "ann_lsh" ->
-      """WITH planes AS (SELECT t, p, d,
-        |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn
-        |  FROM range(2) tt(t) CROSS JOIN range(8) pp(p) CROSS JOIN range(64) dd(d)),
-        |qv AS (SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS q
-        |  FROM embeddings CROSS JOIN range(64) dd(d)),
-        |dots AS (SELECT vec_id, t, p, sum(sgn * q) AS dot FROM qv JOIN planes USING (d) GROUP BY vec_id, t, p),
-        |buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
-        |  FROM dots GROUP BY vec_id, t),
-        |qs AS (SELECT vec_id AS q_id, t, bucket FROM buckets WHERE vec_id % 100 = 0),
-        |cand AS (SELECT DISTINCT q.q_id, b.vec_id
-        |  FROM buckets b JOIN qs q ON b.t = q.t AND b.bucket = q.bucket WHERE b.vec_id <> q.q_id),
-        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |scored AS (SELECT cand.q_id, cand.vec_id,
-        |  list_dot_product(qe.emb, ve.emb)
-        |    / (sqrt(list_dot_product(qe.emb, qe.emb)) * sqrt(list_dot_product(ve.emb, ve.emb))) AS cos
-        |  FROM cand JOIN ed qe ON qe.vec_id = cand.q_id JOIN ed ve ON ve.vec_id = cand.vec_id),
-        |r AS (SELECT q_id, vec_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
-        |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "ann_lsh" -> annLshSql,
     "ann_pq" ->
       """WITH qv AS (SELECT vec_id, CAST(d // 8 AS INT) AS s, CAST(d % 8 AS INT) AS j,
         |    CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
@@ -1019,17 +1038,29 @@ object SparkEntry {
         |  FROM j JOIN es ON j.eval_id = es.eval_id)
         |SELECT train_id, eval_id, shared, coverage FROM c WHERE coverage >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin,
-    "ann_bruteforce" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
-        |s AS (SELECT q_id, vec_id,
-        |  list_dot_product(q_emb, emb)
-        |    / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))) AS cos
-        |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
-        |r AS (SELECT q_id, vec_id, cos,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM s)
-        |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin,
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_eval" ->
+      s"""WITH bf AS (SELECT q_id, neighbor_id FROM ($annBruteforceSql)),
+        |ls AS (SELECT q_id, neighbor_id, rank FROM ($annLshSql)),
+        |truth AS (SELECT q_id, count(*) AS n_truth FROM bf GROUP BY q_id),
+        |rel AS (SELECT l.q_id, l.rank, b.neighbor_id IS NOT NULL AS relv
+        |  FROM ls l LEFT JOIN bf b
+        |    ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id),
+        |m AS (SELECT q_id, count(*) AS n_retrieved,
+        |    CAST(sum(CASE WHEN relv THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    list_sum(list_sort(list(CASE WHEN relv
+        |      THEN CAST(1 AS DOUBLE) / log2(rank + 1) ELSE CAST(0 AS DOUBLE) END))) AS dcg
+        |  FROM rel GROUP BY q_id),
+        |f AS (SELECT t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
+        |    CAST(coalesce(m.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+        |    coalesce(m.n_hits, 0) AS n_hits, coalesce(m.dcg, 0) AS dcg,
+        |    list_sum(list_sort(list_transform(range(1, CAST(t.n_truth AS INT) + 1),
+        |      i -> CAST(1 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1)))) AS idcg
+        |  FROM truth t LEFT JOIN m ON m.q_id = t.q_id)
+        |SELECT q_id, n_truth, n_retrieved, n_hits,
+        |  CAST(n_hits AS DOUBLE) / n_truth AS recall,
+        |  round(dcg / idcg, 6) AS ndcg
+        |FROM f ORDER BY q_id""".stripMargin,
     "filter_attrition" -> {
       import operators.Quality._
       s"""WITH d AS (SELECT doc_id, n_chars,

@@ -192,4 +192,49 @@ object Ann {
       .select(col("vec_id"), col("label"), col("scale"),
         (col("se") / size(col("v"))).as("mse"), col("max_abs_err"),
         (col("dot") / (sqrt(col("nv")) * sqrt(col("nq")))).as("cos_sim"))
+
+  /** ANN quality evaluation: recall@k and nDCG@k of the LSH
+    * approximation measured against the brute-force exact top-k — the
+    * table a vector-store user reads before trusting an index (and the
+    * same harness evaluates an IVF or PQ variant by substitution).
+    * Binary relevance (approximate hit is in the exact top-k), DCG
+    * discounts by log2(rank+1) over the APPROXIMATE list's own order,
+    * IDCG normalizes by the ideal prefix of the truth size.
+    *
+    * Determinism: hit flags and counts are exact; each per-query DCG
+    * folds a SORTED gain list (the bigram_lm_score float discipline —
+    * at most k terms, but the rule is the rule) and the final ratio
+    * rounds to 6. Queries the index returns nothing for still emit
+    * (recall 0, ndcg 0) via the left join from the truth side.
+    *
+    * Scale shape: both inputs are k×queries tables; every join and
+    * aggregate here is query-count sized. The expensive parts are the
+    * two retrievals themselves, each already audited in its own gate
+    * row. */
+  def annEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = annBruteforce(spark, sfDir).select(col("q_id"), col("neighbor_id"))
+    val ls = annLsh(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+    val truth = bf.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+    val rel = ls.join(bf.withColumn("relv", lit(true)),
+        Seq("q_id", "neighbor_id"), "left")
+      .withColumn("relv", coalesce(col("relv"), lit(false)))
+    val m = rel.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("relv"), 1L).otherwise(0L)).as("n_hits"),
+        sort_array(collect_list(when(col("relv"),
+          lit(1.0) / log2(col("rank") + 1)).otherwise(lit(0.0)))).as("gains"))
+      .withColumn("dcg", aggregate(col("gains"), lit(0.0), (a, x) => a + x))
+    truth.join(m, Seq("q_id"), "left")
+      .withColumn("n_retrieved", coalesce(col("n_retrieved"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
+      .withColumn("idcg", aggregate(
+        sort_array(transform(sequence(lit(1), col("n_truth").cast("int")),
+          i => lit(1.0) / log2(i.cast("double") + 1))),
+        lit(0.0), (a, x) => a + x))
+      .select(col("q_id"), col("n_truth"), col("n_retrieved"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
 }

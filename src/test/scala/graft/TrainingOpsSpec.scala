@@ -514,6 +514,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("ann_eval recall and ndcg restate the lsh-vs-bruteforce overlap") {
+    val bf = Ann.annBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ls = Ann.annLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    val out = Ann.annEval(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("q_id")).toSet == bf.map(_._1))
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val truth = bf.filter(_._1 == q)
+      val retrieved = ls.filter(_._1 == q)
+      val hits = retrieved.count(x => truth.contains((q, x._2)))
+      assert(r.getAs[Long]("n_truth") == truth.size)
+      assert(r.getAs[Long]("n_retrieved") == retrieved.length)
+      assert(r.getAs[Long]("n_hits") == hits)
+      assert(r.getAs[Double]("recall") == hits.toDouble / truth.size)
+      // replay ndcg with the operator's own fold order (sorted gains)
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val gains = retrieved.map { case (_, n, rank) =>
+        if (truth.contains((q, n))) 1.0 / log2(rank + 1.0) else 0.0
+      }.sorted
+      val dcg = gains.foldLeft(0.0)(_ + _)
+      val idcg = (1 to truth.size).map(i => 1.0 / log2(i + 1.0)).sorted
+        .foldLeft(0.0)(_ + _)
+      val expect = BigDecimal(dcg / idcg)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("ndcg") == expect)
+    }
+  }
+
   test("blocklist_filter counts and flags match a local replay") {
     val rows = TextMetrics.blocklistFilter(spark, sf).collect()
     val docs = graft.sources.Tables.documents(spark, sf)
