@@ -56,9 +56,13 @@ object SparkEntry {
     "q_quantiles_group" -> (Relational.qQuantilesGroup _),
     "q_setops" -> (Relational.qSetOps _),
     "q_cube" -> (Relational.qCube _),
+    "q_groupingsets" -> (Relational.qGroupingSets _),
     "q_corr" -> (Stats.qCorr _),
+    "winsorize" -> (Stats.winsorize _),
     "scd2_dim" -> (Scd.scd2Dim _),
+    "scd2_asof" -> (Scd.scd2Asof _),
     "merge_upsert" -> (Scd.mergeUpsert _),
+    "cdc_apply" -> (Scd.cdcApply _),
     "agg_incremental" -> (Scd.aggIncremental _),
     "value_histogram" -> ((s: SparkSession, d: String) => Profile.valueHistogram(s, d)),
     "colloc_pmi" -> ((s: SparkSession, d: String) => TextMetrics.collocPmi(s, d)),
@@ -67,6 +71,7 @@ object SparkEntry {
     "bm25_rank" -> (Search.bm25Rank _),
     "graph_triangles" -> (Graph.graphTriangles _),
     "graph_linkpred" -> (Graph.graphLinkpred _),
+    "graph_kcore" -> (Graph.graphKcore _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -104,6 +109,7 @@ object SparkEntry {
     "embedding_quantize" -> (Ann.embeddingQuantize _),
     "ann_pq" -> (Pq.annPq _),
     "ann_ivf" -> (Ann.annIvf _),
+    "knn_graph" -> (Ann.knnGraph _),
     "rrf_fusion" -> (Fusion.rrfFusion _),
     "containment_dup" -> (Dedup.containmentDup _),
     "filter_attrition" -> (Quality.filterAttrition _),
@@ -122,6 +128,9 @@ object SparkEntry {
     "repetition_score" -> (TextMetrics.repetitionScore _),
     "bigram_lm_score" -> (TextMetrics.bigramLmScore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "shard_assign" -> (Composition.shardAssign _),
+    "epoch_mix" -> (Composition.epochMix _),
+    "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
     "seq_pack" -> (Sampling.seqPack _),
@@ -142,6 +151,7 @@ object SparkEntry {
     "skew_agg" -> (Salting.skewAgg _),
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
+    "events_hopping" -> (Events.eventsHopping _),
     "events_rolling" -> (Events.eventsRolling _),
     "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
@@ -1186,6 +1196,30 @@ object SparkEntry {
         |  FROM cand)
         |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "knn_graph" ->
+      """WITH planes AS (SELECT t, p, d,
+        |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(2) tt(t) CROSS JOIN range(8) pp(p) CROSS JOIN range(64) dd(d)),
+        |qv AS (SELECT vec_id, d, CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |dots AS (SELECT vec_id, t, p, sum(sgn * q) AS dot FROM qv JOIN planes USING (d) GROUP BY vec_id, t, p),
+        |buckets AS (SELECT vec_id, t, CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+        |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        |  WHERE a.vec_id <> b.vec_id),
+        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (SELECT cand.src_id, cand.nbr_id,
+        |  list_dot_product(se.emb, ne.emb)
+        |    / (sqrt(list_dot_product(se.emb, se.emb)) * sqrt(list_dot_product(ne.emb, ne.emb))) AS cos
+        |  FROM cand JOIN ed se ON se.vec_id = cand.src_id JOIN ed ne ON ne.vec_id = cand.nbr_id),
+        |r AS (SELECT src_id, nbr_id, cos,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS rank FROM scored),
+        |k AS (SELECT src_id, nbr_id, CAST(rank AS BIGINT) AS rank, cos FROM r WHERE rank <= 5)
+        |SELECT k.src_id, k.nbr_id, k.rank, k.cos, (m.s2 IS NOT NULL) AS mutual
+        |FROM k LEFT JOIN (SELECT nbr_id AS s2, src_id AS n2 FROM k) m
+        |  ON m.s2 = k.src_id AND m.n2 = k.nbr_id
+        |ORDER BY k.src_id, k.rank""".stripMargin,
     "lang_id" ->
       """WITH marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
         |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
@@ -1348,6 +1382,38 @@ object SparkEntry {
          |  < (2305843009213693951 // 10) * r
          |ORDER BY doc_id""".stripMargin
     },
+    "shard_assign" ->
+      // the oracle states the semantics as the naive per-shard
+      // row_number; the Spark side computes the same rank via the
+      // two-phase draw-range prefix sum — the hash match proves it
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(md5_number_lower('shard-' || doc_id) % 2305843009213693951
+         |    % ${graft.operators.Composition.NumShards} AS BIGINT) AS shard,
+         |  md5_number_lower('ord-' || doc_id) % 2305843009213693951 AS ord
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "epoch_mix" -> {
+      val tCase = "CASE source " + graft.operators.Composition.epochTenths
+        .map { case (s, t) => s"WHEN '${sq(s)}' THEN $t" }.mkString(" ") + " END"
+      s"""WITH t AS (SELECT doc_id, source, $tCase AS tenths FROM documents)
+         |SELECT doc_id, source, CAST(tenths AS DOUBLE) / 10.0 AS target_epochs,
+         |  CAST(tenths // 10 + CASE WHEN md5_number_lower('epoch-' || doc_id) % 2305843009213693951
+         |    < (2305843009213693951 // 10) * (tenths % 10) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "kfold_split" ->
+      s"""WITH f AS (SELECT lang,
+         |    CAST(md5_number_lower('fold-' || doc_id) % 2305843009213693951
+         |      % ${graft.operators.Composition.NumFolds} AS BIGINT) AS fold
+         |  FROM documents),
+         |c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY fold, lang)
+         |SELECT fold, lang, n_docs,
+         |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+         |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS lang_share
+         |FROM c ORDER BY fold, lang""".stripMargin,
     "domain_mix" -> {
       val values = Sampling.mixWeights
         .map { case (s, w) => s"('${sq(s)}', $w)" }.mkString(", ")
@@ -1486,6 +1552,19 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM ev GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "events_hopping" ->
+      // each event lands in exactly window/slide = 4 hopping windows,
+      // whose aligned starts are base - i*15min for i in 0..3
+      """WITH ev AS (SELECT event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT event_type, value,
+        |    (us - us % 900000000) - i * 900000000 AS window_start
+        |  FROM ev CROSS JOIN range(4) ii(i))
+        |SELECT window_start, window_start + 3600000000 AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM f GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
     "events_rolling" ->
       """WITH ev AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
@@ -1752,6 +1831,32 @@ object SparkEntry {
         |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
         |    * sqrt(CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6) AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "winsorize" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(round(quantile_cont(cents, 0.125) * 8) AS BIGINT) AS lo8,
+        |    CAST(round(quantile_cont(cents, 0.875) * 8) AS BIGINT) AS hi8
+        |  FROM c GROUP BY event_type)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN c.cents * 8 < b.lo8 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c.cents * 8 > b.hi8 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(max(b.lo8) AS DOUBLE) / 800.0 AS p125,
+        |  CAST(max(b.hi8) AS DOUBLE) / 800.0 AS p875,
+        |  round(CAST(sum(least(greatest(c.cents * 8, b.lo8), b.hi8)) AS DOUBLE)
+        |    / CAST(count(*) * 800 AS DOUBLE), 6) AS winsorized_mean,
+        |  round(CAST(sum(c.cents * 8) AS DOUBLE)
+        |    / CAST(count(*) * 800 AS DOUBLE), 6) AS raw_mean
+        |FROM c JOIN b USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "scd2_dim" ->
       """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
         |  lag(o_orderstatus) OVER w AS prev_status FROM orders
@@ -1765,6 +1870,36 @@ object SparkEntry {
         |SELECT custkey, version, status, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM v ORDER BY custkey, version""".stripMargin,
+    "scd2_asof" ->
+      // the oracle states the as-of semantics directly (latest version
+      // with valid_from <= orderdate); the Spark side computes the same
+      // via union-and-fill — the hash match proves the equivalence
+      """WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |  lag(o_orderstatus) OVER w AS prev_status FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (SELECT * FROM c WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+        |v AS (SELECT o_custkey AS custkey,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  o_orderstatus AS status, o_orderdate AS valid_from
+        |  FROM ch WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |j AS (SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+        |  o.o_orderdate AS orderdate, v.version, v.status,
+        |  row_number() OVER (PARTITION BY o.o_orderkey
+        |    ORDER BY v.valid_from DESC, v.version DESC) AS rk
+        |  FROM orders o JOIN v ON v.custkey = o.o_custkey AND v.valid_from <= o.o_orderdate)
+        |SELECT orderkey, custkey, orderdate, version AS dim_version, status AS dim_status
+        |FROM j WHERE rk = 1 ORDER BY orderkey""".stripMargin,
+    "cdc_apply" ->
+      """WITH log AS (SELECT o_orderkey // 100 AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderstatus AS status, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |s AS (SELECT key, CAST(count(*) AS BIGINT) AS n_versions, max(seq) AS last_seq,
+        |    arg_max(op, seq) AS last_op, arg_max(status, seq) AS status,
+        |    CAST(arg_max(price, seq) AS DOUBLE) AS totalprice
+        |  FROM log GROUP BY key)
+        |SELECT key, n_versions, last_seq, status, totalprice
+        |FROM s WHERE last_op <> 'D' ORDER BY key""".stripMargin,
     "merge_upsert" ->
       """WITH target AS (SELECT c_custkey AS key, c_name AS name,
         |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, c_mktsegment AS segment
@@ -1909,6 +2044,30 @@ object SparkEntry {
         |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL)
         |SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors FROM ne
         |ORDER BY common_neighbors DESC, a, b LIMIT ${operators.Graph.LpTopN}""".stripMargin,
+    "graph_kcore" -> {
+      // peeling is non-monotone (no recursive-CTE form): unroll exactly
+      // KcMaxRounds filter stages — the engine's early exit only fires
+      // at the fixpoint, where further stages are no-ops, so engine and
+      // oracle agree converged or not
+      import graft.operators.Graph.{KcK, KcMaxRounds}
+      // MATERIALIZED: each stage references its predecessor twice —
+      // default CTE inlining would re-expand (and re-scan the parquet)
+      // exponentially in the stage count
+      val stages = (1 to KcMaxRounds).map { i =>
+        val p = i - 1
+        s"""k$i AS MATERIALIZED (SELECT u FROM e$p GROUP BY u HAVING count(*) >= $KcK),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e$p e
+           |  JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+         |  FROM lineitem WHERE l_quantity > 25),
+         |c0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+         |e0 AS MATERIALIZED (SELECT u, v FROM c0 UNION ALL SELECT v, u FROM c0),
+         |$stages
+         |SELECT u AS partkey, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$KcMaxRounds GROUP BY u ORDER BY partkey""".stripMargin
+    },
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt

@@ -157,6 +157,57 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos")))
   }
 
+  /** k-NN GRAPH construction over the WHOLE corpus (not just a query
+    * sample): every vector gets its k best LSH-candidate neighbors,
+    * plus the mutual-kNN flag — the input structure of graph-based ANN
+    * indexes (HNSW/NN-Descent seeding), dedup-cluster refinement, and
+    * density-based clustering.
+    *
+    * All-pairs brute force is O(n²) and never materializes here: the
+    * candidate set is the LSH self-join — pairs sharing a (table,
+    * bucket) cell in any of the L hyperplane tables — so the scored
+    * pairs are bucket-volume bounded, the same sub-linear shape as
+    * dedup_embedding. Candidates dedup as bare id pairs (no embedding
+    * payloads through the distinct), rerank by exact cosine, reduce
+    * through the bounded-heap TopK, and the mutual flag is one
+    * semi-join of the k×n edge list against its own reverse (pair-key
+    * shuffle, k×n rows — never corpus-sized).
+    *
+    * Recall caveat is inherent to LSH kNN graphs: a vertex sharing no
+    * bucket with its true neighbor misses it; multi-table membership
+    * amplifies recall exactly as in annLsh, and ann_eval measures the
+    * same family's recall directly. */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val tables = 2
+    val emb = Tables.embeddings(spark, sfDir)
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(array(
+        (0 until tables).map(t => Similarity.lshBucket(col("embedding"), t)): _*))
+        .as(Seq("table", "bucket")))
+    val b = bucketed(spread(emb))
+    val cand = b.as("a").join(b.as("b"), Seq("table", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("nbr_id"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val knn = cand
+      .join(vecs.select(col("vec_id").as("src_id"), col("embedding").as("src_emb")),
+        Seq("src_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
+        Seq("nbr_id"))
+      .withColumn("cos", Similarity.cosine(col("src_emb"), col("nbr_emb")))
+      .select(col("src_id"), col("nbr_id"), col("cos"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("src_id"), Seq("cos" -> false, "nbr_id" -> true), K))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("nbr_id")))
+        .cast("long"))
+    val reverse = knn.select(col("nbr_id").as("src_id"), col("src_id").as("nbr_id"))
+    knn.join(reverse.withColumn("mutual", lit(true)), Seq("src_id", "nbr_id"), "left")
+      .withColumn("mutual", coalesce(col("mutual"), lit(false)))
+      .select(col("src_id"), col("nbr_id"), col("rank"), col("cos"), col("mutual"))
+  }
+
   /** Int8 scalar quantization of the embedding column with per-vector
     * reconstruction diagnostics — the 4× memory lever that lets a
     * 100 TB ANN index hold in cluster RAM. Symmetric per-vector

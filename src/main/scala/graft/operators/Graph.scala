@@ -177,6 +177,62 @@ object Graph {
     out
   }
 
+  /** k-core threshold (vertices below this degree peel away). */
+  final val KcK = 3
+  /** Peel-round cap — well above the observed convergence depth (the
+    * spec asserts the fixpoint lands within it); the oracle unrolls
+    * exactly this many stages, so even a non-converged truncation
+    * would still match stage-for-stage. */
+  final val KcMaxRounds = 12
+
+  /** k-CORE DECOMPOSITION (k = 3) by iterative peeling: repeatedly
+    * drop vertices whose current degree is below k until the survivor
+    * set is stable — the densest-region extraction that separates a
+    * co-purchase graph's stable communities from one-off noise (and
+    * the third classic iterative-graph workload next to PageRank and
+    * connected components).
+    *
+    * Peeling is NOT monotone (a vertex's degree falls as its
+    * neighbors peel), so there is no recursive-CTE form — the oracle
+    * unrolls KcMaxRounds filter stages instead, and because the
+    * engine's early exit only fires at the fixpoint, engine and
+    * oracle agree whether or not convergence lands early.
+    *
+    * Scale shape per round: the survivor degree aggregate runs inside
+    * the cached hash(u) edge layout (no exchange — on the
+    * both-direction list out-degree IS undirected degree); the `keep`
+    * set is vertex-sized, joined unhinted on BOTH endpoints (AQE
+    * broadcasts it while small, shuffle-joins at 100 TB), and each
+    * round's survivor edges localCheckpoint — the dup_clusters loop
+    * discipline — so lineage stays one round deep and the convergence
+    * probe is a count() action, never a collect. */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = directedEdges(spark, sfDir)
+    var e = directed
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < KcMaxRounds) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcK).select(col("u"))
+      val next = e
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n2 = next.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      e = next
+      rounds += 1
+    }
+    val out = e.groupBy(col("u").as("partkey"))
+      .agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint()
+    directed.unpersist()
+    out
+  }
+
   /** Both-direction view of a canonical undirected (u, v) edge list,
     * persisted pre-partitioned and MATERIALIZED — the iteration-ready
     * layout. Explicit partition count: a bare repartition(col) leaves

@@ -123,4 +123,68 @@ object Scd {
         round(col("sum_cents").cast("double")
           / (col("n_events") * 100).cast("double"), 6).as("mean_value"))
   }
+
+  /** CDC log compaction: apply an ordered change stream (key, seq, op,
+    * payload) to produce the current snapshot — latest-wins per key,
+    * delete tombstones drop the key. This is the read-side of a CDC
+    * lakehouse table (Debezium → Hudi/Delta shape): the log is derived
+    * deterministically from orders (key = orderkey div 100 so every
+    * key carries a multi-version history; seq = orderkey, unique; op =
+    * D on every 17th change), and compaction is ONE map-side-combined
+    * aggregation — max_by over the unique seq picks the latest version
+    * without a sort or a window, so the shuffle carries one row per
+    * KEY, not per version. The version count rides the same pass. */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = Tables.orders(spark, sfDir).select(
+      expr("o_orderkey div 100").as("key"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 17 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+    log.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_versions"),
+        max(col("seq")).as("last_seq"),
+        max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("status"), col("seq")).as("last_status"),
+        max_by(col("price"), col("seq")).as("last_price"))
+      .filter(col("last_op") =!= "D")
+      .select(col("key"), col("n_versions"), col("last_seq"),
+        col("last_status").as("status"),
+        col("last_price").cast("double").as("totalprice"))
+  }
+
+  /** Temporal dimension lookup: enrich every order with the SCD2
+    * dimension version that was current at its order date — the as-of
+    * join between a fact table and a versioned dimension that powers
+    * "report as of the time it happened" semantics.
+    *
+    * Implementation is union-and-fill, not an interval join: dimension
+    * version starts and fact probes union into one per-customer
+    * timeline, a last-non-null window carries each version forward
+    * onto the probes that follow it (version rows sort before probes
+    * on the same date, so a same-day change applies to that day's
+    * orders), and only probe rows survive. ONE shuffle on the customer
+    * key; per-partition state is a customer's own history — bounded,
+    * skew-safe, no row multiplication (an interval join would fan out
+    * probes × versions before filtering). */
+  def scd2Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2Dim(spark, sfDir)
+      .select(col("custkey"), col("valid_from").as("d"), lit(0).as("is_probe"),
+        col("version"), col("status"),
+        lit(null).cast("long").as("orderkey"))
+    val probes = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"), col("o_orderdate").as("d"),
+        lit(1).as("is_probe"),
+        lit(null).cast("long").as("version"), lit(null).cast("string").as("status"),
+        col("o_orderkey").as("orderkey"))
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("d"), col("is_probe"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(probes)
+      .withColumn("v_at", last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("s_at", last(col("status"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("orderkey"), col("custkey"), col("d").as("orderdate"),
+        col("v_at").as("dim_version"), col("s_at").as("dim_status"))
+  }
 }

@@ -29,6 +29,23 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) 1-hour windows every 15 minutes, by event type —
+    * the smoothed-rate view a monitoring dashboard renders. `window(ts,
+    * '1 hour', '15 minutes')` is the same expression Structured
+    * Streaming groups on (each event lands in exactly 4 windows; the
+    * fan-out is the window/slide ratio, a constant — Spark expands it
+    * row-locally before the ONE aggregation shuffle). Money sums ride
+    * decimal and cast to double once, the house discipline. The oracle
+    * states the same semantics arithmetically: 4 aligned starts per
+    * event via generate_series over epoch micros. */
+  def eventsHopping(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Time-range rolling features per user: count and value-sum over a
     * trailing 1-hour EVENT-TIME window ending at each event — a RANGE
     * frame over micros, not a row frame, so sparse and bursty users

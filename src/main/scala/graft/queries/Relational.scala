@@ -167,6 +167,24 @@ object Relational {
         sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
   }
 
+  /** Arbitrary GROUPING SETS — the general form rollup and cube are
+    * special cases of: the two 1-D marginals plus the 2-D cells of
+    * (status, priority), but NOT the grand total (the set a dashboard
+    * actually asks for). One Expand pass over the scan — Spark
+    * replicates each row once per matching set before a single hash
+    * aggregate, so the fact table is read once, not |sets|×.
+    * grouping_id() disambiguates a real NULL key from a rolled-up one
+    * in the output contract. */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
+  }
+
   /** Pivot: order counts per status × priority, priorities as columns.
     * Values are enumerated explicitly, so the plan is ONE pass of
     * conditional aggregates — no driver-side distinct-value collect

@@ -80,4 +80,45 @@ object Stats {
           col("n").cast("double") / 100.0 * sqrt(col("n").cast("double") /
             (col("n") - 1).cast("double")), 6).as("stddev_qty"))
   }
+
+  /** Winsorized aggregates per event type: clip values to the exact
+    * [p12.5, p87.5] band and report robust center/spread — the
+    * outlier-tolerant mean a metrics pipeline prefers when heavy tails
+    * poison the plain average. Binary-fraction probes keep the
+    * interpolated bounds EXACT (the q_quantiles discipline), and the
+    * clip runs in cents×8 integer space — bound×8 is an exact integer
+    * because the blend weight is k/8 — so the winsorized sum is an
+    * exact long and the mean is one terminal divide.
+    *
+    * Two narrow passes: a grouped-percentile aggregate (one row per
+    * type) joined back unhinted (AQE broadcasts the tiny bound table),
+    * then one conditional aggregation — the events table shuffles
+    * once, on the type key, with map-side combine. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val bounds = cents.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), array(lit(0.125), lit(0.875))).as("q"))
+      .select(col("event_type"),
+        // ×8 turns the eighth-weight interpolation into an exact integer
+        round(col("q")(0) * 8).cast("long").as("lo8"),
+        round(col("q")(1) * 8).cast("long").as("hi8"))
+    cents.join(bounds, Seq("event_type"))
+      .withColumn("c8", col("cents") * 8)
+      .withColumn("w8", least(greatest(col("c8"), col("lo8")), col("hi8")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c8") < col("lo8"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("c8") > col("hi8"), 1L).otherwise(0L)).as("n_clip_hi"),
+        max(col("lo8")).as("lo8"), max(col("hi8")).as("hi8"),
+        sum(col("w8")).as("sw8"), sum(col("c8")).as("sc8"))
+      .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        (col("lo8").cast("double") / 800.0).as("p125"),
+        (col("hi8").cast("double") / 800.0).as("p875"),
+        round(col("sw8").cast("double") / (col("n") * 800L).cast("double"), 6)
+          .as("winsorized_mean"),
+        round(col("sc8").cast("double") / (col("n") * 800L).cast("double"), 6)
+          .as("raw_mean"))
+  }
 }

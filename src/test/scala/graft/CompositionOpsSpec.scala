@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Composition, Graph, Scd, Ann}
+import graft.queries.{Events, Relational, Stats}
+
+/** Property tests for the round-7 composition / warehouse / graph
+  * additions — each operator checked against an independent local
+  * model, not against its own plan. */
+class CompositionOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shard_assign positions are dense 0..n-1 per shard and cover every doc") {
+    val out = Composition.shardAssign(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == total)
+    assert(out.map(_.getLong(0)).distinct.length == total)
+    out.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted
+      assert(pos.sameElements(0L until pos.length.toLong),
+        s"shard $shard positions not dense: ${pos.take(5).mkString(",")}")
+    }
+    // the draw-range prefix rank must be a deterministic rerun fixpoint
+    val model = Composition.shardAssign(spark, sf).collect()
+    assert(model.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("epoch_mix copies are floor/ceil of the target and average toward it") {
+    val rows = Composition.epochMix(spark, sf)
+      .select(col("source"), col("target_epochs"), col("n_copies")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getDouble(1); val c = r.getLong(2)
+      assert(c == math.floor(t).toLong || c == math.ceil(t).toLong,
+        s"${r.getString(0)}: copies $c not in {floor, ceil} of $t")
+    }
+    // realized epochs per source within a loose Bernoulli tolerance
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val t = rs.head.getDouble(1)
+      val mean = rs.map(_.getLong(2)).sum.toDouble / rs.length
+      assert(math.abs(mean - t) < 0.5, s"$src realized $mean vs target $t")
+    }
+  }
+
+  test("kfold_split cells partition the corpus and shares sum to 1 per lang") {
+    val cells = Composition.kfoldSplit(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(cells.map(_.getLong(2)).sum == total)
+    cells.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9, lang)
+      assert(rs.map(_.getLong(3)).distinct.length == 1, s"$lang lang_total differs")
+      assert(rs.head.getLong(3) == rs.map(_.getLong(2)).sum)
+    }
+  }
+
+  test("cdc_apply equals a local latest-wins replay with tombstones") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")).collect()
+    val model = orders.map { r =>
+      val ok = r.getLong(0)
+      (ok / 100, (ok, if (ok % 17 == 0) "D" else "U", r.getString(1), r.getDouble(2)))
+    }.groupBy(_._1).flatMap { case (key, vs) =>
+      val versions = vs.map(_._2)
+      val (seq, op, status, price) = versions.maxBy(_._1)
+      if (op == "D") None
+      else Some((key, versions.length.toLong, seq, status, price))
+    }.toSet
+    val got = Scd.cdcApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    assert(got == model)
+  }
+
+  test("scd2_asof attaches the version current at each order date") {
+    val dim = Scd.scd2Dim(spark, sf)
+      .select(col("custkey").cast("long"), col("version"), col("status"),
+        col("valid_from").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val byCust = dim.groupBy(_._1)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_orderdate").cast("string")).collect()
+    val model = orders.map { r =>
+      val (ok, ck, d) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val (_, v, s, _) = byCust(ck).filter(_._4 <= d).maxBy(x => (x._4, x._2))
+      (ok, v, s)
+    }.toSet
+    val got = Scd.scd2Asof(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4))).toSet
+    assert(got == model)
+  }
+
+  test("events_hopping fans every event into exactly 4 windows") {
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val out = Events.eventsHopping(spark, sf)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(out == 4 * nEvents)
+    // window geometry: every window is 1h wide, start aligned to 15min
+    Events.eventsHopping(spark, sf)
+      .select(unix_micros(col("window_start")).as("s"), unix_micros(col("window_end")).as("e"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) - r.getLong(0) == 3600L * 1000000)
+        assert(r.getLong(0) % (900L * 1000000) == 0)
+      }
+  }
+
+  test("q_groupingsets marginals re-aggregate the 2-D cells") {
+    val rows = Relational.qGroupingSets(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val cells = rows.filter(_._3 == 0)
+    val byStatus = rows.filter(_._3 == 1) // priority rolled up
+    val byPrio = rows.filter(_._3 == 2)   // status rolled up
+    assert(rows.length == cells.length + byStatus.length + byPrio.length)
+    byStatus.foreach { case (st, pr, _, n, tot) =>
+      assert(pr.isEmpty)
+      val sub = cells.filter(_._1 == st)
+      assert(sub.map(_._4).sum == n)
+      assert(math.abs(sub.map(_._5).sum - tot) < 1e-6)
+    }
+    byPrio.foreach { case (st, pr, _, n, _) =>
+      assert(st.isEmpty)
+      assert(cells.filter(_._2 == pr).map(_._4).sum == n)
+    }
+  }
+
+  test("winsorize clips exactly the tail mass and bounds the robust mean") {
+    val cents = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    Stats.winsorize(spark, sf).collect().foreach { r =>
+      val vs = cents(r.getString(0)).map(_._2 * 8.0)
+      val (n, lo8, hi8) = (r.getLong(1), r.getDouble(4) * 800, r.getDouble(5) * 800)
+      assert(n == vs.length)
+      assert(r.getLong(2) == vs.count(_ < lo8 - 1e-9), "n_clip_lo")
+      assert(r.getLong(3) == vs.count(_ > hi8 + 1e-9), "n_clip_hi")
+      assert(r.getDouble(6) >= r.getDouble(4) - 1e-9 && r.getDouble(6) <= r.getDouble(5) + 1e-9,
+        "winsorized mean must lie inside the clip band")
+    }
+  }
+
+  test("graph_kcore equals a local peel-to-fixpoint replay") {
+    // rebuild the co-purchase edge set with the same derivation
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .dropDuplicates("ok", "pk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder: Seq[Seq[Long]] =
+      li.toSeq.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    var edges: Set[(Long, Long)] = byOrder.flatMap { g =>
+      for { a <- g; b <- g if a < b } yield (a, b)
+    }.toSet
+    var done = false
+    while (!done) {
+      val deg: Map[Long, Int] = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy((v: Long) => v).map { case (v, xs) => v -> xs.length }
+      val keep = deg.filter(_._2 >= Graph.KcK).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      done = next == edges
+      edges = next
+    }
+    val modelDeg: Map[Long, Long] = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy((v: Long) => v).map { case (v, xs) => v -> xs.length.toLong }
+    val got = Graph.graphKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == modelDeg)
+    got.values.foreach(d => assert(d >= Graph.KcK))
+  }
+
+  test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
+    val edges = Ann.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(edges.nonEmpty)
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    edges.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).sameElements(1L to rs.length.toLong), s"ranks not dense for $src")
+      assert(rs.length <= 5)
+      // cosine non-increasing along rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4 - 1e-12)
+        case _ =>
+      }
+    }
+    edges.foreach { e =>
+      assert(e._5 == edgeSet.contains((e._2, e._1)), s"mutual flag wrong for $e")
+    }
+  }
+}
