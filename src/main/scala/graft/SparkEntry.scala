@@ -2039,7 +2039,8 @@ object SparkEntry {
         |  WHERE deg.d <= ${operators.Graph.LpDegCap}),
         |w AS (SELECT e1.v AS a, e2.v AS b FROM cap e1 JOIN cap e2
         |  ON e1.u = e2.u AND e1.v < e2.v),
-        |cn AS (SELECT a, b, count(*) AS common_neighbors FROM w GROUP BY 1, 2),
+        |cn AS (SELECT a, b, count(*) AS common_neighbors FROM w GROUP BY 1, 2
+        |  HAVING count(*) >= ${operators.Graph.LpMinSupport}),
         |ne AS (SELECT cn.a, cn.b, cn.common_neighbors FROM cn
         |  LEFT JOIN e ON e.u = cn.a AND e.v = cn.b WHERE e.u IS NULL)
         |SELECT a, b, CAST(common_neighbors AS BIGINT) AS common_neighbors FROM ne

