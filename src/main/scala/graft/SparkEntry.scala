@@ -909,7 +909,8 @@ object SparkEntry {
          |FROM k ORDER BY doc_a, doc_b""".stripMargin,
     "substring_dup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS sh
+        |w AS (SELECT doc_id, i AS pos,
+        |  md5_number_lower(array_to_string(toks[i:i+7], ' ')) % 2305843009213693951 AS sh
         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) r
         |  WHERE len(toks) >= 8),
         |dup AS (SELECT sh FROM w GROUP BY sh HAVING count(*) > 1),

@@ -439,7 +439,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
         .as(Seq("pos0", "sh")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+      // 8-byte md5 shingle key instead of the ~50-byte literal string:
+      // the frequency agg and join-back shuffle 6× fewer bytes, and the
+      // DuckDB oracle recomputes the exact same hash (CrossHash). A
+      // collision would merge two windows' counts — ~n²/2^62, and
+      // cross-engine-identical either way
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        graft.functions.Similarity.md5Mod(col("sh")).as("sh"))
       // the shingle explode (~k× corpus tokens) feeds both the
       // frequency agg and the coverage join-back; persist it once or
       // the dominant stage runs twice (the dedupNgram/pagerank rule)

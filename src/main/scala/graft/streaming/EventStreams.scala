@@ -70,6 +70,18 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Hopping 1-hour/15-minute sliding windows by event type — the
+    * streaming twin of Events.eventsHopping. The 4× per-event window
+    * fan-out happens row-locally before the stateful aggregation, so
+    * state size is windows × types, not events. */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based sessions per user via session_window (30-min inactivity
     * gap) — the streaming twin of Events.eventsSessionize. The window
     * end includes the gap padding, so parity compares on

@@ -68,6 +68,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming hopping-window agg equals batch") {
+    val streamed = runToSet(
+      EventStreams.hoppingAgg(EventStreams.readEvents(spark, streamDir)), "hop_stream")
+    val batch = Events.eventsHopping(spark, sf).collect().map(_.mkString("|")).toSet
+    assert(streamed == batch)
+  }
+
   test("append mode with watermark emits exactly the closed windows") {
     val streamed = runToSetAppendRaw(
       EventStreams.windowedAgg(
