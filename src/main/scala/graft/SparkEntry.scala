@@ -72,6 +72,7 @@ object SparkEntry {
     "graph_triangles" -> (Graph.graphTriangles _),
     "graph_linkpred" -> (Graph.graphLinkpred _),
     "graph_kcore" -> (Graph.graphKcore _),
+    "graph_bfs" -> (Graph.graphBfs _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "quality_classifier" -> (TextMetrics.qualityClassifier _),
     "decontaminate" -> (Fingerprint.decontaminate _),
     "doc_chunk" -> (Chunk.docChunk _),
+    "cdc_chunk" -> (Chunk.cdcChunk _),
     "cms_topk" -> (Sketch.cmsTopk _),
     "hll_distinct" -> (Sketch.hllDistinct _),
     "bpe_pairs" -> (Tokenize.bpePairs _),
@@ -152,6 +154,7 @@ object SparkEntry {
     // D. streaming operators (batch form; streaming parity in tests)
     "events_window" -> (Events.eventsWindow _),
     "events_hopping" -> (Events.eventsHopping _),
+    "events_ewma" -> (Events.eventsEwma _),
     "events_rolling" -> (Events.eventsRolling _),
     "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
@@ -1706,6 +1709,30 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(chunk_text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
         |  md5(chunk_text) AS chunk_hash
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "cdc_chunk" -> {
+      import graft.operators.Chunk.{CdcW, CdcMod}
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1),
+        |s AS (SELECT doc_id, text, n,
+        |  list_prepend(1, CASE WHEN n >= ${CdcW + 1} THEN
+        |    list_filter(range(2, n - ${CdcW - 2}),
+        |      i -> md5_number_lower(substr(text, CAST(i AS INT), $CdcW)) % 2305843009213693951 % $CdcMod = 0)
+        |    ELSE [] END) AS starts FROM d),
+        |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1), j ->
+        |    substr(text, CAST(starts[CAST(j AS INT)] AS INT),
+        |      CAST(coalesce(starts[CAST(j AS INT) + 1], n + 1) - starts[CAST(j AS INT)] AS INT))))
+        |    AS chunk
+        |  FROM s),
+        |hx AS (SELECT doc_id, CAST(length(chunk) AS BIGINT) AS clen,
+        |    md5_number_lower(chunk) % 2305843009213693951 AS h FROM ch),
+        |occ AS (SELECT h, count(*) AS occ FROM hx GROUP BY h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  min(clen) AS min_chunk, max(clen) AS max_chunk,
+        |  CAST(sum(clen) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(CASE WHEN occ.occ > 1 THEN clen ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(clen) AS BIGINT), 6) AS dedup_ratio
+        |FROM hx JOIN occ USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "cms_topk" ->
       s"""WITH vocab AS (SELECT t AS token, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
@@ -2070,6 +2097,41 @@ object SparkEntry {
          |SELECT u AS partkey, CAST(count(*) AS BIGINT) AS core_deg
          |FROM e$KcMaxRounds GROUP BY u ORDER BY partkey""".stripMargin
     },
+    "graph_bfs" ->
+      s"""WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |c0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT u, v FROM c0 UNION ALL SELECT v, u FROM c0),
+        |verts AS (SELECT DISTINCT u AS id FROM e),
+        |r AS (SELECT id, 0 AS d FROM verts WHERE id % 100 = 0
+        |  UNION
+        |  SELECT e.v AS id, r.d + 1 AS d FROM e JOIN r ON e.u = r.id
+        |  WHERE r.d < ${operators.Graph.BfsMaxRounds})
+        |SELECT id AS partkey, CAST(min(d) AS BIGINT) AS dist
+        |FROM r GROUP BY id ORDER BY partkey""".stripMargin,
+    "events_ewma" ->
+      // both sides run the identical left-to-right halving fold over
+      // the hour-sorted prefix — bit-equal doubles, rounded to 6
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, list(cents ORDER BY hour) AS arr FROM h GROUP BY event_type),
+        |r AS (SELECT event_type, hour, n_events, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        |  FROM h)
+        |SELECT r.event_type, epoch_us(r.hour) AS hour, r.n_events,
+        |  CAST(r.cents AS DOUBLE) / 100.0 AS hour_value,
+        |  -- list elements cast to DOUBLE up front: list_reduce coerces the
+        |  -- accumulator to the element type, so a BIGINT list would round
+        |  -- every intermediate back to integer cents
+        |  round(list_reduce(list_transform(s.arr[1:r.rn], x -> CAST(x AS DOUBLE)),
+        |    (a, b) -> (a + b) / CAST(2 AS DOUBLE))
+        |    / CAST(100 AS DOUBLE), 6) AS ewma_value
+        |FROM r JOIN s ON r.event_type = s.event_type
+        |ORDER BY r.event_type, r.hour""".stripMargin,
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt

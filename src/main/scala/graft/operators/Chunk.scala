@@ -43,4 +43,56 @@ object Chunk {
           .cast("long").as("n_tokens"),
         md5(col("chunk_text")).as("chunk_hash"))
   }
+
+  /** Content-defined chunking window (chars of rolling context). */
+  final val CdcW = 8
+  /** Boundary divisor: a chunk starts where md5(window) ≡ 0 (mod 64),
+    * giving ~64-char expected chunks. */
+  final val CdcMod = 64
+
+  /** CONTENT-DEFINED chunking (the rsync/FastCDC family): a chunk
+    * boundary opens wherever the hash of the local CdcW-char window
+    * hits 0 mod CdcMod — so an insertion early in a document only
+    * perturbs chunk boundaries locally, and identical passages chunk
+    * identically regardless of their offset. That shift-resilience is
+    * exactly what fixed-size docChunk lacks, and why dedup storage and
+    * incremental corpus sync use CDC.
+    *
+    * Boundary detection is row-local (filter over a position sequence,
+    * each position hashing CdcW chars through the codegen'd md5_mod61
+    * — the oracle recomputes the identical hash); the corpus-level
+    * dedup profile is ONE hash-keyed frequency aggregate joined back
+    * unhinted. Output per doc: chunk count, length extremes, and how
+    * much of the corpus' chunk mass this document shares with any
+    * other chunk occurrence (the storage-dedup win CDC exists for). */
+  def cdcChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Partitioning.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= 1)
+      // chunk start positions: 1, plus every window-hash boundary
+      .withColumn("starts", concat(array(lit(1)),
+        when(col("len") >= CdcW + 1, expr(
+          s"filter(sequence(2, len - ${CdcW - 1}), i -> md5_mod61(substring(text, i, $CdcW)) % $CdcMod = 0)"))
+          .otherwise(expr("cast(array() as array<int>)"))))
+      .withColumn("bounds", concat(col("starts"), array(col("len") + 1)))
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(starts)), j ->
+            |  substring(text, element_at(bounds, j),
+            |    element_at(bounds, j + 1) - element_at(bounds, j)))""".stripMargin))
+          .as("chunk"))
+      .select(col("doc_id"), length(col("chunk")).cast("long").as("clen"),
+        graft.functions.Similarity.md5Mod(col("chunk")).as("h"))
+    val occ = chunks.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    chunks.join(occ, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        min(col("clen")).as("min_chunk"), max(col("clen")).as("max_chunk"),
+        sum(col("clen")).as("total_chars"),
+        sum(when(col("occ") > 1, col("clen")).otherwise(lit(0L))).as("shared_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("min_chunk"), col("max_chunk"),
+        col("total_chars"),
+        round(col("shared_chars").cast("double") / col("total_chars"), 6)
+          .as("dedup_ratio"))
+  }
 }

@@ -242,6 +242,52 @@ object Graph {
     out
   }
 
+  /** BFS hop cap — the oracle's recursion guard and the engine's round
+    * cap truncate identically: after k rounds the min-relaxation labels
+    * are exact for every vertex within k hops and null beyond, which is
+    * precisely the ≤k-hop-path minimum the bounded recursive CTE
+    * computes. Convergence normally lands far earlier (co-purchase
+    * diameter is small). */
+  final val BfsMaxRounds = 20
+
+  /** Multi-source BFS: hop distance from the seed set (every 100th
+    * part) over the co-purchase graph — the reachability/radius
+    * primitive behind "how far is this product from the promoted set"
+    * and the building block of closeness measures.
+    *
+    * Classic synchronous relaxation: dist₀ = 0 on seeds; each round
+    * joins the frontier against the cached hash(u) edge layout (no
+    * edge-side exchange), min-aggregates candidate distances, and
+    * least-merges into the label table — the dupClusters loop
+    * discipline (localCheckpoint per round, count-action convergence
+    * probe, never a collect). Unlike peeling, min-relaxation IS
+    * monotone, so the oracle is a genuine bounded recursive CTE. */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = directedEdges(spark, sfDir)
+    var dist = directed.select(col("u").as("id")).distinct()
+      .withColumn("dist",
+        when(col("id") % 100 === 0, lit(0L)).otherwise(lit(null).cast("long")))
+      .localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < BfsMaxRounds) {
+      val nb = directed
+        .join(dist.filter(col("dist").isNotNull), col("u") === col("id"))
+        .select(col("v").as("id"), (col("dist") + 1).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      val next = dist.join(nb, Seq("id"), "left")
+        .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint()
+      changed = next.join(dist.select(col("id"), col("dist").as("pd")), Seq("id"))
+        .filter(!(col("dist") <=> col("pd"))).count()
+      dist = next
+      rounds += 1
+    }
+    directed.unpersist()
+    dist.filter(col("dist").isNotNull)
+      .select(col("id").as("partkey"), col("dist"))
+  }
+
   /** Both-direction view of a canonical undirected (u, v) edge list,
     * persisted pre-partitioned and MATERIALIZED — the iteration-ready
     * layout. Explicit partition count: a bare repartition(col) leaves

@@ -46,6 +46,40 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Exponentially-weighted moving average of hourly value volume per
+    * event type (α = 1/2) — the smoothed baseline a monitoring system
+    * tracks instead of raw hourly noise. α = 1/2 is deliberate: the
+    * recurrence s₁ = x₁, sₜ = (xₜ + sₜ₋₁)/2 is pure halving, and BOTH
+    * engines evaluate it as the identical left-to-right fold (Spark
+    * `aggregate` over the hour-sorted prefix, DuckDB `list_reduce`
+    * over the same slice), so every intermediate double is
+    * bit-identical — the sorted-fold float discipline, applied to a
+    * sequential recurrence.
+    *
+    * Scale shape: one corpus shuffle (the hourly aggregate), then a
+    * per-type collect of the HOURLY series — bounded by elapsed hours,
+    * not event volume, at any scale. The per-row prefix fold is O(H²)
+    * per type on that bounded series (H = hours), the price of
+    * replaying the recurrence identically in SQL; a library stream
+    * maintains sₜ incrementally instead. */
+  def eventsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+    hourly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hour"), col("n_events"), col("cents")))).as("xs"))
+      .select(col("event_type"), col("xs"), posexplode(col("xs")).as(Seq("i0", "x")))
+      .withColumn("ewma_cents", expr(
+        """aggregate(slice(xs, 1, i0 + 1), cast(null as double),
+          |  (acc, e) -> if(acc is null, cast(e.cents as double), (acc + cast(e.cents as double)) / 2.0d))"""
+          .stripMargin))
+      .select(col("event_type"), col("x.hour").as("hour"),
+        col("x.n_events").as("n_events"),
+        (col("x.cents").cast("double") / 100.0).as("hour_value"),
+        round(col("ewma_cents") / 100.0, 6).as("ewma_value"))
+  }
+
   /** Time-range rolling features per user: count and value-sum over a
     * trailing 1-hour EVENT-TIME window ending at each event — a RANGE
     * frame over micros, not a row frame, so sparse and bursty users

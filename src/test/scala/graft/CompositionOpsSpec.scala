@@ -172,6 +172,70 @@ class CompositionOpsSpec extends AnyFunSuite {
     got.values.foreach(d => assert(d >= Graph.KcK))
   }
 
+  test("graph_bfs equals a local multi-source BFS replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .dropDuplicates("ok", "pk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.toSeq.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for { a <- ps; b <- ps if a != b } yield (a, b)
+    }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    // textbook BFS from all seeds at once
+    var dist = adj.keySet.filter(_ % 100 == 0).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> d)
+      frontier = next
+    }
+    val got = Graph.graphBfs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.filter(_._2 <= Graph.BfsMaxRounds))
+  }
+
+  test("events_ewma replays the halving recurrence per type over sorted hours") {
+    val rows = queries.Events.eventsEwma(spark, sf)
+      .select(col("event_type"), unix_micros(col("hour")).as("h"),
+        col("hour_value"), col("ewma_value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var acc = Double.NaN
+      sorted.foreach { case (_, _, hv, ew) =>
+        val cents = math.round(hv * 100).toDouble
+        acc = if (acc.isNaN) cents else (acc + cents) / 2.0
+        // Spark round() is HALF_UP (rint would be half-even)
+        // valueOf (Double.toString semantics), matching Spark's round()
+        val expected = java.math.BigDecimal.valueOf(acc / 100.0)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        assert(math.abs(ew - expected) < 1e-9,
+          s"ewma $ew vs replay ${acc / 100.0}")
+      }
+    }
+  }
+
+  test("cdc_chunk boundaries are content-defined: chunks tile each doc, dedup_ratio sane") {
+    val out = operators.Chunk.cdcChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { case (id, nChunks, minC, maxC, totalChars, ratio) =>
+      assert(totalChars == docs(id), s"doc $id chunks don't tile the text")
+      assert(nChunks >= 1 && minC >= 1 && maxC <= totalChars)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // shift-resilience is the point: at least some chunk mass is shared
+    // across the corpus (the generator reuses sentence templates)
+    assert(out.exists(_._6 > 0.0), "no shared chunk found in a templated corpus")
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
