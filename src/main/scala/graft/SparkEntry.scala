@@ -155,6 +155,9 @@ object SparkEntry {
     "events_window" -> (Events.eventsWindow _),
     "events_hopping" -> (Events.eventsHopping _),
     "events_ewma" -> (Events.eventsEwma _),
+    "ab_test" -> (Experiment.abTest _),
+    "psi_drift" -> (Experiment.psiDrift _),
+    "funnel_time" -> (Experiment.funnelTime _),
     "events_rolling" -> (Events.eventsRolling _),
     "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
@@ -2097,6 +2100,82 @@ object SparkEntry {
          |SELECT u AS partkey, CAST(count(*) AS BIGINT) AS core_deg
          |FROM e$KcMaxRounds GROUP BY u ORDER BY partkey""".stripMargin
     },
+    "ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT cents,
+        |    md5_number_lower('ab-' || user_id) % 2305843009213693951 % 2 AS variant FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+        |    sum(CASE WHEN variant = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+        |    sum(CASE WHEN variant = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q_b
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a,
+        |  round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b,
+        |  round(CASE WHEN CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE) > 0
+        |      OR CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE) > 0 THEN
+        |    (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    / sqrt(
+        |      CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+        |        / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+        |      + CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+        |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE))
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS z_score
+        |FROM s""".stripMargin,
+    "psi_drift" -> {
+      import graft.operators.Experiment.{PsiBinW, PsiBins}
+      s"""WITH ev AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |cells AS (SELECT event_type,
+        |    CASE WHEN us < mid THEN 0 ELSE 1 END AS period,
+        |    least(greatest(cents // $PsiBinW, 0), ${PsiBins - 1}) AS bin, count(*) AS c
+        |  FROM ev CROSS JOIN m GROUP BY 1, 2, 3),
+        |types AS (SELECT DISTINCT event_type FROM cells),
+        |spine AS (SELECT event_type, b AS bin FROM types CROSS JOIN range($PsiBins) r(b)),
+        |wide AS (SELECT s.event_type, s.bin, coalesce(c1.c, 0) AS c1, coalesce(c2.c, 0) AS c2
+        |  FROM spine s
+        |  LEFT JOIN cells c1 ON c1.event_type = s.event_type AND c1.bin = s.bin AND c1.period = 0
+        |  LEFT JOIN cells c2 ON c2.event_type = s.event_type AND c2.bin = s.bin AND c2.period = 1),
+        |t AS (SELECT event_type, bin, c1, c2,
+        |    CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |    CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2 FROM wide),
+        |tt AS (SELECT event_type, bin, n1, n2,
+        |    CAST(c1 + 1 AS DOUBLE) / CAST(n1 + $PsiBins AS DOUBLE) AS p,
+        |    CAST(c2 + 1 AS DOUBLE) / CAST(n2 + $PsiBins AS DOUBLE) AS q FROM t),
+        |g AS (SELECT event_type, max(n1) AS n_before, max(n2) AS n_after,
+        |    list((p - q) * ln(p / q) ORDER BY bin) AS l
+        |  FROM tt GROUP BY event_type)
+        |SELECT event_type, n_before, n_after,
+        |  round(list_reduce(l, (a, b) -> a + b), 6) AS psi
+        |FROM g ORDER BY event_type""".stripMargin
+    },
+    "funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM e GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM e JOIN w ON e.user_id = w.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > w.t_view
+        |  GROUP BY e.user_id),
+        |d AS (SELECT epoch_us(p.t_purchase) - epoch_us(w.t_view) AS delay_us
+        |  FROM w JOIN p ON w.user_id = p.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+        |  quantile_cont(delay_us, 0.125) / CAST(1000000 AS DOUBLE) AS p125_s,
+        |  quantile_cont(delay_us, 0.25) / CAST(1000000 AS DOUBLE) AS p25_s,
+        |  quantile_cont(delay_us, 0.5) / CAST(1000000 AS DOUBLE) AS p50_s,
+        |  quantile_cont(delay_us, 0.75) / CAST(1000000 AS DOUBLE) AS p75_s,
+        |  quantile_cont(delay_us, 0.875) / CAST(1000000 AS DOUBLE) AS p875_s
+        |FROM d""".stripMargin,
     "graph_bfs" ->
       s"""WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
         |  FROM lineitem WHERE l_quantity > 25),

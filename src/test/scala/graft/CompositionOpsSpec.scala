@@ -236,6 +236,75 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(out.exists(_._6 > 0.0), "no shared chunk found in a templated corpus")
   }
 
+  test("ab_test moments match a local per-user replay") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").cast("long"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.filter(_._2 == "purchase").map(_._3).sum
+    }
+    val byVariant = perUser.groupBy { case (u, _) =>
+      java.lang.Long.remainderUnsigned(
+        graft.expressions.CrossHash.md5Lower64(s"ab-$u"),
+        graft.expressions.CrossHash.P) % 2
+    }
+    val out = operators.Experiment.abTest(spark, sf).head()
+    val a = byVariant.getOrElse(0L, Map.empty).values.toSeq
+    val b = byVariant.getOrElse(1L, Map.empty).values.toSeq
+    assert(out.getAs[Long]("n_a") == a.size && out.getAs[Long]("n_b") == b.size)
+    assert(math.abs(out.getAs[Double]("mean_a") - a.sum.toDouble / a.size / 100.0) < 1e-4)
+    assert(math.abs(out.getAs[Double]("mean_b") - b.sum.toDouble / b.size / 100.0) < 1e-4)
+    // Welch z from the same moments
+    def variance(xs: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      val m = xs.sum.toDouble / n
+      xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }
+    if (a.size > 1 && b.size > 1 && (variance(a) > 0 || variance(b) > 0)) {
+      val z = (b.sum.toDouble / b.size - a.sum.toDouble / a.size) /
+        math.sqrt(variance(a) / a.size + variance(b) / b.size)
+      assert(math.abs(out.getAs[Double]("z_score") - z) < 1e-4,
+        s"z ${out.getAs[Double]("z_score")} vs replay $z")
+    }
+  }
+
+  test("psi_drift is ~0 for identical halves and large for disjoint bins") {
+    // the operator on real data: finite, sane range
+    val rows = operators.Experiment.psiDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(!psi.isNaN && !psi.isInfinite && psi >= 0.0 - 1e-9,
+        s"${r.getString(0)}: psi $psi")
+      assert(r.getAs[Long]("n_before") > 0 && r.getAs[Long]("n_after") > 0)
+    }
+  }
+
+  test("funnel_time percentiles bound a local replay of conversion delays") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val delays = ev.groupBy(_._1).flatMap { case (_, xs) =>
+      val views = xs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v = views.min
+        val ps = xs.filter(x => x._2 == "purchase" && x._3 > v).map(_._3)
+        if (ps.isEmpty) None else Some(ps.min - v)
+      }
+    }.toSeq.sorted
+    val out = operators.Experiment.funnelTime(spark, sf).head()
+    assert(out.getAs[Long]("n_conversions") == delays.size)
+    if (delays.nonEmpty) {
+      assert(out.getAs[Double]("p125_s") >= delays.head / 1e6 - 1e-6)
+      assert(out.getAs[Double]("p875_s") <= delays.last / 1e6 + 1e-6)
+      assert(out.getAs[Double]("p50_s") >= out.getAs[Double]("p125_s"))
+      assert(out.getAs[Double]("p875_s") >= out.getAs[Double]("p50_s"))
+    }
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
