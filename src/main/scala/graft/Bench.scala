@@ -64,6 +64,14 @@ object Bench {
       // reused subtrees, and 60+ accumulated caches otherwise build
       // memory pressure that spills the later queries' shuffles
       spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks are NOT in the cache manager — the
+      // ContextCleaner frees them only when the RDD is GC'd, so the
+      // iterative operators' checkpoints from earlier queries otherwise
+      // accumulate in the block manager and tax later measurements
+      // (graph_pagerank read ~2s slower mid-suite than standalone).
+      // GC outside the timed window, then give the async cleaner a beat.
+      System.gc()
+      Thread.sleep(50)
       val t0 = System.nanoTime()
       // toRdd forces every output column to materialize — a plain
       // count() would let Catalyst prune the very expressions under test

@@ -131,6 +131,7 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.sampleStratified _),
     "shard_assign" -> (Composition.shardAssign _),
     "epoch_mix" -> (Composition.epochMix _),
+    "train_order" -> (Composition.trainOrder _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -1409,6 +1410,24 @@ object SparkEntry {
          |  CAST(tenths // 10 + CASE WHEN md5_number_lower('epoch-' || doc_id) % 2305843009213693951
          |    < (2305843009213693951 // 10) * (tenths % 10) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "train_order" -> {
+      val tCase = "CASE source " + graft.operators.Composition.epochTenths
+        .map { case (s, t) => s"WHEN '${sq(s)}' THEN $t" }.mkString(" ") + " END"
+      val P = "2305843009213693951"
+      s"""WITH t AS (SELECT doc_id, source, $tCase AS tenths FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    tenths // 10 + CASE WHEN md5_number_lower('epoch-' || doc_id) % $P
+         |      < ($P // 10) * (tenths % 10) THEN 1 ELSE 0 END AS n_copies FROM t),
+         |i AS (SELECT doc_id, source, CAST(cp AS BIGINT) AS copy,
+         |    CAST(md5_number_lower('tshard-' || doc_id || '#' || cp) % $P
+         |      % ${graft.operators.Composition.NumShards} AS BIGINT) AS shard,
+         |    md5_number_lower('tord-' || doc_id || '#' || cp) % $P AS ord
+         |  FROM c, LATERAL (SELECT unnest(range(n_copies)) AS cp) r
+         |  WHERE n_copies >= 1)
+         |SELECT doc_id, source, copy, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id, copy) - 1 AS BIGINT) AS pos
+         |FROM i ORDER BY doc_id, copy""".stripMargin
     },
     "kfold_split" ->
       s"""WITH f AS (SELECT lang,

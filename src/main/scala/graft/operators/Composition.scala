@@ -94,6 +94,55 @@ object Composition {
         (col("tenths").cast("double") / 10.0).as("target_epochs"), col("n_copies"))
   }
 
+  /** Composed materialization order — the end-to-end "write the
+    * training set" plan: epoch replication (epochMix's copy counts)
+    * explodes into concrete copy instances, every instance draws an
+    * independent md5 shard + order, and the within-shard position
+    * comes from the same two-phase draw-range rank as shardAssign —
+    * all FUSED into one Catalyst plan (the pipeline_tokens discipline:
+    * the copy fan-out and the draw are row-local stages of the same
+    * job, nothing materializes between steps).
+    *
+    * This is the order a sharded training dataloader replays: shard
+    * files in `shard` order, examples within a shard in `pos` order,
+    * repeated docs appearing under distinct copy indices at
+    * independent positions. Deterministic end to end — a rerun
+    * regenerates the byte-identical layout. */
+  def trainOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val tenth = CrossHash.P / 10
+    val tCase = epochTenths.foldLeft(lit(null).cast("long")) { case (acc, (s, t)) =>
+      when(col("source") === s, lit(t.toLong)).otherwise(acc)
+    }
+    val inst = Tables.documents(spark, sfDir)
+      .withColumn("tenths", tCase)
+      .withColumn("draw", Similarity.md5Mod(concat(lit("epoch-"), col("doc_id"))))
+      .withColumn("n_copies",
+        expr("tenths div 10") +
+          when(col("draw") < lit(tenth) * expr("tenths % 10"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(0L, n_copies - 1)")).as("copy"))
+      .select(col("doc_id"), col("source"), col("copy"),
+        pmod(Similarity.md5Mod(
+          concat(lit("tshard-"), col("doc_id"), lit("#"), col("copy"))),
+          lit(NumShards.toLong)).as("shard"),
+        Similarity.md5Mod(
+          concat(lit("tord-"), col("doc_id"), lit("#"), col("copy"))).as("ord"))
+      .withColumn("bucket", expr(s"ord div ${OrdBucketW}L"))
+    val perBucket = inst.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wB = Window.partitionBy(col("shard")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("shard"), col("bucket"), col("boff"))
+    val wD = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("ord"), col("doc_id"), col("copy"))
+    inst.join(offsets, Seq("shard", "bucket"))
+      .withColumn("pos", col("boff") + row_number().over(wD).cast("long") - 1L)
+      .select(col("doc_id"), col("source"), col("copy"), col("shard"), col("pos"))
+  }
+
   /** Number of cross-validation folds. */
   final val NumFolds = 5
 

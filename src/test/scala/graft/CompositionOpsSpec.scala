@@ -55,6 +55,22 @@ class CompositionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("train_order emits n_copies instances per doc at dense per-shard positions") {
+    val copies = Composition.epochMix(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val out = Composition.trainOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == copies.values.sum)
+    out.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.length == copies(doc), s"doc $doc instance count")
+      assert(rs.map(_._2).sorted.sameElements(0L until rs.length.toLong))
+    }
+    out.groupBy(_._3).foreach { case (shard, rs) =>
+      val pos = rs.map(_._4).sorted
+      assert(pos.sameElements(0L until pos.length.toLong), s"shard $shard not dense")
+    }
+  }
+
   test("cdc_apply equals a local latest-wins replay with tombstones") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
