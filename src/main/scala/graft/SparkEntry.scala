@@ -87,6 +87,7 @@ object SparkEntry {
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
     "match_eval" -> (EntityMatch.matchEval _),
+    "sorted_blocking" -> (EntityMatch.sortedBlocking _),
     "enrich_join" -> (EnrichJoin.enrichJoin _),
     "enrich_wide" -> (EnrichJoin.enrichWide _),
     "ref_inject" -> (RefInject.refInject _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "events_window" -> (Events.eventsWindow _),
     "events_hopping" -> (Events.eventsHopping _),
     "events_ewma" -> (Events.eventsEwma _),
+    "events_heatmap" -> (Events.eventsHeatmap _),
     "ab_test" -> (Experiment.abTest _),
     "psi_drift" -> (Experiment.psiDrift _),
     "funnel_time" -> (Experiment.funnelTime _),
@@ -2119,6 +2121,36 @@ object SparkEntry {
          |SELECT u AS partkey, CAST(count(*) AS BIGINT) AS core_deg
          |FROM e$KcMaxRounds GROUP BY u ORDER BY partkey""".stripMargin
     },
+    "events_heatmap" ->
+      // dow from pure epoch arithmetic (1970-01-01 = Thursday; 0 =
+      // Sunday): Spark's dayofweek counts Sunday=1, DuckDB's Sunday=0 —
+      // the portable form IS the integer formula, on both sides
+      """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type,
+        |    (us // 86400000000 + 4) % 7 AS dow,
+        |    (us % 86400000000) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hour, n_events,
+        |  CAST(cents AS DOUBLE) / 100.0 AS total_value,
+        |  round(CAST(n_events AS DOUBLE)
+        |    / CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+        |FROM c ORDER BY event_type, dow, hour""".stripMargin,
+    "sorted_blocking" ->
+      s"""WITH recs AS (SELECT c_custkey AS rec_id, lower(c_name) AS key FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000000 AS rec_id, lower(s_name) AS key FROM supplier),
+        |r AS (SELECT rec_id, key,
+        |    row_number() OVER (ORDER BY key, rec_id) - 1 AS rank FROM recs),
+        |p AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |    b.rank - a.rank AS rank_dist,
+        |    levenshtein(a.key, b.key) AS lev
+        |  FROM r a JOIN r b
+        |  ON b.rank > a.rank AND b.rank <= a.rank + ${operators.EntityMatch.SnWindow})
+        |SELECT id_a, id_b, CAST(rank_dist AS BIGINT) AS rank_dist,
+        |  CAST(lev AS BIGINT) AS lev
+        |FROM p WHERE lev <= 4 ORDER BY id_a, id_b""".stripMargin,
     "ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'purchase'

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Entity resolution — the Spark re-expression of the reference's
@@ -227,5 +228,59 @@ object EntityMatch {
         lit("match_certitude").as("matcher"))
     evalMatchers(truth, casc.unionByName(cert),
       Seq("entity_cascade", "match_certitude"))
+  }
+
+  /** Sorted-neighborhood window width (pairs up to this rank apart). */
+  final val SnWindow = 3
+
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo): sort the
+    * combined record set on a normalized key and emit candidate pairs
+    * only within a sliding rank window — the third classic ER blocking
+    * family next to equi-key blocks (entity_match) and LSH buckets
+    * (dedup_*), and the one that catches near-misses an equi-block
+    * splits apart (adjacent keys block together regardless of any
+    * exact attribute agreeing).
+    *
+    * The global sort rank uses RANGE partitioning + per-partition
+    * offsets: repartitionByRange samples split points (the boundaries
+    * themselves may vary run to run), each partition ranks locally
+    * under a window keyed by its partition id (bounded partitions),
+    * and an exclusive prefix over the tiny per-partition count table
+    * shifts local ranks global — for sorted data this is EXACT
+    * regardless of where the sampled boundaries fell, so the output is
+    * deterministic even though the physical layout is not. This is the
+    * string-key complement of shard_assign's draw-range rank (which
+    * needs a uniform numeric draw). Pairs then join on a rank bucket
+    * (each rank pairs with ≤ SnWindow successors), scored by
+    * levenshtein. */
+  def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("rec_id"), lower(col("c_name")).as("key"))
+      .unionByName(Tables.supplier(spark, sfDir)
+        .select((col("s_suppkey") + 1000000000L).as("rec_id"), lower(col("s_name")).as("key")))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = recs.repartitionByRange(n, col("key"), col("rec_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lrank", row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("key"), col("rec_id"))).cast("long"))
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+    val offsets = counts
+      .withColumn("poff", coalesce(sum(col("pn")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    val ranked = local.join(offsets, Seq("pid"))
+      .select(col("rec_id"), col("key"), (col("poff") + col("lrank") - 1L).as("rank"))
+    // each record probes its ≤ SnWindow successors by EXACT rank — an
+    // equi-join on the probed rank (a theta range join would plan as a
+    // nested loop); fan-out is the constant window width
+    val probes = ranked.select(col("rec_id").as("id_a"), col("key").as("key_a"),
+        col("rank").as("rank_a"),
+        explode(expr(s"sequence(rank + 1, rank + $SnWindow)")).as("rank_b"))
+    probes.join(ranked.select(col("rec_id").as("id_b"), col("key").as("key_b"),
+          col("rank").as("rank_b")), Seq("rank_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("rank_b") - col("rank_a")).as("rank_dist"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("lev"))
+      .filter(col("lev") <= 4)
   }
 }

@@ -46,6 +46,33 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Day-of-week × hour-of-day activity heatmap per event type — the
+    * seasonality matrix behind load forecasts and anomaly baselines.
+    * Day-of-week comes from pure epoch arithmetic ((epoch_days + 4)
+    * mod 7, anchored on 1970-01-01 = Thursday; 0 = Sunday) rather than
+    * an engine's dayofweek() — Spark counts Sunday = 1 and DuckDB
+    * Sunday = 0, so the portable form IS the integer formula. One
+    * aggregation shuffle onto type×7×24 cells; the per-type share
+    * rides a window over the tiny cell table. */
+  def eventsHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select(col("event_type"),
+        pmod(expr("us div 86400000000") + 4, lit(7L)).as("dow"),
+        expr("(us % 86400000000) div 3600000000").as("hour"),
+        col("cents"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    val wT = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("type_total", sum(col("n_events")).over(wT))
+      .select(col("event_type"), col("dow"), col("hour"), col("n_events"),
+        (col("cents").cast("double") / 100.0).as("total_value"),
+        round(col("n_events").cast("double") / col("type_total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Exponentially-weighted moving average of hourly value volume per
     * event type (α = 1/2) — the smoothed baseline a monitoring system
     * tracks instead of raw hourly noise. α = 1/2 is deliberate: the

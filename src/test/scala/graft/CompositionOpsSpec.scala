@@ -321,6 +321,49 @@ class CompositionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_heatmap cells partition events; dow formula matches java.time") {
+    val out = queries.Events.eventsHeatmap(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    out.foreach { r =>
+      val dow = r.getAs[Long]("dow"); val hour = r.getAs[Long]("hour")
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+    }
+    // cross-check the arithmetic dow against java.time on real rows
+    graft.sources.Tables.events(spark, sf)
+      .select(unix_micros(col("ts"))).limit(200).collect().foreach { r =>
+        val us = r.getLong(0)
+        val expected = java.time.Instant.ofEpochSecond(us / 1000000)
+          .atZone(java.time.ZoneOffset.UTC).getDayOfWeek.getValue % 7 // SUNDAY=7→0
+        assert((us / 86400000000L + 4) % 7 == expected)
+      }
+  }
+
+  test("sorted_blocking pairs are exactly the close pairs within the rank window") {
+    val recs = (spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey").cast("long"), lower(col("c_name"))).collect()
+        .map(r => (r.getLong(0), r.getString(1))) ++
+      spark.read.parquet(s"$sf/supplier.parquet")
+        .select(col("s_suppkey").cast("long") + 1000000000L, lower(col("s_name"))).collect()
+        .map(r => (r.getLong(0), r.getString(1)))).toSeq
+    val ranked = recs.sortBy(x => (x._2, x._1)).zipWithIndex
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val model = (for {
+      ((ra, ia)) <- ranked; ((rb, ib)) <- ranked
+      if ib > ia && ib <= ia + graft.operators.EntityMatch.SnWindow
+      l = lev(ra._2, rb._2) if l <= 4
+    } yield (ra._1, rb._1, (ib - ia).toLong, l.toLong)).toSet
+    val got = graft.operators.EntityMatch.sortedBlocking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == model)
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
