@@ -31,6 +31,13 @@ case class RollOut(event_id: Long, user_id: Long, ts_us: Long,
 
 /** Per-user funnel progress: first view, first click strictly after
   * it, first purchase strictly after that. Also the state record. */
+case class EwmaEvent(event_type: String, ts_us: Long, cents: Long)
+/** Open-hour accumulator + the recurrence state (acc = sₜ in cents). */
+case class EwmaState(curHour: Long, curN: Long, curCents: Long,
+  acc: Double, has: Boolean)
+case class EwmaOut(event_type: String, hour_us: Long, n_events: Long,
+  hour_value: Double, ewma_value: Double)
+
 case class FunnelProgress(user_id: Long, t_view_us: Option[Long],
     t_click_us: Option[Long], t_purchase_us: Option[Long], steps_reached: Long)
 
@@ -349,6 +356,53 @@ object EventStreams {
         col("value").cast("decimal(18,2)").as("value_c"))
       .as[RollEvent]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Streaming twin of Events.eventsEwma — the incremental sₜ
+    * maintenance the batch operator's scaladoc points at: per event
+    * type the state is ONE open hour's accumulator plus the scalar
+    * recurrence value (constant size per key at any scale), and a
+    * completed hour emits the moment a later-hour event arrives,
+    * applying the identical halving step sₜ = (sₜ₋₁ + xₜ)/2 the batch
+    * fold replays — so emitted doubles are bit-equal to batch rows.
+    * The final open hour stays in state (parity test: batch minus each
+    * type's last hour).
+    *
+    * Contract: per-key in-order delivery across micro-batches (the
+    * chronological-slice parity test exercises three). */
+  def ewmaHourly(spark: SparkSession, events: DataFrame): Dataset[EwmaOut] = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000
+
+    def step(eventType: String, rows: Iterator[EwmaEvent],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, 0L, 0.0, has = false))
+      val out = Vector.newBuilder[EwmaOut]
+      def finalizeHour(): Unit = if (st.curHour != Long.MinValue) {
+        val acc = if (!st.has) st.curCents.toDouble
+          else (st.acc + st.curCents.toDouble) / 2.0
+        out += EwmaOut(eventType, st.curHour * HourUs, st.curN,
+          st.curCents.toDouble / 100.0, round6(acc / 100.0))
+        st = EwmaState(Long.MinValue, 0L, 0L, acc, has = true)
+      }
+      for (e <- rows.toSeq.sortBy(_.ts_us)) {
+        val hour = e.ts_us / HourUs
+        if (st.curHour != Long.MinValue && hour > st.curHour) finalizeHour()
+        st = st.copy(curHour = hour, curN = st.curN + 1, curCents = st.curCents + e.cents)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[EwmaEvent]
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }
 

@@ -272,6 +272,38 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
   }
 
+  test("streaming EWMA maintenance equals batch minus each type's open hour") {
+    def batchTruth: Set[String] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      Events.eventsEwma(spark, sf)
+        .withColumn("hour_us", unix_micros(col("hour")))
+        .withColumn("last_hour", max(col("hour_us")).over(w))
+        .filter(col("hour_us") =!= col("last_hour"))
+        .select(col("event_type"), col("hour_us"), col("n_events"),
+          col("hour_value"), col("ewma_value"))
+        .collect().map(_.mkString("|")).toSet
+    }
+    // single batch
+    val single = {
+      val q = EventStreams.ewmaHourly(spark,
+          EventStreams.readEvents(spark, streamDir)).toDF()
+        .writeStream.format("memory").queryName("ewma_single")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table("ewma_single").collect().map(_.mkString("|")).toSet
+    }
+    assert(single == batchTruth)
+    // three chronological micro-batches: completed hours straddling a
+    // slice boundary must still finalize with the identical recurrence
+    val src = chronologicalSource("ewma", Seq("2024-01-10", "2024-01-20"))
+    val q = EventStreams.ewmaHourly(spark, src).toDF()
+      .writeStream.format("memory").queryName("ewma_sliced")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("ewma_sliced").collect().map(_.mkString("|")).toSet == batchTruth)
+  }
+
   test("streaming retention equals batch across chronological micro-batches") {
     // the cohort table is static (batch-maintained first-signup days);
     // the stream replays three time slices in order and the final
