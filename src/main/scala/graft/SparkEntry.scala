@@ -146,6 +146,7 @@ object SparkEntry {
     "cdc_chunk" -> (Chunk.cdcChunk _),
     "cms_topk" -> (Sketch.cmsTopk _),
     "hll_distinct" -> (Sketch.hllDistinct _),
+    "kmv_overlap" -> (Sketch.kmvOverlap _),
     "bpe_pairs" -> (Tokenize.bpePairs _),
     "bpe_train2" -> (Tokenize.bpeTrain2 _),
     "col_profile" -> (Profile.colProfile _),
@@ -158,6 +159,8 @@ object SparkEntry {
     "events_hopping" -> (Events.eventsHopping _),
     "events_ewma" -> (Events.eventsEwma _),
     "events_heatmap" -> (Events.eventsHeatmap _),
+    "events_transitions" -> (Events.eventsTransitions _),
+    "events_interpolate" -> (Events.eventsInterpolate _),
     "ab_test" -> (Experiment.abTest _),
     "psi_drift" -> (Experiment.psiDrift _),
     "funnel_time" -> (Experiment.funnelTime _),
@@ -2151,6 +2154,94 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(rank_dist AS BIGINT) AS rank_dist,
         |  CAST(lev AS BIGINT) AS lev
         |FROM p WHERE lev <= 4 ORDER BY id_a, id_b""".stripMargin,
+    "events_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |t AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM ev),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "events_interpolate" ->
+      """WITH ev0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_id FROM events),
+        |ev AS (SELECT user_id, us, arg_max(cents, event_id) AS cents
+        |  FROM ev0 GROUP BY user_id, us),
+        |sp AS (SELECT user_id, (min(us) + 3599999999) // 3600000000 AS h0,
+        |    max(us) // 3600000000 AS h1 FROM ev GROUP BY user_id),
+        |pr AS (SELECT user_id, (h0 + i) * 3600000000 AS us, 1 AS is_probe,
+        |    CAST(NULL AS BIGINT) AS cents
+        |  FROM sp, LATERAL (SELECT unnest(range(h1 - h0 + 1)) AS i) r
+        |  WHERE h0 <= h1),
+        |rr AS (SELECT user_id, us, 0 AS is_probe, cents FROM ev
+        |  UNION ALL SELECT user_id, us, is_probe, cents FROM pr),
+        |f AS (SELECT user_id, us, is_probe,
+        |    last_value(CASE WHEN is_probe = 0 THEN us END IGNORE NULLS) OVER wf AS ta,
+        |    last_value(CASE WHEN is_probe = 0 THEN cents END IGNORE NULLS) OVER wf AS va,
+        |    last_value(CASE WHEN is_probe = 0 THEN us END IGNORE NULLS) OVER wr AS tb,
+        |    last_value(CASE WHEN is_probe = 0 THEN cents END IGNORE NULLS) OVER wr AS vb
+        |  FROM rr WINDOW
+        |    wf AS (PARTITION BY user_id ORDER BY us, is_probe
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wr AS (PARTITION BY user_id ORDER BY us DESC, is_probe
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, us AS probe_us,
+        |  round(CASE WHEN tb = ta THEN CAST(va AS DOUBLE)
+        |    ELSE CAST(CAST(va AS HUGEINT) * (tb - us) + CAST(vb AS HUGEINT) * (us - ta) AS DOUBLE)
+        |      / CAST(tb - ta AS DOUBLE) END / 100.0, 6) AS value_interp
+        |FROM f WHERE is_probe = 1 AND ta IS NOT NULL AND tb IS NOT NULL
+        |ORDER BY user_id, probe_us""".stripMargin,
+    "kmv_overlap" -> {
+      import graft.operators.Sketch.KmvK
+      val P = "2305843009213693951"
+      s"""WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type, md5_number_lower('kmv-' || user_id) % $P AS h FROM m),
+        |skr AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+        |sk AS (SELECT event_type, h FROM skr WHERE rk <= $KmvK),
+        |ty AS (SELECT DISTINCT event_type FROM sk),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |u AS (SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+        |      FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        |    UNION ALL
+        |    SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+        |      FROM pairs p JOIN sk s ON s.event_type = p.type_b) z
+        |  GROUP BY 1, 2, 3),
+        |ukr AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk FROM u),
+        |uk AS (SELECT * FROM ukr WHERE rk <= $KmvK),
+        |est AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_uk,
+        |    max(h) AS kth,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM uk GROUP BY 1, 2),
+        |est2 AS (SELECT type_a, type_b, n_uk, n_both,
+        |    CASE WHEN n_uk < $KmvK THEN CAST(n_uk AS DOUBLE)
+        |      ELSE CAST(n_uk - 1 AS DOUBLE) * $P / CAST(kth AS DOUBLE) END AS eu
+        |  FROM est),
+        |ex AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS exact_union,
+        |    CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersect
+        |  FROM (SELECT type_a, type_b, user_id, count(*) AS sides FROM (
+        |      SELECT p.type_a, p.type_b, mm.user_id
+        |        FROM pairs p JOIN m mm ON mm.event_type = p.type_a
+        |      UNION ALL
+        |      SELECT p.type_a, p.type_b, mm.user_id
+        |        FROM pairs p JOIN m mm ON mm.event_type = p.type_b) zz
+        |    GROUP BY 1, 2, 3) g GROUP BY 1, 2)
+        |SELECT e.type_a, e.type_b, e.n_uk, e.n_both,
+        |  round(e.eu, 6) AS est_union,
+        |  round(CAST(e.n_both AS DOUBLE) / CAST(e.n_uk AS DOUBLE), 6) AS est_jaccard,
+        |  round(CAST(e.n_both AS DOUBLE) / CAST(e.n_uk AS DOUBLE) * e.eu, 6) AS est_intersect,
+        |  x.exact_union, x.exact_intersect,
+        |  round(CAST(x.exact_intersect AS DOUBLE) / CAST(x.exact_union AS DOUBLE), 6) AS exact_jaccard
+        |FROM est2 e JOIN ex x USING (type_a, type_b)
+        |ORDER BY e.type_a, e.type_b""".stripMargin
+    },
     "ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'purchase'

@@ -162,4 +162,83 @@ object Sketch {
       .select(col("token"), col("cnt").as("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("cnt")).as("over_est"))
   }
+
+  /** KMV sketch size (k minimum hash values per set). */
+  final val KmvK = 64
+
+  /** KMV / theta-sketch AUDIENCE OVERLAP (Beyer et al. 2007; the
+    * Theta-sketch set algebra): estimate |A∪B|, Jaccard, and |A∩B|
+    * between every pair of event-type audiences from each side's K
+    * MINIMUM md5 hash values — the mergeable fixed-size summary that
+    * answers "how much do these segments overlap" without ever
+    * co-shuffling the full id sets. Third sketch family next to CMS
+    * (frequency) and HLL (cardinality): KMV is the one whose sketches
+    * COMPOSE under set operations.
+    *
+    * Estimators: with U_K = the K smallest of the union (all of it
+    * when the union is smaller), û = (|U_K|−1)·P / max(U_K) when
+    * saturated and the exact size otherwise; Ĵ = |U_K ∩ A ∩ B|/|U_K|;
+    * î = Ĵ·û. Everything until the two terminal divides is exact
+    * integer selection over uniform [0,P) hashes, so both engines pick
+    * identical sketch members. Exact union/intersection/Jaccard ride
+    * along as audit columns (the cms/hll audit discipline).
+    *
+    * Scale shape: ONE distinct pass over (type, user), bounded-heap
+    * TopK keeps K hashes per type (map tasks forward ≤ K rows), and
+    * all pair algebra runs on types²·K sketch rows — constant-size
+    * regardless of corpus. The exact audit is the only corpus-sized
+    * aggregate, and a production deployment drops it. */
+  def kmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = graft.expressions.CrossHash.P
+    val members = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashes = members.select(col("event_type"),
+      graft.functions.Similarity.md5Mod(concat(lit("kmv-"), col("user_id"))).as("h"))
+    val sk = hashes.transform(graft.plans.TopK.perGroup(
+      Seq("event_type"), Seq("h" -> true), KmvK))
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    // union the two sketches per pair; common hashes collapse with
+    // both membership flags set (same user ⇒ same md5 on both sides)
+    val u = pairs.join(sk.select(col("event_type").as("type_a"), col("h"),
+          lit(1).as("in_a"), lit(0).as("in_b")), Seq("type_a"))
+      .unionByName(pairs.join(sk.select(col("event_type").as("type_b"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")), Seq("type_b")))
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val uk = u.transform(graft.plans.TopK.perGroup(
+      Seq("type_a", "type_b"), Seq("h" -> true), KmvK))
+    val est = uk.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_uk"), max(col("h")).as("kth"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_both"))
+      .select(col("type_a"), col("type_b"), col("n_uk"), col("n_both"),
+        when(col("n_uk") < KmvK, col("n_uk").cast("double"))
+          .otherwise((col("n_uk") - 1).cast("double") * P / col("kth").cast("double"))
+          .as("est_union"))
+      .withColumn("est_jaccard",
+        round(col("n_both").cast("double") / col("n_uk").cast("double"), 6))
+      .withColumn("est_intersect",
+        round(col("n_both").cast("double") / col("n_uk").cast("double")
+          * col("est_union"), 6))
+      .withColumn("est_union", round(col("est_union"), 6))
+    // exact audit (corpus-sized; a production deployment drops this)
+    val exact = pairs
+      .join(members.select(col("event_type").as("type_a"), col("user_id")), Seq("type_a"))
+      .unionByName(pairs.join(
+        members.select(col("event_type").as("type_b"), col("user_id")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("user_id")))
+      .groupBy(col("type_a"), col("type_b"), col("user_id"))
+      .agg(count(lit(1)).as("sides"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_uk"), col("n_both"),
+        col("est_union"), col("est_jaccard"), col("est_intersect"),
+        col("exact_union"), col("exact_intersect"),
+        round(col("exact_intersect").cast("double") / col("exact_union").cast("double"), 6)
+          .as("exact_jaccard"))
+  }
 }

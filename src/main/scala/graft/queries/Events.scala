@@ -46,6 +46,83 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Linear time-weighted resample: each user's value series sampled
+    * at exact hour marks by interpolating between the bracketing
+    * events — the TWAP-style resample mode gapfill's LOCF is not
+    * (interior hours only; a probe landing exactly on an event takes
+    * that event's value).
+    *
+    * Union-and-fill twice: events ∪ hour probes, a forward window
+    * carries the latest at-or-before event onto each probe, a reversed
+    * window carries the earliest at-or-after one; the blend numerator
+    * is exact decimal(38,0) (cents × µs-gap products overflow a long
+    * at month-long gaps) with ONE terminal double divide, rounded to
+    * 6. Simultaneous events collapse latest-wins (max_by on event_id)
+    * first, so both windows and the oracle pick identical brackets.
+    * One user-key shuffle shared by the pre-aggregate, both windows,
+    * and the probe grid (generated distributed via sequence+explode,
+    * the gapfill discipline). */
+  def eventsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max_by(col("cents"), col("event_id")).as("cents"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .withColumn("h0", expr(s"(mn + ${HourUs - 1}) div ${HourUs}L"))
+      .withColumn("h1", expr(s"mx div ${HourUs}L"))
+      .filter(col("h0") <= col("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      .select(col("user_id"), (col("h") * HourUs).as("us"),
+        lit(1).as("is_probe"), lit(null).cast("long").as("cents"))
+    val rows = ev.select(col("user_id"), col("us"), lit(0).as("is_probe"), col("cents"))
+      .unionByName(probes)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("us"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("us").desc, col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ev0 = when(col("is_probe") === 0, struct(col("us"), col("cents")))
+    rows
+      .withColumn("pa", last(ev0, ignoreNulls = true).over(wf))
+      .withColumn("pb", last(ev0, ignoreNulls = true).over(wr))
+      .filter(col("is_probe") === 1 && col("pa").isNotNull && col("pb").isNotNull)
+      .select(col("user_id"), col("us").as("probe_us"),
+        round(
+          when(col("pb.us") === col("pa.us"), col("pa.cents").cast("double"))
+            .otherwise(
+              (col("pa.cents").cast("decimal(38,0)") * (col("pb.us") - col("us")) +
+                col("pb.cents").cast("decimal(38,0)") * (col("us") - col("pa.us")))
+                .cast("double") / (col("pb.us") - col("pa.us")).cast("double"))
+            / 100.0, 6).as("value_interp"))
+  }
+
+  /** Per-user event-type transition matrix (first-order Markov view of
+    * the session flow — the counts behind a Sankey/path diagram):
+    * consecutive event pairs per user ordered by time, aggregated to
+    * (from, to) cells with the row-normalized transition probability.
+    * One user-key shuffle shared by the lag window and the reduce; the
+    * probability normalizer rides a window over the |types|² cell
+    * table. */
+  def eventsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wF = Window.partitionBy(col("from_type"))
+    cells
+      .withColumn("from_total", sum(col("n")).over(wF))
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+        round(col("n").cast("double") / col("from_total").cast("double"), 6).as("p"))
+  }
+
   /** Day-of-week × hour-of-day activity heatmap per event type — the
     * seasonality matrix behind load forecasts and anomaly baselines.
     * Day-of-week comes from pure epoch arithmetic ((epoch_days + 4)

@@ -364,6 +364,74 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(got == model)
   }
 
+  test("events_transitions counts all consecutive pairs; rows sum to 1") {
+    val rows = queries.Events.eventsTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    // every event except each user's first contributes one transition
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      assert(rs.map(_._4).distinct.length == 1, s"$from from_total differs")
+      assert(rs.head._4 == rs.map(_._3).sum)
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-4, s"$from probabilities")
+    }
+  }
+
+  test("events_interpolate brackets every interior hour; exact at coincident events") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        col("event_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val H = 3600000000L
+    val byUser = ev.groupBy(_._1).map { case (u, xs) =>
+      // latest-wins collapse at equal timestamps, as the operator does
+      u -> xs.groupBy(_._2).map { case (us, ys) =>
+        us -> ys.maxBy(_._4)._3
+      }.toSeq.sortBy(_._1)
+    }
+    val out = queries.Events.eventsInterpolate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expectedCount = byUser.map { case (_, series) =>
+      val mn = series.head._1; val mx = series.last._1
+      val h0 = (mn + H - 1) / H; val h1 = mx / H
+      math.max(0L, h1 - h0 + 1)
+    }.sum
+    assert(out.length == expectedCount)
+    // value bounds: interpolation lies between bracket values
+    val seriesMap = byUser
+    out.foreach { case (u, t, v) =>
+      val s = seriesMap(u)
+      val before = s.filter(_._1 <= t)
+      val after = s.filter(_._1 >= t)
+      assert(before.nonEmpty && after.nonEmpty, s"user $u probe $t unbracketed")
+      val va = before.last._2 / 100.0
+      val vb = after.head._2 / 100.0
+      assert(v >= math.min(va, vb) - 1e-6 && v <= math.max(va, vb) + 1e-6,
+        s"user $u at $t: $v outside [$va, $vb]")
+      if (before.last._1 == t)
+        assert(math.abs(v - va) < 1e-6, "coincident probe must take the event value")
+    }
+  }
+
+  test("kmv_overlap estimates track the exact overlap within sketch error") {
+    val rows = operators.Sketch.kmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val estJ = r.getAs[Double]("est_jaccard")
+      val exJ = r.getAs[Double]("exact_jaccard")
+      val estU = r.getAs[Double]("est_union")
+      val exU = r.getAs[Long]("exact_union")
+      // KMV with K=64: relative std err ~ 1/sqrt(K-1) ≈ 0.126; allow 4σ
+      assert(math.abs(estU - exU) <= math.max(4 * exU / math.sqrt(64 - 1), 8.0),
+        s"${r.getString(0)}x${r.getString(1)}: union est $estU vs exact $exU")
+      assert(math.abs(estJ - exJ) <= 0.5, s"jaccard est $estJ vs exact $exJ")
+      assert(r.getAs[Long]("n_uk") <= operators.Sketch.KmvK)
+    }
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
