@@ -57,6 +57,7 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_cube" -> (Relational.qCube _),
     "q_groupingsets" -> (Relational.qGroupingSets _),
+    "q_decile" -> (Relational.qDecile _),
     "q_corr" -> (Stats.qCorr _),
     "winsorize" -> (Stats.winsorize _),
     "scd2_dim" -> (Scd.scd2Dim _),
@@ -1886,6 +1887,21 @@ object SparkEntry {
         |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
         |    * sqrt(CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6) AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_decile" ->
+      // decile = floor(0-based-rank · 10 / n): the portable formula,
+      // deliberately not ntile() (remainder rules differ across engines)
+      """WITH s AS (SELECT o_custkey AS custkey,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT custkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, custkey) - 1 AS rk,
+        |    count(*) OVER () AS n_total FROM s),
+        |d AS (SELECT (rk * 10) // n_total AS decile, cents FROM r)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total_spend,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_spend,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_spend
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_groupingsets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,

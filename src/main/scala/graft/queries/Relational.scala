@@ -167,6 +167,49 @@ object Relational {
         sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").cast("double").as("total"))
   }
 
+  /** Decile (spend-tier) analysis: customers ranked by lifetime spend,
+    * cut into ten rank-deciles, one summary row per tier — the RFM-style
+    * segmentation a marketing warehouse runs. The decile of 0-based
+    * rank r over n rows is floor(r·10/n): pure integer arithmetic both
+    * engines state identically (deliberately NOT SQL ntile(), whose
+    * remainder-distribution rule differs subtly; the formula is the
+    * portable contract).
+    *
+    * The global rank is the range-partition + per-partition-offset
+    * pattern (sortedBlocking's): repartitionByRange may sample
+    * different boundaries run to run, but offset + local rank is exact
+    * for sorted data regardless — no single-partition ntile window at
+    * any scale. */
+  def qDecile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("decimal(18,2)").as("spend"))
+      .select(col("o_custkey").as("custkey"),
+        (col("spend") * 100).cast("long").as("cents"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = spend.repartitionByRange(n, col("cents").desc, col("custkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lrank", row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("cents").desc, col("custkey"))).cast("long"))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(sum(col("pn")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    val total = spend.agg(count(lit(1)).as("n_total"))
+    local.join(offsets, Seq("pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr("((poff + lrank - 1) * 10) div n_total"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("cents"),
+        max(col("cents")).as("max_cents"), min(col("cents")).as("min_cents"))
+      .select(col("decile"), col("n_customers"),
+        (col("cents").cast("double") / 100.0).as("total_spend"),
+        (col("max_cents").cast("double") / 100.0).as("max_spend"),
+        (col("min_cents").cast("double") / 100.0).as("min_spend"))
+  }
+
   /** Arbitrary GROUPING SETS — the general form rollup and cube are
     * special cases of: the two 1-D marginals plus the 2-D cells of
     * (status, priority), but NOT the grand total (the set a dashboard

@@ -432,6 +432,24 @@ class CompositionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_decile tiers partition customers with monotone spend boundaries") {
+    val rows = Relational.qDecile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._2).sum == nCust)
+    assert(rows.map(_._1).sameElements(0L until rows.length.toLong))
+    // decile sizes differ by at most 1; spend ranges are non-increasing
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    rows.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi._5 >= lo._4 - 1e-9,
+        s"decile ${hi._1} min ${hi._5} < decile ${lo._1} max ${lo._4}")
+      case _ =>
+    }
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
