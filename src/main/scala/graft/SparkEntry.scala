@@ -74,6 +74,7 @@ object SparkEntry {
     "graph_linkpred" -> (Graph.graphLinkpred _),
     "graph_kcore" -> (Graph.graphKcore _),
     "graph_bfs" -> (Graph.graphBfs _),
+    "graph_assortativity" -> (Graph.graphAssortativity _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -2369,6 +2370,27 @@ object SparkEntry {
         |    / CAST(100 AS DOUBLE), 6) AS ewma_value
         |FROM r JOIN s ON r.event_type = s.event_type
         |ORDER BY r.event_type, r.hour""".stripMargin,
+    "graph_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |c0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT u, v FROM c0 UNION ALL SELECT v, u FROM c0),
+        |wb AS (SELECT e.u, e.v, pa.p_brand AS bu, pb.p_brand AS bv FROM e
+        |  JOIN part pa ON pa.p_partkey = e.u JOIN part pb ON pb.p_partkey = e.v),
+        |mm AS (SELECT count(*) // 2 AS m FROM wb),
+        |intra AS (SELECT bu AS brand, CAST(count(*) // 2 AS BIGINT) AS intra_edges
+        |  FROM wb WHERE bu = bv GROUP BY 1),
+        |degs AS (SELECT bu AS brand, CAST(count(*) AS BIGINT) AS deg_sum,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS n_vertices FROM wb GROUP BY 1)
+        |SELECT d.brand, d.n_vertices,
+        |  coalesce(i.intra_edges, 0) AS intra_edges, d.deg_sum,
+        |  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+        |    - (CAST(d.deg_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+        |      * (CAST(d.deg_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)), 6)
+        |    + CAST(0 AS DOUBLE) AS contribution
+        |FROM degs d LEFT JOIN intra i USING (brand) CROSS JOIN mm
+        |ORDER BY d.brand""".stripMargin,
     "events_anomaly" ->
       """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt

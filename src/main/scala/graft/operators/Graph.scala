@@ -242,6 +242,54 @@ object Graph {
     out
   }
 
+  /** Brand-partition MODULARITY of the co-purchase graph (Newman): for
+    * each part brand b, Q_b = L_b/m − (D_b/2m)², where L_b = edges
+    * with both endpoints in b, D_b = total degree of b's vertices, m =
+    * undirected edge count. ΣQ_b is the assortativity check "do
+    * same-brand parts co-purchase more than chance?" — the graph-level
+    * diagnostic a recommender team runs before trusting attribute
+    * features.
+    *
+    * Exactness: L_b, D_b, m are exact longs; each contribution is one
+    * fixed float expression over them, rounded to 6 (the per-brand
+    * rows ARE the output — summing them is the reader's one addition).
+    * Scale shape: the brand dimension joins unhinted onto the cached
+    * edge layout (AQE broadcasts the part table while it's small); one
+    * brand-keyed aggregate each for L and D; everything after is
+    * |brands| rows. */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = directedEdges(spark, sfDir)
+    val brands = Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("long").as("pk"), col("p_brand"))
+    val withB = directed
+      .join(brands.select(col("pk").as("u"), col("p_brand").as("bu")), Seq("u"))
+      .join(brands.select(col("pk").as("v"), col("p_brand").as("bv")), Seq("v"))
+      .persist()
+    val m = withB.count() / 2 // both-direction list counts each edge twice
+    // intra-brand edges: both directions counted, so halve; degrees:
+    // out-degree in the both-direction list IS the undirected degree
+    val intra = withB.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("brand")).agg((count(lit(1)) / 2).cast("long").as("intra_edges"))
+    val degs = withB.groupBy(col("bu").as("brand"))
+      .agg(count(lit(1)).as("deg_sum"),
+        countDistinct(col("u")).as("n_vertices"))
+    val out = degs.join(intra, Seq("brand"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .select(col("brand"), col("n_vertices"), col("intra_edges"), col("deg_sum"),
+        // + 0.0 canonicalizes IEEE negative zero (a tiny negative
+        // contribution rounds to -0.0, which the gate's text compare
+        // distinguishes from 0.0)
+        (round(
+          col("intra_edges").cast("double") / m.toDouble -
+            (col("deg_sum").cast("double") / (2.0 * m)) *
+              (col("deg_sum").cast("double") / (2.0 * m)),
+          6) + lit(0.0)).as("contribution"))
+      .localCheckpoint()
+    withB.unpersist()
+    directed.unpersist()
+    out
+  }
+
   /** BFS hop cap — the oracle's recursion guard and the engine's round
     * cap truncate identically: after k rounds the min-relaxation labels
     * are exact for every vertex within k hops and null beyond, which is

@@ -450,6 +450,34 @@ class CompositionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_assortativity contributions reconstruct from a local graph replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").cast("long"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = edges.size.toDouble
+    val rows = Graph.graphAssortativity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var q = 0.0
+    rows.foreach { r =>
+      val b = r.getString(0)
+      val lb = edges.count { case (u, v) => brand(u) == b && brand(v) == b }
+      val db = edges.toSeq.flatMap(e => Seq(e._1, e._2)).count(brand(_) == b)
+      assert(r.getAs[Long]("intra_edges") == lb, s"$b intra")
+      assert(r.getAs[Long]("deg_sum") == db, s"$b degree")
+      q += r.getAs[Double]("contribution")
+    }
+    // modularity of a real partition is a proper fraction
+    assert(q > -1.0 && q < 1.0)
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
