@@ -39,11 +39,11 @@ object Experiment {
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant") === 0, col("cents")).otherwise(0L)).as("s_a"),
       sum(when(col("variant") === 0,
-        (col("cents") * col("cents")).cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+        col("cents").cast("decimal(38,0)") * col("cents")).otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === 1, col("cents")).otherwise(0L)).as("s_b"),
       sum(when(col("variant") === 1,
-        (col("cents") * col("cents")).cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
+        col("cents").cast("decimal(38,0)") * col("cents")).otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
     m.select(col("n_a"), col("n_b"),
         round(col("s_a").cast("double") / col("n_a").cast("double") / 100.0, 6).as("mean_a"),
         round(col("s_b").cast("double") / col("n_b").cast("double") / 100.0, 6).as("mean_b"),
