@@ -307,20 +307,28 @@ object SparkEntry {
     * the engines would diverge on a negative payload. */
   private def mmS32(i: Int): String =
     s"(CASE WHEN ${mmU32(i)} >= 2147483648 THEN ${mmU32(i)} - 4294967296 ELSE ${mmU32(i)} END)"
+  /** Big-endian u32 at 1-based byte index i (PNG network byte order). */
+  private def mmU32BE(i: Int): String =
+    s"(16777216*${mmByte(i)} + 65536*${mmByte(i + 1)} + 256*${mmByte(i + 2)} + ${mmByte(i + 3)})"
   private val multimodalMetaSql: String =
     s"""WITH g AS (SELECT doc_id, ${Multimodal.mediaHexSql} AS hx FROM documents)
        |SELECT doc_id,
        |  CASE WHEN substr(hx,1,4) = '424D' THEN 'bmp'
-       |       WHEN substr(hx,1,8) = '52494646' THEN 'wav' ELSE 'unknown' END AS media_type,
+       |       WHEN substr(hx,1,8) = '52494646' THEN 'wav'
+       |       WHEN substr(hx,1,16) = '89504E470D0A1A0A' THEN 'png' ELSE 'unknown' END AS media_type,
        |  CAST(length(hx)/2 AS BIGINT) AS byte_len,
        |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU32(35)}
-       |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(41)} ELSE 0 END AS data_bytes,
-       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmS32(19)} ELSE 0 END AS width,
-       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmS32(23)} ELSE 0 END AS height,
+       |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(41)}
+       |       WHEN substr(hx,1,16) = '89504E470D0A1A0A' THEN ${mmU32BE(34)} ELSE 0 END AS data_bytes,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmS32(19)}
+       |       WHEN substr(hx,1,16) = '89504E470D0A1A0A' THEN ${mmU32BE(17)} ELSE 0 END AS width,
+       |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmS32(23)}
+       |       WHEN substr(hx,1,16) = '89504E470D0A1A0A' THEN ${mmU32BE(21)} ELSE 0 END AS height,
        |  CASE WHEN substr(hx,1,8) = '52494646' THEN ${mmU32(25)} ELSE 0 END AS sample_rate,
        |  CASE WHEN substr(hx,1,8) = '52494646' THEN ${mmU16(23)} ELSE 0 END AS channels,
        |  CASE WHEN substr(hx,1,4) = '424D' THEN ${mmU16(29)}
-       |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU16(35)} ELSE 0 END AS bit_depth,
+       |       WHEN substr(hx,1,8) = '52494646' THEN ${mmU16(35)}
+       |       WHEN substr(hx,1,16) = '89504E470D0A1A0A' THEN ${mmByte(25)} ELSE 0 END AS bit_depth,
        |  substr(hx, 1, 8) AS magic,
        |  sha256(hx) AS content_sha256
        |FROM g ORDER BY doc_id""".stripMargin

@@ -42,6 +42,11 @@ object Multimodal {
     * which an unsigned read would render as ~4.29 billion. */
   private def s32le(b: Array[Byte], o: Int): Long =
     u32le(b, o).toInt.toLong
+  /** Big-endian u32 — PNG chunk lengths and IHDR dimensions (network
+    * byte order, the opposite endianness axis from BMP/WAV). */
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
   /** Header decoder — one call per record inside the partition
     * iterator, like a native codec would be batched. The digest
@@ -74,6 +79,17 @@ object Multimodal {
         width = 0L, height = 0L,
         sample_rate = u32le(b, 24), channels = u16le(b, 22).toLong,
         bit_depth = u16le(b, 34).toLong, magic = magic, content_sha256 = sha)
+    else if (b.length >= 41 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte && (b(4) & 0xff) == 0x0d &&
+        (b(5) & 0xff) == 0x0a && (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a)
+      // PNG: 8-byte signature, IHDR (width/height BIG-endian at 16/20,
+      // bit depth at 24), first IDAT length at 33. Header parse only —
+      // chunk CRCs are not verified here (a real decoder's job).
+      MediaMeta(r.doc_id, "png", b.length.toLong,
+        data_bytes = u32be(b, 33),         // first IDAT chunk length
+        width = u32be(b, 16), height = u32be(b, 20),
+        sample_rate = 0L, channels = 0L,
+        bit_depth = (b(24) & 0xff).toLong, magic = magic, content_sha256 = sha)
     else
       MediaMeta(r.doc_id, "unknown", b.length.toLong, 0L, 0L, 0L, 0L, 0L, 0L, magic, sha)
   }
@@ -125,12 +141,27 @@ object Multimodal {
       s"${u16hex(wavCh)} || ${u32hex(wavSr)} || ${u32hex(s"$wavSr * $wavBa")} || ${u16hex(wavBa)} || " +
       s"'1000' || '64617461' || ${u32hex(wavData)} || ${dataHex(wavData)})"
 
-  /** Uppercase-hex of each document's media file — even doc_id → BMP,
-    * odd → WAV. Valid in BOTH SQL dialects over (doc_id, text); the
-    * gate oracle embeds this string verbatim, so both engines provably
-    * generate identical bytes and then decode them independently. */
+  private def u32beHex(v: String) =
+    s"(${byteHex(s"($v)/16777216")} || ${byteHex(s"($v)/65536")} || ${byteHex(s"($v)/256")} || ${byteHex(v)})"
+
+  // PNG: signature + IHDR (BE dims, 8-bit RGB) + one IDAT + IEND.
+  // Chunk CRCs are zero except IEND's spec constant — the decoder
+  // parses headers, it does not checksum (a real codec's job).
+  private val pngW = "(1 + doc_id % 13)"
+  private val pngH = "(1 + doc_id % 7)"
+  private val pngData = s"(($pngW) * ($pngH) * 3)"
+  private val pngHex =
+    s"('89504E470D0A1A0A' || '0000000D' || '49484452' || ${u32beHex(pngW)} || ${u32beHex(pngH)} || " +
+      s"'08' || '02' || '000000' || '00000000' || ${u32beHex(pngData)} || '49444154' || " +
+      s"${dataHex(pngData)} || '00000000' || '0000000049454E44AE426082')"
+
+  /** Uppercase-hex of each document's media file — doc_id mod 3:
+    * 0 → BMP, 1 → WAV, 2 → PNG (both endianness families). Valid in
+    * BOTH SQL dialects over (doc_id, text); the gate oracle embeds
+    * this string verbatim, so both engines provably generate identical
+    * bytes and then decode them independently. */
   val mediaHexSql: String =
-    s"(CASE WHEN doc_id % 2 = 0 THEN $bmpHex ELSE $wavHex END)"
+    s"(CASE WHEN doc_id % 3 = 0 THEN $bmpHex WHEN doc_id % 3 = 1 THEN $wavHex ELSE $pngHex END)"
 
   /** The synthesized media corpus as a binary column (distributed —
     * the generator is one codegen'd projection, no driver state). */

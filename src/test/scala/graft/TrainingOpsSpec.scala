@@ -243,10 +243,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     // Windows screen capture carries height -2, not 4294967294
     val bmpTopDown = bmp.clone()
     le32(-2L & 0xffffffffL).copyToArray(bmpTopDown, 22)
+    // minimal PNG: signature + IHDR (320x240, 8-bit RGB, BE dims) +
+    // a 12-byte IDAT + IEND — big-endian fields, unlike BMP/WAV
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(240) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) ++
+      be32(12) ++ "IDAT".getBytes ++ Array.fill[Byte](12)(3) ++ be32(0) ++
+      be32(0) ++ "IEND".getBytes ++ be32(0xae426082L)
     val out = Multimodal.decodeMeta(
         Seq(MediaRecord(1L, bmp), MediaRecord(2L, wav),
-          MediaRecord(3L, bmpTopDown)).toDS())
+          MediaRecord(3L, bmpTopDown), MediaRecord(4L, png)).toDS())
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val p = out(4L)
+    assert(p.getAs[String]("media_type") == "png")
+    assert(p.getAs[Long]("width") == 320 && p.getAs[Long]("height") == 240)
+    assert(p.getAs[Long]("bit_depth") == 8 && p.getAs[Long]("data_bytes") == 12)
+    assert(p.getAs[String]("magic") == "89504E47")
     val b = out(1L)
     assert(b.getAs[String]("media_type") == "bmp")
     assert(b.getAs[Long]("width") == 2 && b.getAs[Long]("height") == 2)
@@ -266,19 +279,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(m.nonEmpty)
     m.foreach { r =>
       val t = r.getAs[String]("media_type")
-      assert(t == "bmp" || t == "wav", s"unknown media type for ${r}")
+      assert(t == "bmp" || t == "wav" || t == "png", s"unknown media type for ${r}")
       if (t == "bmp") {
         // header-decoded dims must be in the generator's ranges and the
         // payload must contain exactly header + imageSize bytes
         assert(r.getAs[Long]("width") >= 2 && r.getAs[Long]("width") <= 15)
         assert(r.getAs[Long]("height") >= 1 && r.getAs[Long]("height") <= 9)
         assert(r.getAs[Long]("byte_len") == 54 + r.getAs[Long]("data_bytes"))
-      } else {
+      } else if (t == "wav") {
         assert(r.getAs[Long]("sample_rate") >= 8000 && r.getAs[Long]("sample_rate") <= 15000)
         assert(Set(1L, 2L).contains(r.getAs[Long]("channels")))
         assert(r.getAs[Long]("byte_len") == 44 + r.getAs[Long]("data_bytes"))
+      } else {
+        // PNG: sig(8) + IHDR(25) + IDAT header(8) + data + CRC(4) + IEND(12)
+        assert(r.getAs[Long]("width") >= 1 && r.getAs[Long]("width") <= 13)
+        assert(r.getAs[Long]("height") >= 1 && r.getAs[Long]("height") <= 7)
+        assert(r.getAs[Long]("bit_depth") == 8)
+        assert(r.getAs[Long]("data_bytes") ==
+          3 * r.getAs[Long]("width") * r.getAs[Long]("height"))
+        assert(r.getAs[Long]("byte_len") == 57 + r.getAs[Long]("data_bytes"))
       }
     }
+    assert(m.map(_.getAs[String]("media_type")).toSet == Set("bmp", "wav", "png"))
   }
 
   test("as-of join attaches the latest at-or-before right row per key") {
