@@ -65,6 +65,7 @@ object SparkEntry {
     "merge_upsert" -> (Scd.mergeUpsert _),
     "cdc_apply" -> (Scd.cdcApply _),
     "agg_incremental" -> (Scd.aggIncremental _),
+    "retract_agg" -> (Scd.retractAgg _),
     "value_histogram" -> ((s: SparkSession, d: String) => Profile.valueHistogram(s, d)),
     "colloc_pmi" -> ((s: SparkSession, d: String) => TextMetrics.collocPmi(s, d)),
     "bloom_prune" -> (BloomPrune.bloomPrune _),
@@ -2003,6 +2004,20 @@ object SparkEntry {
         |    + coalesce(delta, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |  coalesce(segment, 'PROSPECT') AS segment, action
         |FROM m WHERE action <> 'delete' ORDER BY key""".stripMargin,
+    "retract_agg" ->
+      // DIRECT aggregation over the modified table — the hash match
+      // proves the engine's signed-delta retraction algebra
+      """WITH base AS (SELECT o_orderstatus AS status, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |modified AS (
+        |  SELECT status, cents FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT status, cents + cents // 10 AS cents FROM base WHERE o_orderkey % 7 = 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE), 6) AS mean
+        |FROM modified GROUP BY status ORDER BY status""".stripMargin,
     "agg_incremental" ->
       // the oracle computes the DIRECT aggregation over raw events;
       // the Spark side merges daily partials — the gate hash-match IS

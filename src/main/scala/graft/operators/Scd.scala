@@ -124,6 +124,47 @@ object Scd {
           / (col("n_events") * 100).cast("double"), 6).as("mean_value"))
   }
 
+  /** RETRACTABLE incremental aggregation — the other half of the
+    * incremental-view-maintenance story agg_incremental starts: that
+    * operator merges APPEND-only partials; this one applies a change
+    * feed containing DELETES by algebra, never rescanning history.
+    * Counts and sums are retractable (signed deltas add), so
+    *   new_rollup = old_rollup ⊕ Σ signed-delta-partials
+    * — a union of signed partial rows re-aggregated, the exact shape a
+    * streaming retract-mode sink maintains. Min/max are deliberately
+    * absent: they are NOT retractable (a deleted minimum forces a
+    * rescan), and the operator's surface documents that boundary.
+    *
+    * The feed derives deterministically from orders (delete every
+    * 13th order; insert a marked twin of every 7th with 10% uplift in
+    * exact decimal); the oracle computes the DIRECT aggregation over
+    * (base ∖ deletes) ∪ inserts — the hash match proves the retraction
+    * algebra. Two narrow shuffles: the signed-partial aggregate (rows =
+    * |keys|, map-side combined) and nothing else corpus-sized. */
+  def retractAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir).select(col("o_orderstatus").as("status"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val old = base.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val deletes = base.filter(col("o_orderkey") % 13 === 0)
+      .select(col("status"), lit(-1L).as("dn"), (-col("cents")).as("ds"))
+    val inserts = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("status"), lit(1L).as("dn"),
+        // +10% uplift in exact integer cents: c + c div 10
+        (col("cents") + expr("cents div 10")).as("ds"))
+    val delta = deletes.unionByName(inserts)
+      .groupBy(col("status")).agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    old.join(delta, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        ((coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).cast("double") / 100.0)
+          .as("total"),
+        round((coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).cast("double")
+          / ((coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))) * 100L).cast("double"), 6)
+          .as("mean"))
+  }
+
   /** CDC log compaction: apply an ordered change stream (key, seq, op,
     * payload) to produce the current snapshot — latest-wins per key,
     * delete tombstones drop the key. This is the read-side of a CDC

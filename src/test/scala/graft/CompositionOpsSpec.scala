@@ -71,6 +71,23 @@ class CompositionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("retract_agg equals a from-scratch aggregation of the modified table") {
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderstatus"), col("o_orderkey").cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val modified = base.filter(_._2 % 13 != 0).map(x => (x._1, x._3)) ++
+      base.filter(_._2 % 7 == 0).map(x => (x._1, x._3 + x._3 / 10))
+    val model = modified.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    operators.Scd.retractAgg(spark, sf).collect().foreach { r =>
+      val (n, cents) = model(r.getString(0))
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(math.abs(r.getAs[Double]("total") - cents / 100.0) < 1e-6)
+    }
+  }
+
   test("cdc_apply equals a local latest-wins replay with tombstones") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey").cast("long"), col("o_orderstatus"),
