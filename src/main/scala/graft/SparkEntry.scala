@@ -76,6 +76,8 @@ object SparkEntry {
     "graph_kcore" -> (Graph.graphKcore _),
     "graph_bfs" -> (Graph.graphBfs _),
     "graph_assortativity" -> (Graph.graphAssortativity _),
+    "graph_edge_jaccard" -> (Graph.graphEdgeJaccard _),
+    "events_wow" -> (Events.eventsWow _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
@@ -2393,6 +2395,40 @@ object SparkEntry {
         |    / CAST(100 AS DOUBLE), 6) AS ewma_value
         |FROM r JOIN s ON r.event_type = s.event_type
         |ORDER BY r.event_type, r.hour""".stripMargin,
+    "events_wow" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n_events, cents,
+        |    lag(n_events) OVER w AS prev_n, lag(cents) OVER w AS prev_c
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY week))
+        |SELECT event_type, week, n_events,
+        |  CAST(cents AS DOUBLE) / 100.0 AS total_value,
+        |  round(CASE WHEN prev_n <> 0 THEN CAST(n_events - prev_n AS DOUBLE)
+        |    / CAST(prev_n AS DOUBLE) END, 6) AS wow_events,
+        |  round(CASE WHEN prev_c <> 0 THEN CAST(cents - prev_c AS DOUBLE)
+        |    / CAST(prev_c AS DOUBLE) END, 6) AS wow_value
+        |FROM l ORDER BY event_type, week""".stripMargin,
+    "graph_edge_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |te AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM t
+        |  UNION ALL SELECT least(x, z), greatest(x, z) FROM t
+        |  UNION ALL SELECT least(y, z), greatest(y, z) FROM t),
+        |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM te GROUP BY 1, 2),
+        |bo AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS p, CAST(count(*) AS BIGINT) AS d FROM bo GROUP BY u)
+        |SELECT cn.a, cn.b, cn.cn, da.d AS da, db.d AS db,
+        |  round(CAST(cn.cn AS DOUBLE) / CAST(da.d + db.d - 2 - cn.cn AS DOUBLE), 6) AS jaccard
+        |FROM cn JOIN deg da ON da.p = cn.a JOIN deg db ON db.p = cn.b
+        |ORDER BY cn.a, cn.b""".stripMargin,
     "graph_assortativity" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
         |  FROM lineitem WHERE l_quantity > 25),

@@ -242,6 +242,57 @@ object Graph {
     out
   }
 
+  /** EDGE-NEIGHBORHOOD JACCARD (the SCAN/sparsification structural
+    * similarity): for every edge (u, v) that closes at least one
+    * triangle, |N(u)∩N(v)| / |N(u)∪N(v)\{u,v}| — the per-edge signal
+    * graph sparsifiers keep edges by and SCAN-style clustering
+    * thresholds on. Common-neighbor counts come from the SAME
+    * degree-oriented triangle enumeration graphTriangles runs (each
+    * triangle contributes its three edges once — O(m^1.5) wedge bound,
+    * hub-safe), so cn(u,v) never needs a per-edge neighborhood
+    * intersection; |N(u)∪N(v)\{u,v}| = du + dv − 2 − cn by
+    * inclusion-exclusion over exact degree longs. Edges closing no
+    * triangle have similarity 0 and are not emitted (the sparsifier
+    * drops them unseen — that is the point). */
+  def graphEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = directedEdges(spark, sfDir)
+    val deg = directed.groupBy(col("u").as("p")).agg(count(lit(1)).as("d"))
+    val withDeg = directed
+      .join(deg.select(col("p").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("src"), col("v").as("dst"), col("dv").as("ddst"))
+      .persist()
+    oriented.count()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val triangles = wedges.join(oriented,
+      col("y") === col("src") && col("z") === col("dst"))
+    // each triangle touches three edges; canonicalize as (min, max)
+    val cn = triangles
+      .select(explode(array(
+        struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")),
+        struct(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")),
+        struct(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val out = cn
+      .join(deg.select(col("p").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("p").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        round(col("cn").cast("double")
+          / (col("da") + col("db") - 2 - col("cn")).cast("double"), 6).as("jaccard"))
+      .localCheckpoint()
+    oriented.unpersist()
+    directed.unpersist()
+    out
+  }
+
   /** Brand-partition MODULARITY of the co-purchase graph (Newman): for
     * each part brand b, Q_b = L_b/m − (D_b/2m)², where L_b = edges
     * with both endpoints in b, D_b = total degree of b's vertices, m =

@@ -123,6 +123,35 @@ object Events {
         round(col("n").cast("double") / col("from_total").cast("double"), 6).as("p"))
   }
 
+  /** Week-over-week metric deltas per event type — the growth numbers
+    * on the first page of every dashboard. Weeks are pure epoch
+    * arithmetic (epoch_days div 7 — no engine calendar involved);
+    * per-(type, week) counts and exact cent sums aggregate in one
+    * shuffle, and the deltas come from a lag window over the tiny
+    * type×week cell table. The first week of a type reports null
+    * deltas (nothing to compare against) — both engines agree on the
+    * nulls. */
+  def eventsWow(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    cells
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("prev_c", lag(col("cents"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n_events"),
+        (col("cents").cast("double") / 100.0).as("total_value"),
+        // explicit non-zero guards: ANSI mode faults even double /0,
+        // and a zero-volume previous week has no meaningful ratio
+        round(when(col("prev_n") =!= 0, (col("n_events") - col("prev_n")).cast("double")
+          / col("prev_n").cast("double")), 6).as("wow_events"),
+        round(when(col("prev_c") =!= 0, (col("cents") - col("prev_c")).cast("double")
+          / col("prev_c").cast("double")), 6).as("wow_value"))
+  }
+
   /** Day-of-week × hour-of-day activity heatmap per event type — the
     * seasonality matrix behind load forecasts and anomaly baselines.
     * Day-of-week comes from pure epoch arithmetic ((epoch_days + 4)

@@ -495,6 +495,52 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(q > -1.0 && q < 1.0)
   }
 
+  test("events_wow restates week deltas from the weekly cells") {
+    val rows = queries.Events.eventsWow(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._4.isEmpty, "first week must report null wow")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          cur._4.foreach { w =>
+            val expected = (cur._3 - prev._3).toDouble / prev._3
+            assert(math.abs(w - expected) < 1e-6)
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("graph_edge_jaccard equals a local neighborhood-intersection replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .dropDuplicates("ok", "pk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val out = Graph.graphEdgeJaccard(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(5)))).toMap
+    // every edge with a common neighbor appears, with the exact counts
+    val expected = edges.toSeq.flatMap { case (a, b) =>
+      val cn = (adj(a) & adj(b)).size
+      if (cn == 0) None
+      else Some((a, b) -> (cn.toLong,
+        cn.toDouble / (adj(a).size + adj(b).size - 2 - cn)))
+    }.toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (e, (cn, j)) =>
+      assert(out(e)._1 == cn, s"edge $e cn")
+      assert(math.abs(out(e)._2 - j) < 1e-5, s"edge $e jaccard")
+    }
+  }
+
   test("knn_graph ranks are dense, cosines ordered, mutual flag symmetric") {
     val edges = Ann.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
