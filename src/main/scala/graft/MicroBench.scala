@@ -14,7 +14,14 @@ object MicroBench {
     val rest = if (args.headOption.exists(_.toIntOption.isDefined)) args.drop(1) else args
     val names = if (rest.nonEmpty) rest.toSeq
       else Seq("entity_match", "match_certitude")
-    val spark = SparkSession.builder()
+    // GRAFT_CONF="k=v;k=v" passes extra SparkConf pairs for config A/B
+    // experiments (core settings like spark.shuffle.compress must be set
+    // before context creation, so a builder hook is the only way in).
+    val extra = sys.env.getOrElse("GRAFT_CONF", "").split(";").toSeq
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val b0 = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,6 +29,7 @@ object MicroBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(name: String): Double = {

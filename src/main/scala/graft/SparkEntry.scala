@@ -189,7 +189,18 @@ object SparkEntry {
     "pareto_front" -> (Skyline.paretoFront _),
     "dq_checks" -> (Quality.dqChecks _),
     "pipeline_tokens" -> (Sampling.pipelineTokens _),
-    "graph_pagerank" -> (Graph.graphPagerank _)
+    "graph_pagerank" -> (Graph.graphPagerank _),
+    "events_streak" -> (Events.eventsStreak _),
+    "events_lifecycle" -> (Events.eventsLifecycle _),
+    "events_newusers" -> (Events.eventsNewusers _),
+    "events_rfm" -> (Experiment.eventsRfm _),
+    "ab_cuped" -> (Experiment.abCuped _),
+    "template_dup" -> (TextMetrics.templateDup _),
+    "token_entropy" -> (TextMetrics.tokenEntropy _),
+    "compact_plan" -> (Layout.compactPlan _),
+    "events_ltv" -> (Events.eventsLtv _),
+    "sample_balanced" -> (Sampling.sampleBalanced _),
+    "survival_curve" -> (Experiment.survivalCurve _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -2674,6 +2685,217 @@ object SparkEntry {
          |${iter("2", "3")}
          |SELECT id AS partkey, deg, pr AS pr_scaled FROM p3
          |ORDER BY partkey""".stripMargin
-    }
+    },
+    "events_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+        |i AS (SELECT user_id, day - rn AS island, CAST(count(*) AS BIGINT) AS len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_lifecycle" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week FROM events),
+        |mw AS (SELECT max(week) AS max_week FROM wk),
+        |f AS (SELECT user_id, week,
+        |    lag(week) OVER w AS prev_week, lead(week) OVER w AS next_week
+        |  FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY week)),
+        |act AS (SELECT week,
+        |    CASE WHEN prev_week IS NULL THEN 'new'
+        |      WHEN prev_week = week - 1 THEN 'retained'
+        |      ELSE 'resurrected' END AS status FROM f),
+        |ch AS (SELECT week + 1 AS week, 'churned' AS status FROM f, mw
+        |  WHERE week < max_week AND (next_week IS NULL OR next_week > week + 1)),
+        |u AS (SELECT * FROM act UNION ALL SELECT * FROM ch)
+        |SELECT week,
+        |  CAST(sum(CAST(status = 'new' AS BIGINT)) AS BIGINT) AS n_new,
+        |  CAST(sum(CAST(status = 'retained' AS BIGINT)) AS BIGINT) AS n_retained,
+        |  CAST(sum(CAST(status = 'resurrected' AS BIGINT)) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CAST(status = 'churned' AS BIGINT)) AS BIGINT) AS n_churned
+        |FROM u GROUP BY week ORDER BY week""".stripMargin,
+    "events_newusers" ->
+      """WITH d AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+        |da AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM (SELECT DISTINCT user_id, day FROM d) GROUP BY day),
+        |dn AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY 1)
+        |SELECT da.day, da.n_active,
+        |  CAST(coalesce(dn.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(da.n_active - coalesce(dn.n_new, 0) AS BIGINT) AS n_returning,
+        |  CAST(sum(coalesce(dn.n_new, 0))
+        |    OVER (ORDER BY da.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM da LEFT JOIN dn ON da.day = dn.day ORDER BY da.day""".stripMargin,
+    "events_rfm" ->
+      """WITH u AS (SELECT user_id,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |e AS (SELECT max(last_day) AS end_day FROM u),
+        |m AS (SELECT user_id, end_day - last_day AS recency_days, frequency, cents
+        |  FROM u, e),
+        |b AS (SELECT
+        |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.75) AS r75,
+        |    quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.75) AS f75,
+        |    quantile_cont(cents, 0.25) AS m25, quantile_cont(cents, 0.75) AS m75 FROM m)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(cents AS DOUBLE) / 100.0 AS monetary,
+        |  CAST(CASE WHEN CAST(recency_days AS DOUBLE) <= r25 THEN 3
+        |    WHEN CAST(recency_days AS DOUBLE) >= r75 THEN 1 ELSE 2 END AS BIGINT) AS r_score,
+        |  CAST(CASE WHEN CAST(frequency AS DOUBLE) >= f75 THEN 3
+        |    WHEN CAST(frequency AS DOUBLE) <= f25 THEN 1 ELSE 2 END AS BIGINT) AS f_score,
+        |  CAST(CASE WHEN CAST(cents AS DOUBLE) >= m75 THEN 3
+        |    WHEN CAST(cents AS DOUBLE) <= m25 THEN 1 ELSE 2 END AS BIGINT) AS m_score,
+        |  CAST(100 * (CASE WHEN CAST(recency_days AS DOUBLE) <= r25 THEN 3
+        |      WHEN CAST(recency_days AS DOUBLE) >= r75 THEN 1 ELSE 2 END)
+        |    + 10 * (CASE WHEN CAST(frequency AS DOUBLE) >= f75 THEN 3
+        |      WHEN CAST(frequency AS DOUBLE) <= f25 THEN 1 ELSE 2 END)
+        |    + (CASE WHEN CAST(cents AS DOUBLE) >= m75 THEN 3
+        |      WHEN CAST(cents AS DOUBLE) <= m25 THEN 1 ELSE 2 END) AS BIGINT) AS rfm
+        |FROM m, b ORDER BY user_id""".stripMargin,
+    "ab_cuped" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND us < mid
+        |      THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND us >= mid
+        |      THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev, md GROUP BY user_id),
+        |v AS (SELECT x, y,
+        |    md5_number_lower('ab-' || user_id) % 2305843009213693951 % 2 AS variant FROM u),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(variant = 0 AS BIGINT)) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |    CAST(sum(CAST(variant = 1 AS BIGINT)) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 100.0, 6) AS raw_diff,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * qx - sx * sx AS DOUBLE), 6) AS theta,
+        |  round(((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |      CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * qx - sx * sx AS DOUBLE) *
+        |      (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |        CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) / 100.0, 6) AS cuped_diff,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (CAST(n * qx - sx * sx AS DOUBLE) * CAST(n * qy - sy * sy AS DOUBLE)),
+        |    6) AS rho_sq
+        |FROM m""".stripMargin,
+    "template_dup" ->
+      """WITH s AS (SELECT doc_id,
+        |    md5_number_lower(regexp_replace(regexp_replace(lower(text),
+        |      '[0-9]+', '#', 'g'), '\s+', ' ', 'g')) % 2305843009213693951 AS skeleton
+        |  FROM documents),
+        |c AS (SELECT skeleton, CAST(count(*) AS BIGINT) AS n_docs_skeleton
+        |  FROM s GROUP BY skeleton)
+        |SELECT s.doc_id, s.skeleton, c.n_docs_skeleton,
+        |  c.n_docs_skeleton >= 3 AS is_template
+        |FROM s JOIN c USING (skeleton) ORDER BY s.doc_id""".stripMargin,
+    "token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    list(c ORDER BY c) AS cs FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) -
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(cs, x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+        |      (a, b) -> a + b) / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+        |  round(CASE WHEN n_tokens > 1 THEN
+        |      (ln(CAST(n_tokens AS DOUBLE)) -
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(cs, x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+        |          (a, b) -> a + b) / CAST(n_tokens AS DOUBLE)) /
+        |        ln(CAST(n_tokens AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS entropy_norm
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "compact_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - n_chars) // 16384 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS largest_file, min(n_chars) AS smallest_file,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / 16384.0, 6) AS fill_ratio
+        |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "events_ltv" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS week,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM c GROUP BY cohort),
+        |cells AS (SELECT c.cohort, ev.week - c.cohort AS week_offset,
+        |    CAST(sum(ev.cents) AS BIGINT) AS cents
+        |  FROM ev JOIN c USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort, week_offset, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY week_offset
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM cells)
+        |SELECT cohort, week_offset, n_users,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(cum_cents AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6)
+        |    AS ltv_per_user
+        |FROM cum JOIN cs USING (cohort) ORDER BY cohort, week_offset""".stripMargin,
+    "sample_balanced" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    md5_number_lower('bal-' || doc_id) % 2305843009213693951 AS draw
+        |  FROM documents),
+        |k AS (SELECT CAST(min(cn) AS BIGINT) AS k
+        |  FROM (SELECT count(*) AS cn FROM d GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS BIGINT)
+        |      AS class_rank
+        |  FROM d)
+        |SELECT doc_id, lang, class_rank FROM r, k
+        |WHERE class_rank <= k ORDER BY doc_id""".stripMargin,
+    "survival_curve" ->
+      """WITH lt AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS last_day
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(last_day) AS end_day FROM lt),
+        |cells AS (SELECT last_day - first_day AS t,
+        |    CAST(count(*) AS BIGINT) AS ended,
+        |    CAST(sum(CAST(last_day < end_day - 7 AS BIGINT)) AS BIGINT) AS d
+        |  FROM lt, e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ended) AS BIGINT) AS n_total FROM cells),
+        |risk AS (SELECT t, ended, d,
+        |    n_total - CAST(coalesce(sum(ended) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_at_risk,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS idx
+        |  FROM cells, tot),
+        |packed AS (SELECT list(struct_pack(t := t, d := d, n_at_risk := n_at_risk)
+        |    ORDER BY t) AS arr FROM risk)
+        |SELECT t AS lifetime_days, n_at_risk, d AS n_churned,
+        |  ended - d AS n_censored,
+        |  round(list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |    list_transform(arr[1:idx],
+        |      x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n_at_risk AS DOUBLE))),
+        |    (a, b) -> a * b), 6) AS survival
+        |FROM risk, packed ORDER BY lifetime_days""".stripMargin
   )
 }

@@ -69,6 +69,193 @@ object Experiment {
           6).as("z_score"))
   }
 
+  /** RFM SEGMENTATION over the purchase stream: per buyer, recency
+    * (days since last purchase, against the corpus's last day),
+    * frequency (purchase count), monetary (exact cent sum), each
+    * scored 1–3 against the population's QUARTILE boundaries (0.25 /
+    * 0.75 — dyadic fractions, so the interpolated blend over exact
+    * longs is bit-identical cross-engine, the q_quantiles rule;
+    * terciles would put a non-dyadic 1/3 into the position arithmetic).
+    * Score semantics: top quartile of F/M (and bottom of R — recent is
+    * good) scores 3, the interquartile body 2, the tail 1; boundary
+    * ties take the better score (≤ / ≥, mirrored in the oracle).
+    *
+    * Scale shape: one user-keyed aggregation shuffle; the three
+    * quartile pairs ride ONE single-row holistic aggregate (the
+    * q_quantiles note applies — a 100 TB deployment swaps
+    * approx_percentile) broadcast back over the user table. */
+  def eventsRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = array(lit(0.25), lit(0.75))
+    // persisted: the buyer aggregate feeds the end-day scalar, the
+    // quartile fold, and the scored output — without the cache each
+    // subtree would re-scan the event stream (3× at corpus scale)
+    val users = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("cents"))
+      .persist()
+    val endDay = users.agg(max(col("last_day")).as("end_day"))
+    val withR = users
+      .crossJoin(broadcast(endDay))
+      .withColumn("recency_days", col("end_day") - col("last_day"))
+    val bounds = withR
+      .agg(percentile(col("recency_days"), q).as("rq"),
+        percentile(col("frequency"), q).as("fq"),
+        percentile(col("cents"), q).as("mq"))
+    val out = withR
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        (col("cents").cast("double") / 100.0).as("monetary"),
+        when(col("recency_days").cast("double") <= col("rq")(0), 3L)
+          .when(col("recency_days").cast("double") >= col("rq")(1), 1L)
+          .otherwise(2L).as("r_score"),
+        when(col("frequency").cast("double") >= col("fq")(1), 3L)
+          .when(col("frequency").cast("double") <= col("fq")(0), 1L)
+          .otherwise(2L).as("f_score"),
+        when(col("cents").cast("double") >= col("mq")(1), 3L)
+          .when(col("cents").cast("double") <= col("mq")(0), 1L)
+          .otherwise(2L).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      // user-sized output, materialized so the buyer cache can be
+      // released here (the containment_dup discipline)
+      .localCheckpoint()
+    users.unpersist()
+    out
+  }
+
+  /** CUPED-adjusted A/B readout (Deng et al., WSDM'13): the ab_test
+    * Welch comparison, variance-reduced with each user's PRE-period
+    * revenue as the control covariate. The stream splits at its exact
+    * temporal midpoint (integer micros, the psi_drift rule): pre-half
+    * revenue is the covariate x, post-half revenue the metric y;
+    * θ = cov(x,y)/var(x) pooled over BOTH arms (the unbiased choice —
+    * assignment is independent of x), and each arm's adjusted mean is
+    * ȳ − θ·(x̄_arm − x̄_pool). Reported alongside: ρ² = cov²/(var_x·
+    * var_y), the fraction of metric variance CUPED removes.
+    *
+    * Determinism: every moment (Σx, Σy, Σx², Σy², Σxy) is an exact
+    * long/decimal(38,0) per arm; θ, the adjusted means, and ρ² are
+    * fixed-order double expressions over those exact moments, rounded
+    * to 6. One user-keyed shuffle, then single-row arithmetic. */
+  def abCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("us") < col("mid"),
+          col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("us") >= col("mid"),
+          col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        pmod(Similarity.md5Mod(concat(lit("ab-"), col("user_id"))), lit(2L)))
+    val d38 = "decimal(38,0)"
+    val m = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(d38) * col("x")).as("qx"),
+      sum(col("y").cast(d38) * col("y")).as("qy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"))
+    // pooled centered moments as EXACT decimals; doubles only at the end
+    m.select(
+        col("n_a"), col("n_b"),
+        round((col("sy_b").cast("double") / col("n_b").cast("double") -
+          col("sy_a").cast("double") / col("n_a").cast("double")) / 100.0, 6)
+          .as("raw_diff"),
+        round(
+          (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
+            (col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double"),
+          6).as("theta"),
+        round(
+          ((col("sy_b").cast("double") / col("n_b").cast("double") -
+            col("sy_a").cast("double") / col("n_a").cast("double")) -
+            (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
+              (col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double") *
+              (col("sx_b").cast("double") / col("n_b").cast("double") -
+                col("sx_a").cast("double") / col("n_a").cast("double"))) / 100.0,
+          6).as("cuped_diff"),
+        round(
+          (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") *
+            (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
+            ((col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double") *
+              (col("n").cast(d38) * col("qy") - col("sy").cast(d38) * col("sy")).cast("double")),
+          6).as("rho_sq"))
+  }
+
+  /** Censoring horizon (days): a user quiet for more than this before
+    * the stream's end is an observed churn; quiet for less is
+    * right-censored (still possibly active). */
+  final val KmHorizonDays = 7L
+
+  /** KAPLAN-MEIER survival curve over user lifetimes — the
+    * right-censoring-correct answer to "how long do users stay?"
+    * (a naive mean lifetime is biased low: users still active at the
+    * stream's end haven't finished their lifetime). Lifetime = last −
+    * first active day; churn is OBSERVED only when the user has been
+    * quiet for more than KmHorizonDays before the corpus's last day,
+    * otherwise the lifetime is censored at its current length.
+    * S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event times u (d = churns at
+    * u, n = at-risk: lifetime ≥ u, standard KM product-limit form).
+    *
+    * Determinism: d/n are exact longs via one cell-table cumulative;
+    * each survival value folds (1 − d/n) factors in ascending-lifetime
+    * order over the collected cell array — prefix-fold per row, O(T²)
+    * on a CALENDAR-bounded cell count, every float op in fixed order,
+    * round 6 (the psi_drift sorted-fold rule). One user-keyed shuffle;
+    * everything after is day-cell arithmetic. */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val lifetimes = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val endDay = lifetimes.agg(max(col("last_day")).as("end_day"))
+    val cells = lifetimes.crossJoin(broadcast(endDay))
+      .select((col("last_day") - col("first_day")).as("t"),
+        (col("last_day") < col("end_day") - KmHorizonDays).cast("long").as("churn"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("ended"), sum(col("churn")).as("d"))
+    // at-risk n_t = users with lifetime ≥ t: total minus the shorter
+    // lifetimes — a cumulative over the calendar-bounded cell table
+    val wt = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val risk = cells
+      .crossJoin(broadcast(cells.agg(sum(col("ended")).as("n_total"))))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("ended")).over(wt), lit(0L)))
+    // survival: fold the (1 − d/n) factors for u ≤ t in ascending u —
+    // the whole cell table collects into ONE array (calendar-bounded),
+    // each row folds its own prefix by rank slice (the events_ewma
+    // arr[1:rn] pattern — no lambda capture, both engines slice then
+    // fold the identical list)
+    val packed = risk.agg(
+      sort_array(collect_list(struct(col("t"), col("d"), col("n_at_risk")))).as("arr"))
+    val wr = Window.orderBy(col("t"))
+    risk
+      .withColumn("idx", row_number().over(wr))
+      .crossJoin(broadcast(packed))
+      .select(col("t").as("lifetime_days"), col("n_at_risk"), col("d").as("n_churned"),
+        (col("ended") - col("d")).as("n_censored"),
+        round(aggregate(
+          slice(col("arr"), lit(1), col("idx")),
+          lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n_at_risk").cast("double"))),
+          6).as("survival"))
+  }
+
   /** PSI bin width (cents) and count — the value_histogram grid,
     * clamped to a fixed spine so the index is well-defined. */
   final val PsiBinW = 5000L

@@ -61,4 +61,44 @@ object Layout {
         min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
   }
+
+  /** Compaction target size (chars here; bytes in a real table). */
+  final val CompactTarget = 16384L
+
+  /** SMALL-FILE COMPACTION PLANNING — the OPTIMIZE/rewrite-data-files
+    * bin-packer (Delta/Iceberg compaction): assign each file of a
+    * directory to an output bin so bins land near the target size.
+    * The documents table stands in as the file listing (source =
+    * directory, n_chars = file size). Deterministic packing rule:
+    * within a directory, order files size-descending (id-tiebroken)
+    * and cut the running sum at target boundaries — bin = floor((cum −
+    * size)/target), the streaming form of next-fit-decreasing. Unlike
+    * first-fit it is expressible as ONE prefix sum, so both engines
+    * replay it exactly, and its fill factor is within one file of
+    * first-fit on heavy-tailed size distributions.
+    *
+    * Scale shape: one directory-keyed shuffle; the prefix sum windows
+    * per directory over file-COUNT rows — metadata scale (a 100 TB
+    * table is ~10⁶ footer entries, not 10¹² rows). A directory with
+    * extreme file counts swaps in the q_decile two-phase range-
+    * partition rank; the rule itself is order-based, so the swap
+    * changes no output. Output = the compaction manifest: per-bin file
+    * count, payload, and fill ratio vs target. */
+  def compactPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div ${CompactTarget}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("largest_file"),
+        min(col("n_chars")).as("smallest_file"))
+      .withColumn("fill_ratio",
+        round(col("total_chars").cast("double") / CompactTarget.toDouble, 6))
+  }
 }

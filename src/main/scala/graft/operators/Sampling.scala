@@ -110,6 +110,46 @@ object Sampling {
       .transform(graft.plans.TopK.perGroup(
         Seq("lang"), Seq("draw" -> true, "doc_id" -> true), ReservoirK))
 
+  /** CLASS-BALANCED downsampling: keep exactly min-class-size docs
+    * per language, chosen by md5 draw — the rebalancing step before
+    * training a classifier on skewed data (complement of
+    * sample_stratified, which targets RATES; this targets equal
+    * COUNTS). The selected subset is a uniform random k-subset per
+    * class, yet fully reproducible and oracle-checkable row for row.
+    *
+    * The per-class quota k = min class count is data-dependent, so the
+    * bounded-heap TopK (literal k) does not apply; the per-class rank
+    * instead uses the sorted_blocking range-partition machinery:
+    * repartitionByRange on (lang, draw) gives a global order in which
+    * each class is contiguous, local ranks need only an offset join
+    * against the partition×class cell table — exact global per-class
+    * ranks with ONE data shuffle and no single-partition window over
+    * corpus rows. */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        Similarity.md5Mod(concat(lit("bal-"), col("doc_id"))).as("draw"))
+    val k = docs.groupBy(col("lang")).agg(count(lit(1)).as("cn"))
+      .agg(min(col("cn")).as("k"))
+    val parted = docs.repartitionByRange(n, col("lang"), col("draw"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lrank", row_number().over(
+      Window.partitionBy(col("pid"), col("lang"))
+        .orderBy(col("draw"), col("doc_id"))).cast("long"))
+    // partition×class cells; the offset window runs over this tiny table
+    val offsets = local.groupBy(col("pid"), col("lang")).agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(sum(col("pn")).over(
+        Window.partitionBy(col("lang")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("lang"), col("poff"))
+    local.join(offsets, Seq("pid", "lang"))
+      .crossJoin(broadcast(k))
+      .withColumn("class_rank", col("poff") + col("lrank"))
+      .filter(col("class_rank") <= col("k"))
+      .select(col("doc_id"), col("lang"), col("class_rank"))
+  }
+
   /** Composed preprocessing pipeline report: corpus filter (lang
     * confidence ∧ quality ∧ not-dup) → stratified hash-sample → per-
     * stratum doc/token counts with the Horvitz-Thompson estimate of

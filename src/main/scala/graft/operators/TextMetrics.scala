@@ -350,6 +350,80 @@ object TextMetrics {
     * the same kernel. Whole plan = ONE row-local projection over the
     * corpus (no explode, no join, no shuffle): hashed-linear models
     * exist precisely so inference costs a single pass. */
+  /** Minimum docs sharing a skeleton before it counts as a template. */
+  final val TemplateMinDocs = 3
+
+  /** TEMPLATE / BOILERPLATE detection: collapse every digit run to '#'
+    * and whitespace runs to one space, lowercase, hash the skeleton —
+    * docs that differ only in numbers (order confirmations, listings,
+    * log lines) collapse to one skeleton, and skeletons carrying ≥
+    * TemplateMinDocs docs are flagged as templates. This is the cheap
+    * complement to near-dup detection: MinHash sees two receipts with
+    * different totals as distinct-ish; the skeleton sees them as the
+    * same form letter. Every doc reports its skeleton population
+    * (training pipelines downsample by it rather than hard-drop).
+    *
+    * Scale shape: skeleton hashing is row-local (codegen'd regexes);
+    * one hash-keyed aggregate for the census, joined back UNHINTED
+    * (AQE broadcasts the skeleton table while it's small, shuffles at
+    * corpus scale). */
+  def templateDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val skel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Similarity.md5Mod(
+          regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "#"),
+            "\\s+", " ")).as("skeleton"))
+    val census = skel.groupBy(col("skeleton")).agg(count(lit(1)).as("n_docs_skeleton"))
+    skel.join(census, Seq("skeleton"))
+      .select(col("doc_id"), col("skeleton"), col("n_docs_skeleton"),
+        (col("n_docs_skeleton") >= TemplateMinDocs).as("is_template"))
+  }
+
+  /** Per-document TOKEN ENTROPY — the Shannon diversity of the token
+    * distribution, the quality signal that separates natural prose
+    * (high entropy) from keyword stuffing and degenerate repetition
+    * (low) at a given length; reported with its length-normalized form
+    * H/ln(n_tokens) ∈ [0,1] (1 = all tokens distinct).
+    *
+    * H = ln(N) − (Σ c·ln c)/N over the per-doc token counts c — the
+    * count-weighted form needs no per-token probabilities. Float
+    * discipline: counts are exact longs; the Σ c·ln c fold runs over
+    * the count list sorted ascending (collect_list → sort_array →
+    * aggregate, the psi_drift sorted-fold rule; DuckDB folds the same
+    * sorted list), and the result rounds to 6 after the one ln-bearing
+    * expression. Two clustered shuffles: (doc, token) counts, then the
+    * per-doc reduce — both inside one hash(doc_id) layout. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .repartition(n, col("doc_id"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(
+          log(col("n_tokens").cast("double")) -
+            aggregate(col("cs"), lit(0.0),
+              (a, c) => a + c.cast("double") * log(c.cast("double"))) /
+              col("n_tokens").cast("double"),
+          6).as("entropy"),
+        round(
+          when(col("n_tokens") > 1,
+            (log(col("n_tokens").cast("double")) -
+              aggregate(col("cs"), lit(0.0),
+                (a, c) => a + c.cast("double") * log(c.cast("double"))) /
+                col("n_tokens").cast("double")) /
+              log(col("n_tokens").cast("double")))
+            .otherwise(lit(0.0)),
+          6).as("entropy_norm"))
+  }
+
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
     Tables.documents(spark, sfDir)

@@ -557,6 +557,140 @@ object Events {
     * shuffles total: the per-user first-signup agg and the cohort-cell
     * count-distinct; the (user, day) distinct folds into the first
     * aggregate's partitioning. */
+  /** Longest consecutive-day activity STREAK per user — the
+    * gaps-and-islands classic (engagement scoring, habit metrics).
+    * Days are pure epoch arithmetic (unix_micros div 86400000000, the
+    * events_heatmap portability rule). Island key = day − row_number:
+    * constant within a run of consecutive days, distinct across gaps —
+    * no self-join, no recursion.
+    *
+    * Scale shape: the explicit repartition(user_id) exchange is built
+    * ONCE and its hash(user_id) layout satisfies the (user, day) dedup
+    * aggregate, the row_number window, the island reduce, and the
+    * final per-user reduce — four clustered stages, one shuffle. */
+  def eventsStreak(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .repartition(n, col("user_id"))
+      .dropDuplicates("user_id", "day")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  /** Weekly growth-accounting LIFECYCLE: every active (user, week) is
+    * classified new / retained / resurrected against the user's
+    * previous active week, and each inactive week following an active
+    * one contributes a churned row to the week the user went missing —
+    * the four numbers under every growth chart (Reforge accounting
+    * identity: active_w = new + retained + resurrected).
+    *
+    * Weeks are epoch arithmetic (div 7 on epoch days, the events_wow
+    * rule). The churn attribution needs the corpus's last week (a user
+    * silent after the stream ends is right-censored, not churned) — a
+    * one-row broadcast. One user-keyed shuffle shared by the dedup and
+    * the lag/lead windows; the final reduce is week-cell sized. */
+  def eventsLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val weeks = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+      .repartition(n, col("user_id"))
+      .dropDuplicates("user_id", "week")
+    val maxWeek = weeks.agg(max(col("week")).as("max_week"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val flagged = weeks
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+      .crossJoin(broadcast(maxWeek))
+    val active = flagged.select(col("week"),
+      when(col("prev_week").isNull, lit("new"))
+        .when(col("prev_week") === col("week") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("status"))
+    // a user active in w but not w+1 churns IN w+1 (unless the stream
+    // itself ends at w — right-censored, no verdict possible)
+    val churned = flagged
+      .filter(col("week") < col("max_week") &&
+        (col("next_week").isNull || col("next_week") > col("week") + 1))
+      .select((col("week") + 1).as("week"), lit("churned").as("status"))
+    active.unionByName(churned)
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L)).as("n_churned"))
+  }
+
+  /** Daily NEW vs RETURNING users plus the running cumulative distinct
+    * user count — the audience-growth curve. Each user reduces to a
+    * first-seen day (one user-keyed shuffle, map-side combined);
+    * per-day totals and the running sum then live on the day-cell
+    * table, which is calendar-bounded — it grows with elapsed TIME,
+    * not data volume, so the unpartitioned cumulative window is the
+    * benign bounded-global-window class (Skyline/Tokenize precedent),
+    * not a scale hazard. */
+  def eventsNewusers(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val firstSeen = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val dailyActive = days.dropDuplicates("user_id", "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val dailyNew = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dailyActive.join(dailyNew, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(wc))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"), col("cum_users"))
+  }
+
+  /** Cohort LIFETIME-VALUE curves: users cohorted by first-active
+    * week, purchase revenue aggregated per (cohort, week offset), and
+    * the running cumulative revenue per cohort divided by cohort size
+    * — the LTV-by-age table under every payback-period decision
+    * (the revenue companion of events_retention's activity grid).
+    *
+    * Scale shape: first-seen reduce and the revenue cells share one
+    * user-keyed shuffle (the cohort join back onto per-user-week
+    * revenue is user-keyed too); the cumulative window runs per cohort
+    * over OFFSET cells — calendar-bounded, like events_newusers. Money
+    * stays in exact cents until the final per-user divide (round 6). */
+  def eventsLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).otherwise(0L)
+          .as("cents"))
+      .repartition(n, col("user_id"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val cohortSize = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val cells = ev
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(sum(col("cents")).as("cents"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(wc))
+      .join(cohortSize, Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_users"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        round(col("cum_cents").cast("double") / col("n_users").cast("double")
+          / 100.0, 6).as("ltv_per_user"))
+  }
+
   def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.filter(col("event_type") === "signup")

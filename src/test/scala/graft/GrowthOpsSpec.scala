@@ -1,0 +1,272 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Experiment, Layout, Sampling, TextMetrics}
+import graft.queries.Events
+
+/** Semantic checks for the round-7 growth/segmentation/quality
+  * operators: streaks, lifecycle accounting, audience growth, RFM,
+  * CUPED, template detection, token entropy, compaction planning.
+  * Each test replays the operator's contract locally from the raw
+  * sf0.001 tables (independent of the DuckDB oracle). */
+class GrowthOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val userDays: Map[Long, Seq[Long]] =
+    graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted.toSeq }
+
+  test("events_streak equals a local gaps-and-islands replay") {
+    val out = Events.eventsStreak(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == userDays.keySet)
+    userDays.foreach { case (u, days) =>
+      // split the sorted day list at gaps > 1
+      val streaks = days.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) if acc.nonEmpty && d == acc.head.head + 1 =>
+          (d :: acc.head) :: acc.tail
+        case (acc, d) => List(d) :: acc
+      }.map(_.size.toLong)
+      assert(out(u) == ((days.size.toLong, streaks.size.toLong, streaks.max)), s"user $u")
+    }
+  }
+
+  test("events_lifecycle satisfies the growth-accounting identity") {
+    val rows = Events.eventsLifecycle(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.nonEmpty)
+    val userWeeks = userDays.view.mapValues(_.map(_ / 7).distinct.sorted).toMap
+    val activeByWeek = userWeeks.toSeq.flatMap { case (u, ws) => ws.map(w => (w, u)) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // active_w = new + retained + resurrected, for every week
+    activeByWeek.foreach { case (w, n) =>
+      val (nw, rt, rs, _) = rows(w)
+      assert(nw + rt + rs == n, s"week $w identity")
+    }
+    // total new across weeks = distinct users; week-0 has no churn row
+    assert(rows.values.map(_._1).sum == userWeeks.size)
+    val minWeek = activeByWeek.keys.min
+    assert(rows(minWeek)._4 == 0L, "churn cannot precede any activity")
+    // churned_w = users active at w-1 minus (retained at w), censored at max week
+    val maxWeek = activeByWeek.keys.max
+    rows.keys.filter(w => w > minWeek && w <= maxWeek).foreach { w =>
+      val churn = userWeeks.values.count(ws => ws.contains(w - 1) && !ws.contains(w))
+      assert(rows(w)._4 == churn.toLong, s"week $w churn")
+    }
+  }
+
+  test("events_newusers cumulative distinct matches first-seen arithmetic") {
+    val rows = Events.eventsNewusers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val firstSeen = userDays.view.mapValues(_.min).toMap
+    var cum = 0L
+    rows.foreach { case (day, active, nNew, returning, cumOut) =>
+      assert(nNew == firstSeen.values.count(_ == day).toLong, s"day $day new")
+      assert(active == userDays.values.count(_.contains(day)).toLong, s"day $day active")
+      assert(returning == active - nNew)
+      cum += nNew
+      assert(cumOut == cum, s"day $day cumulative")
+    }
+    assert(cum == firstSeen.size.toLong, "all users eventually counted new")
+  }
+
+  test("events_rfm scores respect quartile boundaries and the 1-3 range") {
+    val rows = Experiment.eventsRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Long](c); assert(s >= 1 && s <= 3, c)
+      }
+      val rfm = r.getAs[Long]("rfm")
+      assert(rfm == r.getAs[Long]("r_score") * 100 +
+        r.getAs[Long]("f_score") * 10 + r.getAs[Long]("m_score"))
+    }
+    // quartile scoring: each extreme class holds ≥ ~25% of users
+    // (boundary-inclusive, so at least a quarter) and not everyone
+    val m3 = rows.count(_.getAs[Long]("m_score") == 3)
+    val m1 = rows.count(_.getAs[Long]("m_score") == 1)
+    assert(m3 >= n / 4 && m3 < n, s"m_score=3 count $m3 of $n")
+    assert(m1 >= n / 4 && m1 < n, s"m_score=1 count $m1 of $n")
+    // best recency must score 3 (it sits at/below the 25th percentile)
+    val bestR = rows.minBy(_.getAs[Long]("recency_days"))
+    assert(bestR.getAs[Long]("r_score") == 3L)
+  }
+
+  test("ab_cuped theta/rho agree with a local moment replay and reduce variance") {
+    val r = Experiment.abCuped(spark, sf).collect().head
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)").as("cents"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val byUser = ev.groupBy(_._1).view.mapValues { xs =>
+      (xs.filter(e => e._2 == "purchase" && e._3 < mid).map(_._4).sum,
+        xs.filter(e => e._2 == "purchase" && e._3 >= mid).map(_._4).sum)
+    }.toMap
+    val xs = byUser.values.map(_._1.toDouble).toSeq
+    val ys = byUser.values.map(_._2.toDouble).toSeq
+    val n = xs.size.toDouble
+    val cov = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val varx = n * xs.map(a => a * a).sum - xs.sum * xs.sum
+    val vary = n * ys.map(a => a * a).sum - ys.sum * ys.sum
+    assert(math.abs(r.getAs[Double]("theta") - cov / varx) < 1e-4)
+    assert(math.abs(r.getAs[Double]("rho_sq") - cov * cov / (varx * vary)) < 1e-4)
+    assert(r.getAs[Double]("rho_sq") >= 0.0 && r.getAs[Double]("rho_sq") <= 1.0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == byUser.size.toLong)
+  }
+
+  test("template_dup groups exactly the docs sharing a digit-masked skeleton") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.replaceAll("[0-9]+", "#").replaceAll("\\s+", " ")))
+    val census = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val out = TextMetrics.templateDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_docs_skeleton"), r.getAs[Boolean]("is_template")))
+      .toMap
+    assert(out.size == docs.length, "one row per doc")
+    docs.foreach { case (id, skel) =>
+      val n = census(skel)
+      assert(out(id)._1 == n, s"doc $id")
+      assert(out(id)._2 == (n >= TextMetrics.TemplateMinDocs))
+    }
+  }
+
+  test("token_entropy matches a local Shannon computation and bounds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val out = TextMetrics.tokenEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, toks) =>
+      val (nT, nD, h, hn) = out(id)
+      assert(nT == toks.length.toLong)
+      val counts = toks.groupBy(identity).values.map(_.length.toLong).toSeq
+      assert(nD == counts.size.toLong)
+      val expH = math.log(nT.toDouble) -
+        counts.map(c => c * math.log(c.toDouble)).sum / nT
+      assert(math.abs(h - expH) < 1e-4, s"doc $id entropy")
+      // h is rounded to 6 decimals, so allow half-ulp-of-round slack
+      assert(h >= -1e-6 && h <= math.log(nT.toDouble) + 1e-6)
+      if (nT > 1) assert(math.abs(hn - expH / math.log(nT.toDouble)) < 1e-4)
+      // all-distinct doc has maximal normalized entropy
+      if (nD == nT && nT > 1) assert(math.abs(hn - 1.0) < 1e-6)
+    }
+  }
+
+  test("events_ltv cumulative value is monotone and cohort sizes are exact") {
+    val rows = Events.eventsLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val userWeeks = userDays.view.mapValues(_.map(_ / 7)).toMap
+    val cohortOf = userWeeks.view.mapValues(_.min).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      assert(rs.head._3 == sizes(cohort), s"cohort $cohort size")
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, "offset 0 present (cohort week itself)")
+      // LTV per user is the running mean of revenue — non-decreasing
+      // because revenue cells are non-negative
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._5 - 1e-9, s"cohort $cohort monotone")
+        case _ =>
+      }
+    }
+  }
+
+  test("sample_balanced keeps exactly min-class-size docs per language") {
+    val out = Sampling.sampleBalanced(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val langCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = langCounts.values.min
+    val byLang = out.groupBy(_._2)
+    assert(byLang.keySet == langCounts.keySet, "every language survives")
+    byLang.foreach { case (l, xs) =>
+      assert(xs.length.toLong == k, s"lang $l quota")
+      // exact global per-class ranks: a permutation of 1..k
+      assert(xs.map(_._3).sorted.toSeq == (1L to k).toSeq, s"lang $l ranks")
+    }
+    // the ranks follow the md5 draw order (spot-check the rank-1 doc)
+    byLang.foreach { case (l, xs) =>
+      val drawn = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("lang") === l)
+        .select(col("doc_id"),
+          graft.functions.Similarity.md5Mod(concat(lit("bal-"), col("doc_id"))).as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val first = drawn.minBy(x => (x._2, x._1))._1
+      assert(xs.find(_._3 == 1L).get._1 == first, s"lang $l rank-1 doc")
+    }
+  }
+
+  test("survival_curve is a proper non-increasing product-limit estimate") {
+    val rows = Experiment.survivalCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val users = userDays.view.mapValues(ds => (ds.min, ds.max)).toMap
+    val endDay = users.values.map(_._2).max
+    val lifetimes = users.values.map { case (f, l) =>
+      (l - f, l < endDay - Experiment.KmHorizonDays)
+    }.toSeq
+    assert(rows.map(_._2).head == users.size.toLong, "everyone at risk at min lifetime")
+    var prev = 1.0
+    var sProd = 1.0
+    rows.foreach { case (t, nRisk, d, c, s) =>
+      assert(nRisk == lifetimes.count(_._1 >= t).toLong, s"t=$t at-risk")
+      assert(d == lifetimes.count(x => x._1 == t && x._2).toLong, s"t=$t churned")
+      assert(c == lifetimes.count(x => x._1 == t && !x._2).toLong, s"t=$t censored")
+      sProd *= 1.0 - d.toDouble / nRisk
+      assert(math.abs(s - sProd) < 1e-4, s"t=$t survival")
+      assert(s <= prev + 1e-9, "non-increasing")
+      prev = s
+    }
+  }
+
+  test("compact_plan bins respect the next-fit-decreasing invariants") {
+    val rows = Layout.compactPlan(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // conservation: every file lands in exactly one bin
+    docs.groupBy(_._1).foreach { case (src, fs) =>
+      val bins = rows.filter(_._1._1 == src)
+      assert(bins.map(_._2._1).sum == fs.length.toLong, s"$src file count")
+      assert(bins.map(_._2._2).sum == fs.map(_._2).sum, s"$src char total")
+    }
+    rows.groupBy(_._1._1).foreach { case (src, bins) =>
+      val sorted = bins.sortBy(_._1._2)
+      // bins are dense from 0 and sizes within a bin are descending
+      assert(sorted.head._1._2 == 0L, s"$src starts at bin 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._1._2 == a._1._2 + 1, s"$src bins dense")
+          // size-descending packing: a later bin's largest file cannot
+          // exceed an earlier bin's smallest
+          assert(b._2._3 <= a._2._4, s"$src monotone sizes")
+        case _ =>
+      }
+      // every bin except possibly the last crosses the target once the
+      // next file is added — i.e. cum at bin start < target boundary
+      // (structural: bin index comes from the prefix sum, so just check
+      // no bin is wildly overfull: at most target + largest file)
+      sorted.dropRight(1).foreach { case ((_, _), (_, chars, largest, _)) =>
+        assert(chars <= Layout.CompactTarget + largest, s"$src overfull bin")
+      }
+    }
+  }
+}
