@@ -200,7 +200,11 @@ object SparkEntry {
     "compact_plan" -> (Layout.compactPlan _),
     "events_ltv" -> (Events.eventsLtv _),
     "sample_balanced" -> (Sampling.sampleBalanced _),
-    "survival_curve" -> (Experiment.survivalCurve _)
+    "survival_curve" -> (Experiment.survivalCurve _),
+    "embedding_outliers" -> (Cluster.embeddingOutliers _),
+    "lang_confusion" -> (TextMetrics.langConfusion _),
+    "skew_join" -> (Salting.skewJoin _),
+    "dp_release" -> (Quality.dpRelease _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -2896,6 +2900,67 @@ object SparkEntry {
         |    list_transform(arr[1:idx],
         |      x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n_at_risk AS DOUBLE))),
         |    (a, b) -> a * b), 6) AS survival
-        |FROM risk, packed ORDER BY lifetime_days""".stripMargin
+        |FROM risk, packed ORDER BY lifetime_days""".stripMargin,
+    "embedding_outliers" ->
+      """WITH qv AS (SELECT vec_id, label, d,
+        |    CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |sums AS (SELECT label, d, CAST(sum(qd) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM qv GROUP BY 1, 2),
+        |cent AS (SELECT label, d,
+        |    (sq - (((sq % cnt) + cnt) % cnt)) // cnt AS cd FROM sums),
+        |dist AS (SELECT q.vec_id, q.label,
+        |    CAST(sum((q.qd - c.cd) * (q.qd - c.cd)) AS BIGINT) AS dist_sq
+        |  FROM qv q JOIN cent c ON c.label = q.label AND c.d = q.d GROUP BY 1, 2),
+        |st AS (SELECT label, CAST(sum(dist_sq) AS HUGEINT) AS sum_d,
+        |    CAST(count(*) AS BIGINT) AS n_label FROM dist GROUP BY label),
+        |r AS (SELECT dist.label, dist.vec_id, dist.dist_sq, st.sum_d, st.n_label,
+        |    row_number() OVER (PARTITION BY dist.label
+        |      ORDER BY dist.dist_sq DESC, dist.vec_id) AS rk
+        |  FROM dist JOIN st USING (label))
+        |SELECT label, vec_id, dist_sq,
+        |  round(CAST(dist_sq AS DOUBLE) /
+        |    (CAST(sum_d AS DOUBLE) / CAST(n_label AS DOUBLE)), 6) AS dist_ratio
+        |FROM r WHERE rk <= 5 ORDER BY label, vec_id""".stripMargin,
+    "lang_confusion" ->
+      """WITH marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
+        |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
+        |  ('filter','es'),('join','es'),('vector','zh'),('spark','zh')),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT doc_id, cand_lang, count(*) AS votes FROM w JOIN marks USING (word) GROUP BY 1, 2),
+        |t AS (SELECT doc_id, cand_lang, votes,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rk FROM v),
+        |p AS (SELECT d.doc_id, d.lang, coalesce(t.cand_lang, 'und') AS pred_lang
+        |  FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id AND t.rk = 1),
+        |cells AS (SELECT lang AS labeled_lang, pred_lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2),
+        |tot AS (SELECT labeled_lang, pred_lang, n_docs,
+        |    CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS labeled_total
+        |  FROM cells)
+        |SELECT labeled_lang, pred_lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(labeled_total AS DOUBLE), 6) AS share,
+        |  labeled_lang = pred_lang AS agree
+        |FROM tot ORDER BY labeled_lang, pred_lang""".stripMargin,
+    "skew_join" ->
+      """WITH dim AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS status_total
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderstatus, o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(d.status_total) AS BIGINT) AS status_total,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(max(d.status_total) AS DOUBLE), 6)
+        |    AS status_share
+        |FROM orders o JOIN dim d USING (o_orderstatus)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dp_release" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |u AS (SELECT source, n,
+        |    CAST(md5_number_lower('dp-' || source) % 2305843009213693951 AS DOUBLE)
+        |      / CAST(2305843009213693951 AS DOUBLE) AS u FROM c)
+        |SELECT source, 1.0 AS epsilon,
+        |  round(CAST(n AS DOUBLE) -
+        |    1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+        |FROM u ORDER BY source""".stripMargin
   )
 }

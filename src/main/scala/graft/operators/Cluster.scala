@@ -216,4 +216,50 @@ object Cluster {
           .as("loading"),
         col("eigenvalue"))
   }
+
+  /** Outliers reported per label. */
+  final val OutTopK = 5
+
+  /** LABEL-NOISE detection: each vector's squared L2 distance to its
+    * OWN label's centroid, the top-K farthest flagged per label — the
+    * "probably mislabeled / out-of-distribution" audit a team runs on
+    * a labeled embedding set before trusting it (Confident-Learning
+    * shape, distance flavor). Centroids are per-label integer means in
+    * the clusterAssign fixed-point discipline (per-dim exact sums,
+    * pmod floor division), so dist² = Σ(q−c)² is an EXACT long (diffs
+    * ≤ 2^21, 64 terms ≤ 2^48) and the ranking has no float in it; the
+    * reported ratio vs the label's mean dist² is one fixed double
+    * expression, rounded 6.
+    *
+    * Scale shape: one (label, dim) aggregate (shuffle volume =
+    * labels×64 partials), centroids join back UNHINTED (label-count
+    * sized — AQE broadcasts), per-label stats ride the same layout,
+    * and the report reduces through the bounded-heap TopK — map tasks
+    * forward ≤ K rows per label, no global sort. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+    val sums = vecs
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
+      .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
+    val cents = sums.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        s => s.getField("cd")).as("cq"))
+    val dists = vecs.join(cents, Seq("label"))
+      .withColumn("dist_sq",
+        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+    val stats = dists.groupBy(col("label"))
+      .agg(sum(col("dist_sq").cast("decimal(38,0)")).as("sum_d"),
+        count(lit(1)).as("n_label"))
+    dists.join(stats, Seq("label"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("label"), Seq("dist_sq" -> false, "vec_id" -> true), OutTopK))
+      .select(col("label"), col("vec_id"), col("dist_sq"),
+        round(col("dist_sq").cast("double") /
+          (col("sum_d").cast("double") / col("n_label").cast("double")), 6)
+          .as("dist_ratio"))
+  }
 }

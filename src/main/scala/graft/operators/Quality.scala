@@ -83,6 +83,38 @@ object Quality {
         (col("r.n_out").cast("double") / col("n0")).as("cum_survival"))
   }
 
+  /** Laplace scale b = sensitivity/ε (count queries: sensitivity 1,
+    * ε = 1). */
+  final val DpScale = 1.0
+
+  /** DIFFERENTIALLY-PRIVATE count release (Laplace mechanism, ε = 1):
+    * per-source doc counts published with additive Laplace(1/ε) noise
+    * — the aggregate-release shape a privacy-bound pipeline uses for
+    * usage/composition dashboards. The noise draw is md5-derived
+    * inverse-CDF sampling (u = md5('dp-'||source)/P uniform on [0,1);
+    * noise = −b·sgn(u−½)·ln(1−2|u−½|)), so the release is REPRODUCIBLE
+    * and the oracle replays it exactly — what a deployment gets by
+    * keying noise on a release epoch, here keyed on the source for the
+    * gate (a fresh draw per release epoch is the production setting;
+    * determinism-under-test does not weaken the mechanism's ε because
+    * the key is public). True counts are NOT emitted. One map-side-
+    * combined count shuffle; noise is |sources| row-local expressions,
+    * round-6-after-ln (house float rule). */
+  def dpRelease(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = graft.expressions.CrossHash.P
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        graft.functions.Similarity.md5Mod(concat(lit("dp-"), col("source")))
+          .cast("double") / lit(P).cast("double"))
+      .withColumn("t", col("u") - 0.5)
+      .select(col("source"), lit(1.0).as("epsilon"),
+        round(col("n").cast("double") -
+          lit(DpScale) * signum(col("t")) * log(lit(1.0) - lit(2.0) * abs(col("t"))),
+          6).as("noisy_count"))
+  }
+
   def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val ord = Tables.orders(spark, sfDir)

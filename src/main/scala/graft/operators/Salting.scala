@@ -45,4 +45,23 @@ object Salting {
     saltedCollectSet(graft.sources.Tables.orders(spark, sfDir),
         "o_orderstatus", "o_orderpriority", 8)
       .withColumnRenamed("values", "priorities")
+
+  /** Gate form of `saltedJoin`: the order table joined to a 3-row
+    * status dimension on o_orderstatus — a 3-value join key is the
+    * worst skew an equi-join can meet (every row of a hot status lands
+    * on one reducer in the naive plan). The salt scatters each status
+    * over 8 sub-keys and replicates the dimension 8×, bounding any
+    * task at (hot status / 8); the oracle certifies the salted plan is
+    * value-identical to the plain join. Output re-aggregates to
+    * status×priority cells so the gate row stays small. */
+  def skewJoin(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val dim = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("status_total"))
+    saltedJoin(orders, dim, "o_orderstatus", "o_orderkey", 8)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), max(col("status_total")).as("status_total"))
+      .withColumn("status_share",
+        round(col("n_orders").cast("double") / col("status_total").cast("double"), 6))
+  }
 }

@@ -350,6 +350,26 @@ object TextMetrics {
     * the same kernel. Whole plan = ONE row-local projection over the
     * corpus (no explode, no join, no shuffle): hashed-linear models
     * exist precisely so inference costs a single pass. */
+  /** LANGUAGE-LABEL CONFUSION matrix: the marker-vote language ID
+    * (langId) cross-tabulated against the corpus's claimed lang column
+    * — the audit that catches mislabeled-language partitions before a
+    * per-language sampling policy (sample_stratified) acts on bad
+    * labels. Cells carry the per-labeled-language share so the
+    * diagonal reads as label agreement directly. One cell-table window
+    * over |langs|² rows; everything upstream is langId's own plan. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langId(spark, sfDir)
+      .groupBy(col("lang").as("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wL = Window.partitionBy(col("labeled_lang"))
+    cells
+      .withColumn("labeled_total", sum(col("n_docs")).over(wL))
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("labeled_total").cast("double"), 6)
+          .as("share"),
+        (col("labeled_lang") === col("pred_lang")).as("agree"))
+  }
+
   /** Minimum docs sharing a skeleton before it counts as a template. */
   final val TemplateMinDocs = 3
 

@@ -38,6 +38,11 @@ case class EwmaState(curHour: Long, curN: Long, curCents: Long,
 case class EwmaOut(event_type: String, hour_us: Long, n_events: Long,
   hour_value: Double, ewma_value: Double)
 
+/** One event routed into the streaming first-seen tracker. */
+case class SeenEvent(user_id: Long, day: Long)
+/** Per-user first-seen day — state AND emitted record. */
+case class FirstSeen(user_id: Long, first_day: Long)
+
 case class FunnelProgress(user_id: Long, t_view_us: Option[Long],
     t_click_us: Option[Long], t_purchase_us: Option[Long], steps_reached: Long)
 
@@ -297,6 +302,35 @@ object EventStreams {
       .filter(col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
       .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Streaming first-seen maintenance — the state behind a live
+    * events_newusers dashboard: one epoch-day long per user in
+    * mapGroupsWithState, merged by MIN. Min-merge is commutative and
+    * idempotent, so the final state is exact under ANY slicing or
+    * replay order (a stronger contract than the funnel's in-order
+    * requirement — asserted across out-of-order micro-batches in
+    * StreamingSpec). Each batch emits the user's current first-seen
+    * day (Update mode); the day-cell aggregation and cumulative curve
+    * are the batch finisher over this table. */
+  def firstSeen(spark: SparkSession, events: DataFrame): Dataset[FirstSeen] = {
+    import spark.implicits._
+
+    def step(userId: Long, rows: Iterator[SeenEvent],
+        state: GroupState[FirstSeen]): FirstSeen = {
+      val batchMin = rows.map(_.day).min
+      val s = FirstSeen(userId,
+        state.getOption.map(p => math.min(p.first_day, batchMin)).getOrElse(batchMin))
+      state.update(s)
+      s
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[SeenEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
   }

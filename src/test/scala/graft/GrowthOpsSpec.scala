@@ -234,6 +234,88 @@ class GrowthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_outliers reports the true farthest vectors from own-label centroids") {
+    val out = graft.operators.Cluster.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576).toLong).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val dists = byLabel.toSeq.flatMap { case (lbl, vs) =>
+      val dims = vs.head._3.length
+      val cent = Array.tabulate(dims) { d =>
+        val s = vs.map(_._3(d)).sum; val n = vs.length
+        (s - (((s % n) + n) % n)) / n
+      }
+      vs.map { case (id, _, q) =>
+        (lbl, id) -> q.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+    }.toMap
+    out.groupBy(_._1).foreach { case (lbl, rs) =>
+      assert(rs.length == graft.operators.Cluster.OutTopK, s"label $lbl row count")
+      val expected = dists.filter(_._1._1 == lbl).toSeq
+        .sortBy { case ((_, id), d) => (-d, id) }
+        .take(graft.operators.Cluster.OutTopK)
+        .map { case ((_, id), d) => (id, d) }.toSet
+      assert(rs.map(r => (r._2, r._3)).toSet == expected, s"label $lbl top set")
+      val meanD = dists.filter(_._1._1 == lbl).values.sum.toDouble /
+        dists.count(_._1._1 == lbl)
+      rs.foreach { case (_, _, d, ratio) =>
+        assert(math.abs(ratio - d / meanD) < 1e-4)
+        assert(ratio >= 1.0 - 1e-9, "an extreme vector sits above the label mean")
+      }
+    }
+  }
+
+  test("lang_confusion cells partition the corpus and shares sum to 1 per label") {
+    val rows = TextMetrics.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum == nDocs, "cells partition the corpus")
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"label $l shares")
+    }
+    rows.foreach { case (l, p, _, _, agree) => assert(agree == (l == p)) }
+  }
+
+  test("skew_join equals the unsalted join exactly") {
+    import graft.operators.Salting
+    val salted = Salting.skewJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val dim = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("status_total"))
+    val plain = orders.join(dim, Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), max(col("status_total")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(salted == plain)
+  }
+
+  test("dp_release noise is Laplace-shaped, bounded, and never exposes raw counts as exact") {
+    val rows = graft.operators.Quality.dpRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == truth.keySet)
+    rows.foreach { case (src, eps, noisy) =>
+      assert(eps == 1.0)
+      val n = truth(src)
+      // replay the md5 inverse-CDF draw locally
+      val u = (graft.expressions.CrossHash.md5Mod(s"dp-$src").toDouble /
+        graft.expressions.CrossHash.P.toDouble)
+      val t = u - 0.5
+      val noise = -1.0 * math.signum(t) * math.log(1.0 - 2.0 * math.abs(t))
+      assert(math.abs(noisy - (n + noise)) < 1e-4, s"$src noise replay")
+      // Laplace(1) at these u values stays within a sane band
+      assert(math.abs(noisy - n) < 50.0, s"$src unbounded noise")
+    }
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),

@@ -247,6 +247,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalFunnel("funnel_sliced") == batchFunnel)
   }
 
+  private lazy val batchFirstSeen: Set[String] =
+    graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .collect().map(_.mkString("|")).toSet
+
+  /** Final first-seen state from an update-mode sink: the state is
+    * min-merged, so the smallest emission per user IS the final day. */
+  private def finalFirstSeen(name: String): Set[String] =
+    spark.table(name)
+      .groupBy(col("user_id")).agg(min(col("first_day")).as("first_day"))
+      .collect().map(_.mkString("|")).toSet
+
+  test("streaming first-seen equals batch first-seen (single batch)") {
+    val q = EventStreams.firstSeen(spark, EventStreams.readEvents(spark, streamDir))
+      .toDF().writeStream.format("memory").queryName("firstseen_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalFirstSeen("firstseen_stream") == batchFirstSeen)
+  }
+
+  test("streaming first-seen equals batch under OUT-OF-ORDER micro-batches") {
+    // min-merge is commutative + idempotent, so parity must hold even
+    // when the slices replay newest-first — write them with REVERSED
+    // mod-times so maxFilesPerTrigger=1 delivers them out of order
+    val dir = java.nio.file.Files.createTempDirectory("graft_fseen").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cuts = Seq("2024-01-10", "2024-01-20")
+    val slices = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val sub = s"$dir/slice_$i"
+      s.coalesce(1).write.parquet(sub)
+      val dirF = new java.io.File(sub)
+      dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(dir, s"slice_$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (slices.length - i)) // reversed
+      }
+    }
+    val src = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val q = EventStreams.firstSeen(spark, src)
+      .toDF().writeStream.format("memory").queryName("firstseen_ooo")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalFirstSeen("firstseen_ooo") == batchFirstSeen)
+  }
+
   /** Events re-written as N chronological slice files with ascending
     * mod-times, plus a maxFilesPerTrigger=1 source replaying them in
     * event order — one micro-batch per slice. */
