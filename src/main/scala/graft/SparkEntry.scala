@@ -204,7 +204,9 @@ object SparkEntry {
     "embedding_outliers" -> (Cluster.embeddingOutliers _),
     "lang_confusion" -> (TextMetrics.langConfusion _),
     "skew_join" -> (Salting.skewJoin _),
-    "dp_release" -> (Quality.dpRelease _)
+    "dp_release" -> (Quality.dpRelease _),
+    "cms_join_est" -> (Sketch.cmsJoinEst _),
+    "q_unpivot" -> (Relational.qUnpivot _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -2961,6 +2963,34 @@ object SparkEntry {
         |SELECT source, 1.0 AS epsilon,
         |  round(CAST(n AS DOUBLE) -
         |    1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
-        |FROM u ORDER BY source""".stripMargin
+        |FROM u ORDER BY source""".stripMargin,
+    "cms_join_est" ->
+      """WITH freq AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |ex AS (SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS exact_size
+        |  FROM freq),
+        |cells AS (SELECT d,
+        |    md5_number_lower('cms' || d || '-' || pk) % 2305843009213693951 % 512 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS cell
+        |  FROM freq CROSS JOIN range(4) dd(d) GROUP BY 1, 2),
+        |est AS (SELECT CAST(d AS BIGINT) AS d,
+        |    CAST(sum(CAST(cell AS HUGEINT) * cell) AS HUGEINT) AS est
+        |  FROM cells GROUP BY d)
+        |SELECT d, CAST(est AS DOUBLE) AS est_size,
+        |  CAST(exact_size AS DOUBLE) AS exact_size,
+        |  round(CAST(est AS DOUBLE) / CAST(exact_size AS DOUBLE), 6) AS blowup
+        |FROM est, ex ORDER BY d""".stripMargin,
+    "q_unpivot" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |p(o_orderpriority) AS (VALUES ('1-URGENT'),('2-HIGH'),('3-MEDIUM'),
+        |  ('4-NOT SPECIFIED'),('5-LOW')),
+        |c AS (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT s.o_orderstatus, p.o_orderpriority,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM s CROSS JOIN p
+        |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus
+        |  AND c.o_orderpriority = p.o_orderpriority
+        |ORDER BY 1, 2""".stripMargin
   )
 }

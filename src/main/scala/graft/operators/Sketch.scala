@@ -163,6 +163,41 @@ object Sketch {
         (col("cms_est") - col("cnt")).as("over_est"))
   }
 
+  /** JOIN-SIZE ESTIMATION by CMS inner product (AGMS/Count-Min dot
+    * product, Cormode & Muthukrishnan §4.2): |A ⋈_k B| = Σ_k f_A(k)·
+    * f_B(k), estimated as min over hash rows d of Σ_w cmsA[d][w]·
+    * cmsB[d][w] — the optimizer-statistics primitive for sizing a join
+    * WITHOUT running it, here audited on the hardest case (the
+    * self-join on l_partkey, whose size Σ f² is pure skew signal).
+    * The estimate never undershoots (hash collisions only add mass);
+    * the audit column shows the per-depth overshoot against the exact
+    * answer computed from the same frequency vector.
+    *
+    * Scale shape: ONE key-frequency aggregate feeds both the sketch
+    * (Depth×Width cells — constant-size, mergeable, the same cells a
+    * streaming deployment maintains incrementally) and the exact
+    * audit; everything downstream is cell arithmetic in exact
+    * decimal(38,0). */
+  def cmsJoinEst(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("cnt"))
+    val exact = freq.agg(
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("exact_size"))
+    val cells = freq
+      .select(col("pk"), col("cnt"),
+        explode(sequence(lit(0), lit(Depth - 1))).as("d"))
+      .withColumn("bucket", bucket(col("pk").cast("string"), col("d")))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("cnt")).as("cell"))
+    cells
+      .groupBy(col("d"))
+      .agg(sum(col("cell").cast("decimal(38,0)") * col("cell")).as("est"))
+      .crossJoin(broadcast(exact))
+      .select(col("d").cast("long").as("d"), col("est").cast("double").as("est_size"),
+        col("exact_size").cast("double").as("exact_size"),
+        round(col("est").cast("double") / col("exact_size").cast("double"), 6)
+          .as("blowup"))
+  }
+
   /** KMV sketch size (k minimum hash values per set). */
   final val KmvK = 64
 

@@ -242,6 +242,22 @@ object Relational {
       .withColumnsRenamed(prios.map(p => p -> s"p${p.charAt(0)}").toMap)
   }
 
+  /** UNPIVOT (melt) — the inverse reshape of q_pivot: the wide
+    * status×priority count matrix back to long (status, priority, n)
+    * rows via stack(), which expands row-locally in the SAME projection
+    * (no join, no explode shuffle — each wide row emits its 5 cells
+    * where it sits). Zero cells are kept: a melt that drops them would
+    * not round-trip the matrix. The composition q_pivot → q_unpivot is
+    * the schema-evolution path a warehouse uses to move a legacy wide
+    * table into a long fact. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    qPivot(spark, sfDir).selectExpr(
+      "o_orderstatus",
+      "stack(5, " + prios.map(p => s"'$p', p${p.charAt(0)}").mkString(", ") +
+        ") AS (o_orderpriority, n_orders)")
+  }
+
   /** Exact interpolated quantiles of the integer key columns. The
     * probe points are exact binary fractions (k/8), so (n-1)*q, the
     * interpolation weight, and the blend of two < 2^31 integers are

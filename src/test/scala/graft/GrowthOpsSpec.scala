@@ -316,6 +316,35 @@ class GrowthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms_join_est never undershoots and audits the exact self-join size") {
+    val rows = graft.operators.Sketch.cmsJoinEst(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until graft.operators.Sketch.Depth).toSeq)
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_partkey")).count().collect()
+      .map(r => { val c = r.getLong(1); c * c }).sum.toDouble
+    rows.foreach { case (d, est, ex, blowup) =>
+      assert(ex == exact, s"depth $d exact audit")
+      assert(est >= ex, s"depth $d undershoot") // collisions only ADD mass
+      assert(math.abs(blowup - est / ex) < 1e-4)
+    }
+  }
+
+  test("q_unpivot round-trips the pivot matrix including zero cells") {
+    val rows = graft.queries.Relational.qUnpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val statuses = counts.keySet.map(_._1)
+    assert(rows.length == statuses.size * 5, "dense status x priority grid")
+    rows.foreach { case (s, p, n) =>
+      assert(n == counts.getOrElse((s, p), 0L), s"cell ($s, $p)")
+    }
+    assert(rows.map(_._3).sum ==
+      spark.read.parquet(s"$sf/orders.parquet").count(), "mass conserved")
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
