@@ -206,7 +206,10 @@ object SparkEntry {
     "skew_join" -> (Salting.skewJoin _),
     "dp_release" -> (Quality.dpRelease _),
     "cms_join_est" -> (Sketch.cmsJoinEst _),
-    "q_unpivot" -> (Relational.qUnpivot _)
+    "q_unpivot" -> (Relational.qUnpivot _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
+    "minhash_source_sim" -> (Sketch.minhashSourceSim _),
+    "logreg_grad" -> (Learn.logregGrad _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -2991,6 +2994,79 @@ object SparkEntry {
         |FROM s CROSS JOIN p
         |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus
         |  AND c.o_orderpriority = p.o_orderpriority
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |u AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+        |h AS (SELECT doc_id, md5_number_lower(s) % 2305843009213693951 AS hb FROM u),
+        |seeds AS (SELECT i, md5_number_lower('minhash-a-' || i) % 2305843009213693950 + 1 AS a,
+        |  md5_number_lower('minhash-b-' || i) % 2305843009213693951 AS b FROM range(16) r(i)),
+        |sig AS (SELECT doc_id, i, min(CAST((CAST(a AS HUGEINT) * hb + b) % 2305843009213693951 AS BIGINT)) AS m
+        |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 2 AS band, string_agg(m, ',' ORDER BY i) AS band_key
+        |  FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+        |    / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))) AS jaccard
+        |  FROM cand JOIN d da ON da.doc_id = cand.doc_a JOIN d db ON db.doc_id = cand.doc_b),
+        |sp AS (SELECT doc_id, md5(text) AS h2,
+        |    md5_number_lower('inc-' || doc_id) % 2305843009213693951 % 10 = 0 AS is_batch
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT b.doc_id FROM sp b
+        |  JOIN sp c ON c.h2 = b.h2 AND NOT c.is_batch WHERE b.is_batch),
+        |near AS (SELECT CASE WHEN sa.is_batch THEN j.doc_a ELSE j.doc_b END AS doc_id,
+        |    max(jaccard) AS near_jaccard
+        |  FROM j JOIN sp sa ON sa.doc_id = j.doc_a JOIN sp sb ON sb.doc_id = j.doc_b
+        |  WHERE jaccard >= 0.5 AND sa.is_batch <> sb.is_batch GROUP BY 1)
+        |SELECT sp.doc_id, ex.doc_id IS NOT NULL AS dup_exact, near.near_jaccard,
+        |  (ex.doc_id IS NOT NULL OR near.near_jaccard IS NOT NULL) AS is_dup
+        |FROM sp LEFT JOIN ex ON ex.doc_id = sp.doc_id
+        |LEFT JOIN near ON near.doc_id = sp.doc_id
+        |WHERE sp.is_batch ORDER BY sp.doc_id""".stripMargin,
+    "minhash_source_sim" ->
+      """WITH tk AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk2 AS (SELECT source, token FROM tk WHERE token <> ''),
+        |seeds AS (SELECT i,
+        |  md5_number_lower('srcmh-a-' || i) % 2305843009213693951 % 2305843009213693950 + 1 AS a,
+        |  md5_number_lower('srcmh-b-' || i) % 2305843009213693951 AS b FROM range(64) r(i)),
+        |hb AS (SELECT source, md5_number_lower(token) % 2305843009213693951 AS hb FROM tk2),
+        |sig AS (SELECT source, i,
+        |    min(CAST((CAST(a AS HUGEINT) * hb + b) % 2305843009213693951 AS BIGINT)) AS m
+        |  FROM hb CROSS JOIN seeds GROUP BY source, i),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(CAST(a.m = b.m AS BIGINT)) AS BIGINT) AS mh_matches
+        |  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk2 GROUP BY source),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tk2 a JOIN tk2 b ON a.token = b.token AND a.source < b.source GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.mh_matches,
+        |  CAST(p.mh_matches AS DOUBLE) / 64 AS est_jaccard,
+        |  CAST(coalesce(iv.inter, 0) AS DOUBLE)
+        |    / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE) AS exact_jaccard,
+        |  round(abs(CAST(p.mh_matches AS DOUBLE) / 64 -
+        |    CAST(coalesce(iv.inter, 0) AS DOUBLE)
+        |      / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE)), 6) AS abs_err
+        |FROM p JOIN sz sa ON sa.source = p.source_a
+        |JOIN sz sb ON sb.source = p.source_b
+        |LEFT JOIN iv ON iv.source_a = p.source_a AND iv.source_b = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
+    "logreg_grad" ->
+      """WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT CAST(md5_number_lower('lr-' || tok) % 2305843009213693951 % 256 AS BIGINT) AS j, y
+        |  FROM t WHERE tok <> ''),
+        |g AS (SELECT j, CAST(sum(y) AS BIGINT) AS s_pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS s_neg FROM f GROUP BY j)
+        |SELECT j, s_pos, s_neg,
+        |  CAST(s_neg - s_pos AS DOUBLE) / 2.0 AS grad,
+        |  CAST(s_pos - s_neg AS DOUBLE) / (2.0 * 128) AS w_next
+        |FROM g ORDER BY j""".stripMargin
   )
 }

@@ -147,6 +147,58 @@ object Dedup {
     (pairs, docs)
   }
 
+  /** Incremental-batch fraction: 1-in-10 docs by md5 draw. */
+  final val IncBatchMod = 10L
+
+  /** INCREMENTAL ingestion dedup — the shape a 100 TB corpus actually
+    * runs daily: an incoming BATCH (~10%, md5-split for the gate; a
+    * real deployment passes the new partition) checked against the
+    * standing CORPUS, never corpus-vs-corpus. Two detectors per batch
+    * doc: exact (md5 text-hash membership, a semi join against the
+    * corpus hash set) and near (the dedupMinhash banding — candidate
+    * pairs form only inside shared band buckets, verified by true
+    * shingle Jaccard ≥ 0.5, then filtered to batch×corpus pairs; the
+    * max matching Jaccard is reported). Batch-batch and corpus-corpus
+    * pairs are deliberately ignored: they are the standing dedup's
+    * job, not ingestion's.
+    *
+    * Scale shape: identical to dedupMinhash (the signature/banding
+    * cost is shared machinery) plus one hash semi join; at deployment
+    * the corpus side's signatures are PRECOMPUTED and only the batch
+    * re-hashes — the plan here recomputes both sides because the gate
+    * has no state to carry. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pairs, sigCache) = minhashPairsWithCache(spark, sfDir)
+    val flags = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (pmod(Similarity.md5Mod(concat(lit("inc-"), col("doc_id"))),
+          lit(IncBatchMod)) === 0).as("is_batch"))
+    val batch = flags.filter(col("is_batch"))
+    val corpus = flags.filter(!col("is_batch"))
+    val exactDup = batch
+      .join(corpus.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("dup_exact"))
+    val fa = flags.select(col("doc_id").as("doc_a"), col("is_batch").as("ba"))
+    val fb = flags.select(col("doc_id").as("doc_b"), col("is_batch").as("bb"))
+    val near = pairs
+      .join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
+      .filter(col("ba") =!= col("bb"))
+      .select(when(col("ba"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id")).agg(max(col("jaccard")).as("near_jaccard"))
+    val out = batch.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_exact"), lit(false)).as("dup_exact"),
+        col("near_jaccard"),
+        (coalesce(col("dup_exact"), lit(false)) || col("near_jaccard").isNotNull)
+          .as("is_dup"))
+      .localCheckpoint()
+    sigCache.unpersist()
+    out
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprint, blocked on any equal
     * 16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), then
     * verified by exact hamming distance. */

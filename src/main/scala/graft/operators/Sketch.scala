@@ -198,6 +198,89 @@ object Sketch {
           .as("blowup"))
   }
 
+  /** MinHash signature length for the source-similarity matrix. */
+  final val MhPerms = 64
+
+  /** SOURCE-SIMILARITY MATRIX by MinHash signatures (Broder 1997, the
+    * signature-matrix form): each source's token SET reduces to
+    * MhPerms min-hash values; pairwise signature agreement /64
+    * estimates token-set Jaccard between sources — the corpus-level
+    * "which domains overlap" diagnostic (domain mixing, redundant
+    * crawl detection) that never materializes a cross join of
+    * vocabularies at estimation time. Exact-Jaccard audit columns ride
+    * alongside (test-scale luxury, dropped at 100 TB — the point of
+    * the sketch).
+    *
+    * The per-(source, perm) min is COMMUTATIVE + idempotent — the same
+    * merge the streaming twin (DocStreams.minhashSignature) maintains
+    * in mapGroupsWithState with out-of-order parity. Scale shape: one
+    * (source, token) distinct, a 64-row broadcast of seeds, one
+    * (source, perm) min-aggregate (map-side combined); pairing is
+    * |sources|²-bounded cell arithmetic. */
+  def minhashSourceSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = sourceTokens(spark, sfDir)
+    val sig = sourceSignature(toks)
+    val pairs = sig.select(col("source").as("source_a"), col("i"), col("m").as("ma"))
+      .join(sig.select(col("source").as("source_b"), col("i"), col("m").as("mb")),
+        Seq("i"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("mh_matches"))
+    val sizes = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = toks.select(col("source").as("source_a"), col("token"))
+      .join(toks.select(col("source").as("source_b"), col("token")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), Seq("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("source_a"), col("source_b"), col("mh_matches"),
+        (col("mh_matches").cast("double") / MhPerms).as("est_jaccard"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("exact_jaccard"),
+        round(abs(col("mh_matches").cast("double") / MhPerms -
+          col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")), 6).as("abs_err"))
+  }
+
+  /** Distinct (source, token) pairs — the per-source token set. */
+  private[graft] def sourceTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .dropDuplicates("source", "token")
+
+  /** The 64-row (i, a, b) permutation-seed table — the dedup_minhash
+    * oracle convention (a nonzero mod P). Shared by the batch matrix
+    * and the streaming twin so the hash family cannot drift. */
+  private[graft] def mhSeeds(spark: SparkSession): DataFrame = {
+    val P = graft.expressions.CrossHash.P
+    spark.range(MhPerms).select(col("id").as("i"),
+      (pmod(graft.functions.Similarity.md5Mod(
+        concat(lit("srcmh-a-"), col("id").cast("string"))), lit(P - 1)) + 1).as("a"),
+      pmod(graft.functions.Similarity.md5Mod(
+        concat(lit("srcmh-b-"), col("id").cast("string"))), lit(P)).as("b"))
+  }
+
+  /** (a·h + b) mod P in decimal(38,0) — the 122-bit product is exact. */
+  private[graft] def mhHash(hb: Column, a: Column, b: Column): Column =
+    ((a.cast("decimal(38,0)") * hb + b) %
+      lit(graft.expressions.CrossHash.P).cast("decimal(38,0)")).cast("long")
+
+  /** The (source, perm, min-hash) signature table. Seed scheme and
+    * modular arithmetic mirror the dedup_minhash oracle convention
+    * ((a·h + b) mod P, a nonzero); shared by the batch matrix and the
+    * streaming min-merge twin so the two cannot drift. */
+  private[graft] def sourceSignature(toks: DataFrame): DataFrame =
+    toks
+      .withColumn("hb", graft.functions.Similarity.md5Mod(col("token")))
+      .crossJoin(broadcast(mhSeeds(toks.sparkSession)))
+      .withColumn("h", mhHash(col("hb"), col("a"), col("b")))
+      .groupBy(col("source"), col("i"))
+      .agg(min(col("h")).as("m"))
+
   /** KMV sketch size (k minimum hash values per set). */
   final val KmvK = 64
 

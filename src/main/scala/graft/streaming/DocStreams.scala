@@ -27,6 +27,13 @@ case class CmsState(cells: Seq[Long], terms: Map[String, Seq[Int]], gen: Long)
 /** One heavy-hitter row emitted per micro-batch generation. */
 case class CmsHh(gen: Long, term: String, cms_est: Long)
 
+/** One (source, perm, hash) row routed into the minhash state. */
+case class MhTok(source: String, i: Long, h: Long)
+/** Per-source signature state: MhPerms running minima + generation. */
+case class MhState(mins: Seq[Long], gen: Long)
+/** A signature row emitted per micro-batch per source. */
+case class MhSig(source: String, gen: Long, i: Long, m: Long)
+
 /** Streaming sketch maintenance over a document stream — the proof
   * that the fixed-memory sketches are MERGEABLE state, which is their
   * whole reason to exist at 100 TB: per source, the 256 HyperLogLog
@@ -118,6 +125,50 @@ object DocStreams {
         Sketch.cmsBucket(col("token"), col("d")).cast("int").as("bucket"))
       .as[CmsTok]
       .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Streaming MINHASH SIGNATURE maintenance per source: the third
+    * mergeable sketch as stream state — MhPerms minimum hash values in
+    * mapGroupsWithState, merged elementwise by MIN. Min is commutative
+    * and idempotent, so duplicates, replays, and OUT-OF-ORDER delivery
+    * all converge to the batch signature (the firstSeen contract,
+    * lifted to a 64-vector); StreamingSpec asserts final-generation
+    * parity with Sketch.sourceSignature. Each batch emits the
+    * refreshed signature rows stamped with a generation counter —
+    * the highest generation per source is the stream's answer.
+    *
+    * The (source, i, h) projection joins the SAME mhSeeds table and
+    * compiles the SAME mhHash expression the batch operator uses, so
+    * stream and gate-checked batch signatures cannot drift. */
+  def minhashSignature(spark: SparkSession, docs: DataFrame): Dataset[MhSig] = {
+    import spark.implicits._
+    val perms = Sketch.MhPerms
+
+    def step(source: String, rows: Iterator[MhTok],
+        state: GroupState[MhState]): Iterator[MhSig] = {
+      val mins = state.getOption.map(_.mins.toArray)
+        .getOrElse(Array.fill(perms)(Long.MaxValue))
+      rows.foreach { t =>
+        val i = t.i.toInt
+        if (t.h < mins(i)) mins(i) = t.h
+      }
+      val gen = state.getOption.map(_.gen + 1).getOrElse(1L)
+      state.update(MhState(mins.toSeq, gen))
+      mins.iterator.zipWithIndex.filter(_._1 != Long.MaxValue)
+        .map { case (m, i) => MhSig(source, gen, i.toLong, m) }
+    }
+
+    val seeds = Sketch.mhSeeds(spark).withColumn("k", lit(1))
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("hb", graft.functions.Similarity.md5Mod(col("token")))
+      .withColumn("k", lit(1))
+      .join(broadcast(seeds), Seq("k"))
+      .select(col("source"), col("i"), Sketch.mhHash(col("hb"), col("a"), col("b")).as("h"))
+      .as[MhTok]
+      .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }
 

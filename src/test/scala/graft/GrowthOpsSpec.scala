@@ -345,6 +345,67 @@ class GrowthOpsSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/orders.parquet").count(), "mass conserved")
   }
 
+  test("dedup_incremental flags batch docs against the corpus only") {
+    val rows = graft.operators.Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val isBatch = docs.map { case (id, _) =>
+      id -> (graft.expressions.CrossHash.md5Mod(s"inc-$id") % 10 == 0)
+    }.toMap
+    // output = exactly the batch docs
+    assert(rows.map(_._1).toSet == docs.filter(d => isBatch(d._1)).map(_._1).toSet)
+    // exact-dup flag replays as corpus text membership
+    val corpusTexts = docs.filter(d => !isBatch(d._1)).map(_._2).toSet
+    val textOf = docs.toMap
+    rows.foreach { case (id, ex, nj, dup) =>
+      assert(ex == corpusTexts.contains(textOf(id)), s"doc $id exact")
+      nj.foreach(j => assert(j >= 0.5 && j <= 1.0))
+      assert(dup == (ex || nj.isDefined))
+    }
+  }
+
+  test("minhash_source_sim estimates track exact Jaccard within sketch error") {
+    val rows = graft.operators.Sketch.minhashSourceSim(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2, "all pairs present")
+    rows.foreach { case (a, b, m, est, exact) =>
+      assert(a < b)
+      assert(m >= 0 && m <= graft.operators.Sketch.MhPerms)
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      // 64 perms → standard error ~ sqrt(j(1-j)/64) ≤ 0.0625; allow 4σ
+      assert(math.abs(est - exact) < 0.3, s"($a,$b) est $est vs exact $exact")
+    }
+  }
+
+  test("logreg_grad is the exact zero-weight full-batch gradient") {
+    val rows = graft.operators.Learn.logregGrad(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("text")).collect()
+    val mass = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    docs.foreach { r =>
+      val y = if (r.getString(0) == "en") 1L else 0L
+      r.getString(1).split(" ").filter(_.nonEmpty).foreach { tok =>
+        val j = graft.expressions.CrossHash.md5Mod(s"lr-$tok") % graft.operators.Learn.LrBuckets
+        mass((j, y)) = mass.getOrElse((j, y), 0L) + 1L
+      }
+    }
+    rows.foreach { case (j, sPos, sNeg, grad, wNext) =>
+      assert(sPos == mass.getOrElse((j, 1L), 0L), s"bucket $j pos")
+      assert(sNeg == mass.getOrElse((j, 0L), 0L), s"bucket $j neg")
+      assert(grad == (sNeg - sPos).toDouble / 2.0)
+      assert(wNext == -grad / graft.operators.Learn.LrEtaInv)
+    }
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),

@@ -581,4 +581,47 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     assert(finalHll("hll_sliced") == batchHll)
   }
+
+  private lazy val batchMhSig: Set[String] =
+    graft.operators.Sketch.sourceSignature(
+        graft.operators.Sketch.sourceTokens(spark, sf))
+      .select(col("source"), col("i"), col("m"))
+      .collect().map(_.mkString("|")).toSet
+
+  /** Final signature from the append-mode sink: highest generation per
+    * source carries the converged minima. */
+  private def finalMhSig(name: String): Set[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    spark.table(name)
+      .withColumn("maxg", max(col("gen")).over(w))
+      .filter(col("gen") === col("maxg"))
+      .select(col("source"), col("i"), col("m"))
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  test("streaming minhash signature equals batch under doc-sliced micro-batches") {
+    // two doc_id slices in REVERSED mod-time order: min-merge is
+    // commutative + idempotent, so even out-of-order delivery must
+    // converge to the batch signature
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs3").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (s, i) =>
+        val sub = s"$dir/slice_$i"
+        s.coalesce(1).write.parquet(sub)
+        new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, s"slice_$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * (2 - i)) // reversed
+        }
+      }
+    val src = spark.readStream.schema(graft.streaming.DocStreams.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val q = graft.streaming.DocStreams.minhashSignature(spark, src)
+      .toDF().writeStream.format("memory").queryName("mh_sliced")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(finalMhSig("mh_sliced") == batchMhSig)
+  }
 }
