@@ -209,7 +209,10 @@ object SparkEntry {
     "q_unpivot" -> (Relational.qUnpivot _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "minhash_source_sim" -> (Sketch.minhashSourceSim _),
-    "logreg_grad" -> (Learn.logregGrad _)
+    "logreg_grad" -> (Learn.logregGrad _),
+    "ols_by_group" -> (Stats.olsByGroup _),
+    "moments_quantile" -> (Stats.momentsQuantile _),
+    "doc_cosine_pairs" -> (Dedup.docCosinePairs _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3067,6 +3070,78 @@ object SparkEntry {
         |SELECT j, s_pos, s_neg,
         |  CAST(s_neg - s_pos AS DOUBLE) / 2.0 AS grad,
         |  CAST(s_pos - s_neg AS DOUBLE) / (2.0 * 128) AS w_next
-        |FROM g ORDER BY j""".stripMargin
+        |FROM g ORDER BY j""".stripMargin,
+    "ols_by_group" ->
+      """WITH m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sx,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |  CAST(sum(CAST(p_size AS HUGEINT) * p_size) AS HUGEINT) AS qx,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS HUGEINT)
+        |    * CAST(round(p_retailprice * 100) AS HUGEINT)) AS HUGEINT) AS qy,
+        |  CAST(sum(CAST(p_size AS HUGEINT)
+        |    * CAST(round(p_retailprice * 100) AS HUGEINT)) AS HUGEINT) AS sxy
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_brand, n,
+        |  round(CASE WHEN CAST(CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+        |    THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END, 6) AS slope,
+        |  round(CASE WHEN CAST(CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+        |    THEN (CAST(sy AS DOUBLE) -
+        |      CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / 100.0 END, 6) AS intercept,
+        |  round(CASE WHEN CAST(CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+        |    AND CAST(CAST(n AS HUGEINT) * qy - CAST(sy AS HUGEINT) * sy AS DOUBLE) > 0
+        |    THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / (CAST(CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |        * CAST(CAST(n AS HUGEINT) * qy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) END, 6) AS r_sq
+        |FROM m ORDER BY p_brand""".stripMargin,
+    "moments_quantile" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3,
+        |    quantile_cont(c, 0.5) AS exact_med_c
+        |  FROM ev GROUP BY event_type),
+        |e AS (SELECT event_type, n, s1, s2, s3, exact_med_c,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+        |  FROM m),
+        |k AS (SELECT *,
+        |    (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |      2.0 * mean * mean * mean) / (sqrt(v) * v) AS skew
+        |  FROM e)
+        |SELECT event_type, n,
+        |  round(mean / 100.0, 6) AS mean_value,
+        |  round(sqrt(v) / 100.0, 6) AS sd_value,
+        |  round(skew, 6) AS skewness,
+        |  round((mean - sqrt(v) * skew / 6.0) / 100.0, 6) AS est_median,
+        |  exact_med_c / 100.0 AS exact_median,
+        |  round(((mean - sqrt(v) * skew / 6.0) - exact_med_c) / 100.0, 6) AS est_err
+        |FROM k ORDER BY event_type""".stripMargin,
+    "doc_cosine_pairs" ->
+      """WITH tf AS (SELECT doc_id, tok AS t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |rare AS (SELECT t FROM (SELECT t, count(*) AS df FROM tf GROUP BY t)
+        |  WHERE df <= 64),
+        |gc AS (SELECT tf.* FROM tf JOIN rare USING (t)),
+        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM gc GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM gc a JOIN gc b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT src_id, dst_id, dot, na.n2 AS na, nb.n2 AS nb,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+        |FROM dots JOIN norms na ON na.doc_id = dots.src_id
+        |JOIN norms nb ON nb.doc_id = dots.dst_id
+        |WHERE 4 * dot * dot >= na.n2 * nb.n2 ORDER BY src_id, dst_id""".stripMargin
   )
 }

@@ -583,4 +583,54 @@ object Dedup {
     gc.unpersist()
     out
   }
+
+  /** Term-frequency doc pairs participate only while their corpus df
+    * stays under this bound (the containment_dup discipline). */
+  final val CosDfCap = 64
+
+  /** WEIGHTED COSINE similarity pairs over term-frequency vectors —
+    * the tf-weighted complement of dedup_ngram's set Jaccard: two docs
+    * that repeat the same rare vocabulary at similar rates score high
+    * even when their shingle sets diverge (paraphrase/rewrite
+    * detection). Sparse all-pairs via the inverted term index: dots
+    * accumulate through a df-capped term self-join (per-term fan-out ≤
+    * cap², no hub-term cross product), so no vector pair is ever
+    * materialized densely.
+    *
+    * The keep test cos ≥ 1/2 runs EXACTLY in integers: tf counts are
+    * longs, dot = Σ tf_a·tf_b and the norms Σ tf² are exact, and with
+    * dot ≥ 0 the test is 4·dot² ≥ |a|²·|b|² — no float in the
+    * decision; the reported cosine is one double expression, round 6.
+    * Scale shape: one (doc, term) count shuffle, one df aggregate, the
+    * capped self-join, one pair-key reduce — the containment_dup plan
+    * with weights. */
+  def docCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Partitioning.spread(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= CosDfCap)
+    val gc = tf.join(rare.select(col("t")), Seq("t")).persist()
+    gc.count() // materialize once: feeds norms and both join sides
+    val norms = gc.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = gc.select(col("doc_id").as("src_id"), col("t"), col("tf").as("tfa"))
+      .join(gc.select(col("doc_id").as("dst_id"), col("t"), col("tf").as("tfb")),
+        Seq("t"))
+      .filter(col("src_id") < col("dst_id"))
+      .groupBy(col("src_id"), col("dst_id"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    val out = dots
+      .join(norms.select(col("doc_id").as("src_id"), col("n2").as("na")), Seq("src_id"))
+      .join(norms.select(col("doc_id").as("dst_id"), col("n2").as("nb")), Seq("dst_id"))
+      .filter(lit(4L) * col("dot") * col("dot") >= col("na") * col("nb"))
+      .select(col("src_id"), col("dst_id"), col("dot"), col("na"), col("nb"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+      .localCheckpoint()
+    gc.unpersist()
+    out
+  }
 }

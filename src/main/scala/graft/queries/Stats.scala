@@ -94,6 +94,77 @@ object Stats {
     * type) joined back unhinted (AQE broadcasts the tiny bound table),
     * then one conditional aggregation — the events table shuffles
     * once, on the type key, with map-side combine. */
+  /** Grouped ORDINARY LEAST SQUARES: price-vs-size regression per part
+    * brand — slope, intercept, r² from the exact five-moment closed
+    * form (the per-segment trend line every pricing/forecast dashboard
+    * fits). Moments are exact longs/decimal(38,0) as in qCorr; the
+    * slope, intercept and r² each evaluate ONCE per group in a fixed
+    * expression order, rounded 6. One scan, one brand-keyed shuffle of
+    * constant-width moment partials. Degenerate groups (zero size
+    * variance) report null slope/intercept rather than dividing by
+    * zero. */
+  def olsByGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = Tables.part(spark, sfDir)
+      .select(col("p_brand"), col("p_size").cast("long").as("x"),
+        e2(col("p_retailprice")).as("y"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("qx"),
+        sum(col("y").cast(d38) * col("y")).as("qy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+    val covN = (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double")
+    val varX = (col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double")
+    val varY = (col("n").cast(d38) * col("qy") - col("sy").cast(d38) * col("sy")).cast("double")
+    m.select(col("p_brand"), col("n"),
+      round(when(varX > 0, covN / varX), 6).as("slope"),
+      round(when(varX > 0,
+        (col("sy").cast("double") - covN / varX * col("sx").cast("double"))
+          / col("n").cast("double") / 100.0), 6).as("intercept"),
+      round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6).as("r_sq"))
+  }
+
+  /** MOMENTS-SKETCH quantile estimation (the Moments Sketch idea,
+    * Gan et al. VLDB'18, first-order Cornish-Fisher form): per event
+    * type, the MERGEABLE exact power sums (n, Σx, Σx², Σx³) — constant
+    * state, map-side combinable, the sketch a pre-aggregated cube can
+    * keep where a holistic median cannot — yield a median estimate
+    * median ≈ μ − σ·skew/6, audited against the exact interpolated
+    * median (dyadic 0.5 — bit-exact cross-engine). Every moment is
+    * exact decimal(38,0); mean/σ/skew/estimate evaluate in one fixed
+    * float expression order, rounded 6. */
+  def momentsQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c").cast(d38) * col("c")).as("s2"),
+        sum(col("c").cast(d38) * col("c") * col("c")).as("s3"),
+        percentile(col("c"), lit(0.5)).as("exact_med_c"))
+    // central moments from raw power sums (König-Huygens), all exact
+    // until the terminal double casts
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val varP = col("s2").cast("double") / n - mean * mean
+    val m3 = (col("s3").cast("double") / n -
+      lit(3.0) * mean * (col("s2").cast("double") / n)) +
+      lit(2.0) * mean * mean * mean
+    // σ³ = sqrt(v)·v: sqrt is correctly-rounded IEEE in both engines,
+    // pow(x, 3.0) is not — so the cube stays in mul/sqrt land
+    val skew = m3 / (sqrt(varP) * varP)
+    m.select(col("event_type"), col("n"),
+      round(mean / 100.0, 6).as("mean_value"),
+      round(sqrt(varP) / 100.0, 6).as("sd_value"),
+      round(skew, 6).as("skewness"),
+      round((mean - sqrt(varP) * skew / 6.0) / 100.0, 6).as("est_median"),
+      (col("exact_med_c") / 100.0).as("exact_median"),
+      round(((mean - sqrt(varP) * skew / 6.0) - col("exact_med_c")) / 100.0, 6)
+        .as("est_err"))
+  }
+
   def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = Tables.events(spark, sfDir)
       .select(col("event_type"),

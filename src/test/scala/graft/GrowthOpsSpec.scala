@@ -406,6 +406,78 @@ class GrowthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ols_by_group matches a local least-squares fit") {
+    val rows = graft.queries.Stats.olsByGroup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_brand"), col("p_size").cast("long"),
+        expr("CAST(round(p_retailprice * 100) AS LONG)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (brand, n, slope, intercept, rsq) =>
+      val g = parts.filter(_._1 == brand)
+      assert(n == g.length.toLong)
+      val xs = g.map(_._2.toDouble); val ys = g.map(_._3.toDouble)
+      val nn = n.toDouble
+      val cov = nn * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+      val vx = nn * xs.map(a => a * a).sum - xs.sum * xs.sum
+      val vy = nn * ys.map(a => a * a).sum - ys.sum * ys.sum
+      if (vx > 0) {
+        assert(math.abs(slope.get - cov / vx) < 1e-3, s"$brand slope")
+        assert(math.abs(intercept.get - (ys.sum - cov / vx * xs.sum) / nn / 100.0) < 1e-3)
+        if (vy > 0) {
+          assert(math.abs(rsq.get - cov * cov / (vx * vy)) < 1e-3, s"$brand rsq")
+          assert(rsq.get >= -1e-9 && rsq.get <= 1.0 + 1e-9)
+        }
+      } else assert(slope.isEmpty && intercept.isEmpty)
+    }
+  }
+
+  test("moments_quantile estimate tracks the exact median for the near-symmetric stream") {
+    val rows = graft.queries.Stats.momentsQuantile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, mean, sd, est, exact) =>
+      assert(n > 0 && sd > 0, t)
+      // the Cornish-Fisher median correction is a sub-σ adjustment —
+      // the estimate must land within one sd of both mean and truth
+      assert(math.abs(est - mean) <= sd + 1e-9, s"$t est vs mean")
+      assert(math.abs(est - exact) <= sd + 1e-9, s"$t est vs exact")
+    }
+  }
+
+  test("doc_cosine_pairs keep test is exactly cosine >= 1/2 on tf vectors") {
+    val rows = graft.operators.Dedup.docCosinePairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (dot, na, nb, cos)) =>
+      assert(a < b)
+      assert(4 * dot * dot >= na * nb, "integer keep test")
+      assert(cos >= 0.5 - 1e-6 && cos <= 1.0 + 1e-9)
+      assert(math.abs(cos - dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))) < 1e-5)
+    }
+    // spot-check one pair against a local tf-vector replay
+    val ((a, b), (dot, na, nb, _)) = rows.head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === a || col("doc_id") === b)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    val df = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .flatMap(r => r.getAs[String]("text").split(" ").filter(_.nonEmpty).distinct
+        .map(t => t -> 1)).groupBy(_._1).view.mapValues(_.length).toMap
+    def vec(id: Long) = docs(id).split(" ").filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (t, _) => df(t) <= graft.operators.Dedup.CosDfCap }.toMap
+    val (va, vb) = (vec(a), vec(b))
+    assert(dot == va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum)
+    assert(na == va.values.map(v => v * v).sum)
+    assert(nb == vb.values.map(v => v * v).sum)
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
