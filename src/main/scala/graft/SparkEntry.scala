@@ -212,7 +212,11 @@ object SparkEntry {
     "logreg_grad" -> (Learn.logregGrad _),
     "ols_by_group" -> (Stats.olsByGroup _),
     "moments_quantile" -> (Stats.momentsQuantile _),
-    "doc_cosine_pairs" -> (Dedup.docCosinePairs _)
+    "doc_cosine_pairs" -> (Dedup.docCosinePairs _),
+    "events_paths" -> (Events.eventsPaths _),
+    "profile_drift" -> (Profile.profileDrift _),
+    "lang_id_trigram" -> (TextMetrics.langIdTrigram _),
+    "auc_eval" -> (Learn.aucEval _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3142,6 +3146,85 @@ object SparkEntry {
         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
         |FROM dots JOIN norms na ON na.doc_id = dots.src_id
         |JOIN norms nb ON nb.doc_id = dots.dst_id
-        |WHERE 4 * dot * dot >= na.n2 * nb.n2 ORDER BY src_id, dst_id""".stripMargin
+        |WHERE 4 * dot * dot >= na.n2 * nb.n2 ORDER BY src_id, dst_id""".stripMargin,
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS t1, lag(event_type, 2) OVER w AS t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |p AS (SELECT t2 || '>' || t1 || '>' || event_type AS path,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE t2 IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM p),
+        |r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk FROM p)
+        |SELECT path, n, round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM r, tot WHERE rk <= 20 ORDER BY path""".stripMargin,
+    "profile_drift" ->
+      """WITH o AS (SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM o),
+        |m AS (SELECT
+        |    CAST(sum(CAST(us < mid AS BIGINT)) AS BIGINT) AS n1,
+        |    CAST(sum(CAST(us >= mid AS BIGINT)) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(count(DISTINCT CASE WHEN us < mid THEN o_custkey END) AS BIGINT) AS u1,
+        |    CAST(count(DISTINCT CASE WHEN us >= mid THEN o_custkey END) AS BIGINT) AS u2,
+        |    max(CASE WHEN us < mid THEN cents END) AS x1,
+        |    max(CASE WHEN us >= mid THEN cents END) AS x2
+        |  FROM o, md),
+        |rows_(metric, before, after) AS (
+        |  SELECT 'n_orders', CAST(n1 AS DOUBLE), CAST(n2 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'mean_price', CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0,
+        |    CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 FROM m
+        |  UNION ALL SELECT 'n_customers', CAST(u1 AS DOUBLE), CAST(u2 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'max_price', CAST(x1 AS DOUBLE) / 100.0,
+        |    CAST(x2 AS DOUBLE) / 100.0 FROM m)
+        |SELECT metric, round(before, 6) AS before, round(after, 6) AS after,
+        |  round(CASE WHEN before <> 0.0 THEN (after - before) / before END, 6) AS rel_delta
+        |FROM rows_ ORDER BY metric""".stripMargin,
+    "lang_id_trigram" ->
+      """WITH base AS (SELECT doc_id, lang, lower(text) AS lt FROM documents
+        |  WHERE length(text) >= 3),
+        |tr AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(lt) - 1), i -> substr(lt, CAST(i AS INT), 3))) AS tri
+        |  FROM base),
+        |pc AS (SELECT lang AS plang, tri, CAST(count(*) AS BIGINT) AS pc
+        |  FROM tr GROUP BY 1, 2),
+        |prof AS (SELECT plang, tri FROM (
+        |  SELECT plang, tri, row_number() OVER (PARTITION BY plang ORDER BY pc DESC, tri) AS rk
+        |  FROM pc) WHERE rk <= 40),
+        |dtf AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS tf FROM tr GROUP BY 1, 2),
+        |v AS (SELECT d.doc_id, p.plang, CAST(sum(d.tf) AS BIGINT) AS votes
+        |  FROM dtf d JOIN prof p USING (tri) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, plang, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, plang) AS rk
+        |  FROM v) WHERE rk = 1)
+        |SELECT d.doc_id, d.lang, coalesce(t.plang, 'und') AS pred_lang,
+        |  CAST(coalesce(t.votes, 0) AS BIGINT) AS votes,
+        |  d.lang = coalesce(t.plang, 'und') AS agree
+        |FROM documents d LEFT JOIN top t USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "auc_eval" ->
+      s"""WITH toks AS (SELECT doc_id, t FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST((md5_number_lower('qw-' ||
+        |      CAST((md5_number_lower('qc-' || t) % 2305843009213693951) % ${TextMetrics.QcBuckets} AS BIGINT))
+        |    % 2305843009213693951) % 2001 AS BIGINT) - 1000) AS BIGINT) AS margin_raw
+        |  FROM toks GROUP BY doc_id),
+        |s AS (SELECT d.doc_id,
+        |    CAST(sc.margin_raw AS DOUBLE) / (1000.0 * sc.n_tokens) AS score,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents d JOIN sc USING (doc_id) WHERE sc.n_tokens > 0),
+        |cells AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn FROM s GROUP BY score),
+        |c2 AS (SELECT score, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |  FROM cells)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(CAST(np AS HUGEINT) * (2 * below + nn)) AS DOUBLE)
+        |    / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6) AS auc
+        |FROM c2""".stripMargin
   )
 }

@@ -47,4 +47,49 @@ object Learn {
         ((col("s_pos") - col("s_neg")).cast("double") / (2.0 * LrEtaInv))
           .as("w_next"))
   }
+
+  /** Exact ROC-AUC of the hashed-linear quality classifier against the
+    * lang = 'en' label — the eval metric that closes the train/score
+    * loop (logreg_grad trains, quality_classifier scores, this
+    * grades). AUC is the rank statistic P(score⁺ > score⁻) with ties
+    * counted half; computed EXACTLY from integer counts per distinct
+    * score: Σ_s np_s·(2·below_s + nn_s) / (2·P·N), where below_s is
+    * the negative mass strictly under s — the numerator stays in
+    * decimal(38,0) (the ×2 keeps the tie-half integral), ONE terminal
+    * divide, round 6.
+    *
+    * The cumulative-below runs on the distinct-score cell table via
+    * the q_decile range-partition two-phase prefix (local window per
+    * partition + partition offsets) — distinct scores are corpus-sized
+    * at 100 TB, so no single-partition window touches them. */
+  def aucEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val scored = TextMetrics.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+      .filter(col("score").isNotNull)
+      .join(lbl, Seq("doc_id"))
+    val cells = scored.groupBy(col("score"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = cells.repartitionByRange(n, col("score"))
+      .withColumn("pid", spark_partition_id())
+    val wl = Window.partitionBy(col("pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("lb", coalesce(sum(col("nn")).over(wl), lit(0L)))
+    val offs = parted.groupBy(col("pid")).agg(sum(col("nn")).as("pnn"))
+      .withColumn("poff", coalesce(sum(col("pnn")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    local.join(offs, Seq("pid"))
+      .select(col("np"), col("nn"), (col("lb") + col("poff")).as("below"))
+      .agg(sum(col("np")).as("p"), sum(col("nn")).as("nneg"),
+        sum(col("np").cast("decimal(38,0)") * (lit(2L) * col("below") + col("nn")))
+          .as("num2"))
+      .select(col("p").as("n_pos"), col("nneg").as("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("p").cast("double") * col("nneg").cast("double")), 6)
+          .as("auc"))
+  }
 }

@@ -115,6 +115,52 @@ object Profile {
     * deterministically to the lowest bucket whose hi equals the value
     * (strict > lo, inclusive <= hi; bucket 1 additionally owns the
     * minimum), and empty buckets still emit with n = 0. */
+  /** TABLE-PROFILE DRIFT: the order table's summary statistics on the
+    * two halves of its time range, as before/after/relative-delta rows
+    * — the schema-level companion of psi_drift's value-distribution
+    * monitor (a silently shifted mean, collapsed NDV, or volume drop
+    * is the first symptom of an upstream break). The split is the
+    * exact integer temporal midpoint (psi_drift's rule); every metric
+    * is an exact long (counts, cent sums, NDV) or one fixed divide,
+    * so the whole profile comes from ONE conditional-aggregate pass
+    * (NDVs via two count-distincts in the same aggregate). */
+  def profileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      // o_orderdate arrives TIMESTAMP_NTZ; the NTZ→LTZ cast is
+      // value-preserving under the UTC session TZ (Tables.events note)
+      .select(unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val mid = ord.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val m = ord.crossJoin(broadcast(mid))
+      .withColumn("p", when(col("us") < col("mid"), 0).otherwise(1))
+      .agg(
+        sum(when(col("p") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("p") === 0, col("cents")).otherwise(0L)).as("c1"),
+        sum(when(col("p") === 1, col("cents")).otherwise(0L)).as("c2"),
+        count_distinct(when(col("p") === 0, col("o_custkey"))).as("u1"),
+        count_distinct(when(col("p") === 1, col("o_custkey"))).as("u2"),
+        max(when(col("p") === 0, col("cents"))).as("x1"),
+        max(when(col("p") === 1, col("cents"))).as("x2"))
+    m.select(explode(array(
+        struct(lit("n_orders").as("metric"),
+          col("n1").cast("double").as("before"), col("n2").cast("double").as("after")),
+        struct(lit("mean_price").as("metric"),
+          (col("c1").cast("double") / col("n1").cast("double") / 100.0).as("before"),
+          (col("c2").cast("double") / col("n2").cast("double") / 100.0).as("after")),
+        struct(lit("n_customers").as("metric"),
+          col("u1").cast("double").as("before"), col("u2").cast("double").as("after")),
+        struct(lit("max_price").as("metric"),
+          (col("x1").cast("double") / 100.0).as("before"),
+          (col("x2").cast("double") / 100.0).as("after")))).as("r"))
+      .select(col("r.metric"), round(col("r.before"), 6).as("before"),
+        round(col("r.after"), 6).as("after"),
+        round(when(col("r.before") =!= 0.0,
+          (col("r.after") - col("r.before")) / col("r.before")), 6).as("rel_delta"))
+  }
+
   def histogramEquiHeight(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val probes = (0 to EqBuckets).map(i => lit(i.toDouble / EqBuckets))

@@ -370,6 +370,50 @@ object TextMetrics {
         (col("labeled_lang") === col("pred_lang")).as("agree"))
   }
 
+  /** Trigram profile width per language. */
+  final val TriProfileK = 40
+
+  /** CHARACTER-TRIGRAM language ID (the Cavnar-Trenkle / CLD profile
+    * method): per-language top-K trigram profiles learned from the
+    * labeled corpus, each doc scored by how much of its trigram mass
+    * lands in each profile, argmax wins (alphabetical tie-break; no
+    * profile hit → 'und'). The n-gram upgrade of the marker-word
+    * lang_id — it works on unseen words, which is why production
+    * detectors are n-gram based.
+    *
+    * Everything is exact integer counts and ranks. Scale shape: one
+    * (lang, trigram) census (map-side combined), profiles through the
+    * bounded-heap TopK (≤ K×|langs| rows — broadcast-sized forever),
+    * doc trigram counts in one doc-keyed shuffle, the profile join
+    * unhinted (AQE broadcasts the 200-row profile), one argmax window
+    * per doc inside the same layout. */
+  def langIdTrigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+    val tris = base.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"))
+        .as("tri"))
+    val profiles = tris.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("pc"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("plang"), Seq("pc" -> false, "tri" -> true), TriProfileK))
+      .select(col("plang"), col("tri"))
+    val docTf = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("tf"))
+    val votes = docTf.join(profiles, Seq("tri"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(col("tf")).as("votes"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("plang"))
+    val top = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang"), col("votes"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("plang"), lit("und")).as("pred_lang"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+      .withColumn("agree", col("lang") === col("pred_lang"))
+  }
+
   /** Minimum docs sharing a skeleton before it counts as a template. */
   final val TemplateMinDocs = 3
 

@@ -691,6 +691,35 @@ object Events {
           / 100.0, 6).as("ltv_per_user"))
   }
 
+  /** Reported top paths. */
+  final val PathTopN = 20L
+
+  /** TOP EVENT PATHS: the most frequent length-3 behavior sequences
+    * across all users (the "what do people actually do" table behind a
+    * Sankey) — the order-2 extension of events_transitions' order-1
+    * matrix. Consecutive type trigrams per user via two lag windows in
+    * ONE user-key shuffle; the path census is |types|³-bounded, and the
+    * report reduces through the bounded-heap global TopK (map tasks
+    * forward ≤ N rows — no global sort). Share is one divide by the
+    * broadcast total. */
+  def eventsPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("t2"), col("t1"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum(col("n")).as("total"))
+    paths
+      .transform(graft.plans.TopK.perGroup(
+        Seq(), Seq("n" -> false, "path" -> true), PathTopN.toInt))
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
+  }
+
   def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.filter(col("event_type") === "signup")
