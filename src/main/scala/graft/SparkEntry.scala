@@ -216,7 +216,9 @@ object SparkEntry {
     "events_paths" -> (Events.eventsPaths _),
     "profile_drift" -> (Profile.profileDrift _),
     "lang_id_trigram" -> (TextMetrics.langIdTrigram _),
-    "auc_eval" -> (Learn.aucEval _)
+    "auc_eval" -> (Learn.aucEval _),
+    "calibration_curve" -> (Learn.calibrationCurve _),
+    "gini_concentration" -> (Stats.giniConcentration _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3225,6 +3227,41 @@ object SparkEntry {
         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
         |  round(CAST(sum(CAST(np AS HUGEINT) * (2 * below + nn)) AS DOUBLE)
         |    / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6) AS auc
-        |FROM c2""".stripMargin
+        |FROM c2""".stripMargin,
+    "calibration_curve" ->
+      s"""WITH toks AS (SELECT doc_id, t FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST((md5_number_lower('qw-' ||
+        |      CAST((md5_number_lower('qc-' || t) % 2305843009213693951) % ${TextMetrics.QcBuckets} AS BIGINT))
+        |    % 2305843009213693951) % 2001 AS BIGINT) - 1000) AS BIGINT) AS margin_raw
+        |  FROM toks GROUP BY doc_id),
+        |s AS (SELECT d.doc_id, sc.margin_raw, sc.n_tokens,
+        |    CAST(sc.margin_raw AS DOUBLE) / (1000.0 * sc.n_tokens) AS score,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents d JOIN sc USING (doc_id) WHERE sc.n_tokens > 0),
+        |b AS (SELECT least(CAST(floor((least(greatest(score, -1.0), 1.0) + 1.0)
+        |      / 2.0 * 10) AS BIGINT), 9) AS bin,
+        |    y, margin_raw, n_tokens FROM s)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(margin_raw) AS DOUBLE)
+        |    / (1000.0 * CAST(sum(n_tokens) AS DOUBLE)), 6) AS mean_score_approx,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "gini_concentration" ->
+      """WITH s AS (SELECT o_custkey AS custkey,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sx FROM s),
+        |r AS (SELECT custkey, cents,
+        |    CAST(row_number() OVER (ORDER BY cents, custkey) AS BIGINT) AS i FROM s)
+        |SELECT n0.n AS n_customers,
+        |  CAST(n0.sx AS DOUBLE) / 100.0 AS total_spend,
+        |  round(CAST(CAST(2 AS HUGEINT) * sum(CAST(i AS HUGEINT) * cents)
+        |      - CAST(n0.n + 1 AS HUGEINT) * n0.sx AS DOUBLE)
+        |    / CAST(CAST(n0.n AS HUGEINT) * n0.sx AS DOUBLE), 6) AS gini,
+        |  round(CAST(sum(CASE WHEN i > n0.n - n0.n // 10 THEN cents ELSE 0 END) AS DOUBLE)
+        |    / CAST(n0.sx AS DOUBLE), 6) AS top10_share
+        |FROM r, n0 GROUP BY n0.n, n0.sx""".stripMargin
   )
 }

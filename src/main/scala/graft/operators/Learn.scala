@@ -92,4 +92,37 @@ object Learn {
           (lit(2.0) * col("p").cast("double") * col("nneg").cast("double")), 6)
           .as("auc"))
   }
+
+  /** Calibration bins over the score range [-1, 1]. */
+  final val CalBins = 10L
+
+  /** CALIBRATION CURVE (reliability diagram) of the quality classifier
+    * against the lang = 'en' label — AUC says the RANKING is good;
+    * calibration says whether the score VALUES mean anything. Scores
+    * bin into CalBins fixed-width cells over [-1, 1] (clamped); each
+    * cell reports its exact count, mean score (exact margin rationals
+    * summed in decimal — no float accumulation), and positive rate.
+    * One corpus pass plus a bin-cell reduce. */
+  def calibrationCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val lbl = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    TextMetrics.qualityClassifier(spark, sfDir)
+      .filter(col("score").isNotNull)
+      .join(lbl, Seq("doc_id"))
+      // bin = floor((clamp(score,-1,1) + 1) / 2 * CalBins), top edge
+      // closed — pure double arithmetic on the gate-proven score
+      .withColumn("bin",
+        least(floor((least(greatest(col("score"), lit(-1.0)), lit(1.0)) + 1.0)
+          / 2.0 * CalBins).cast("long"), lit(CalBins - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(col("margin_raw")).as("sum_margin"),
+        sum(col("n_tokens")).as("sum_ntok"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("sum_margin").cast("double") /
+          (lit(1000.0) * col("sum_ntok").cast("double")), 6).as("mean_score_approx"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"))
+  }
 }

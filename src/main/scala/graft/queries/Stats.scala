@@ -165,6 +165,54 @@ object Stats {
         .as("est_err"))
   }
 
+  /** GINI CONCENTRATION of customer spend (the Lorenz-curve summary —
+    * "how 80/20 is our revenue"): G = (2·Σ i·x᎐ᵢ − (n+1)·Σx)/(n·Σx)
+    * over spend sorted ascending, plus the top-decile revenue share.
+    * Every term is exact (cents are longs, the rank-weighted sum rides
+    * decimal(38,0), ranks come from the q_decile range-partition
+    * two-phase prefix — no single-partition window over customers);
+    * the Gini and the share are each ONE terminal divide, round 6. */
+  def giniConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.functions.Money.dec2(col("o_totalprice")))
+        .cast("decimal(18,2)").as("spend"))
+      .select(col("o_custkey").as("custkey"),
+        (col("spend") * 100).cast("long").as("cents"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = spend.repartitionByRange(n, col("cents"), col("custkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lrank", row_number().over(
+      Window.partitionBy(col("pid")).orderBy(col("cents"), col("custkey"))).cast("long"))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("poff", coalesce(sum(col("pn")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    val ranked = local.join(offsets, Seq("pid"))
+      .withColumn("i", col("poff") + col("lrank"))
+    val tot = spend.agg(count(lit(1)).as("n_customers"),
+      sum(col("cents")).as("total_cents"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n_customers")).as("n_customers"),
+        max(col("total_cents")).as("sx"),
+        sum(col("i").cast(d38) * col("cents")).as("six"),
+        // top decile = the n div 10 highest spenders: rank i (asc)
+        // strictly above n − n div 10 — an exact integer cut
+        sum(when(col("i") > col("n_customers") - expr("n_customers div 10"),
+          col("cents")).otherwise(0L)).as("top_cents"))
+      .select(col("n_customers"),
+        (col("sx").cast("double") / 100.0).as("total_spend"),
+        round(
+          (lit(2).cast(d38) * col("six") -
+            (col("n_customers") + 1).cast(d38) * col("sx")).cast("double") /
+            (col("n_customers").cast(d38) * col("sx")).cast("double"),
+          6).as("gini"),
+        round(col("top_cents").cast("double") / col("sx").cast("double"), 6)
+          .as("top10_share"))
+  }
+
   def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = Tables.events(spark, sfDir)
       .select(col("event_type"),

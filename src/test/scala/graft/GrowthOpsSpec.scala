@@ -551,6 +551,41 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("auc") >= 0.0 && r.getAs[Double]("auc") <= 1.0)
   }
 
+  test("calibration_curve bins partition the scored docs and rates are exact") {
+    val rows = graft.operators.Learn.calibrationCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val scored = TextMetrics.qualityClassifier(spark, sf)
+      .filter(col("score").isNotNull).count()
+    assert(rows.map(_._2).sum == scored, "bins partition the scored docs")
+    rows.foreach { case (bin, n, np, rate) =>
+      assert(bin >= 0 && bin < graft.operators.Learn.CalBins)
+      assert(np <= n)
+      assert(math.abs(rate - np.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("gini_concentration matches a local Lorenz computation") {
+    val r = graft.queries.Stats.giniConcentration(spark, sf).collect().head
+    val spend = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(expr("CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS LONG)").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val sorted = spend.sortBy(x => (x._2, x._1)).map(_._2)
+    val n = sorted.length
+    val sx = sorted.map(BigInt(_)).sum
+    val six = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(2) * six - BigInt(n + 1) * sx).toDouble / (BigInt(n) * sx).toDouble
+    assert(r.getAs[Long]("n_customers") == n.toLong)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-5)
+    val topK = n / 10
+    val topShare = sorted.takeRight(topK).map(BigInt(_)).sum.toDouble / sx.toDouble
+    assert(math.abs(r.getAs[Double]("top10_share") - topShare) < 1e-5)
+    // concentration sanity: top decile holds more than a tenth of spend
+    assert(r.getAs[Double]("top10_share") > 0.1)
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
