@@ -391,27 +391,40 @@ object TextMetrics {
     val docs = Tables.documents(spark, sfDir)
     val base = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
-    val tris = base.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"))
-        .as("tri"))
-    val profiles = tris.groupBy(col("lang").as("plang"), col("tri"))
-      .agg(count(lit(1)).as("pc"))
+    // ONE trigram census keyed (doc, lang, tri) — lang is functionally
+    // dependent on doc_id, so it rides the same exchange for free. The
+    // census is PERSISTED (the containment_dup discipline): its two
+    // consumers prune different columns, which makes the subtrees
+    // structurally distinct — ReusedExchange cannot dedupe them and
+    // the corpus would re-explode per consumer (measured ~2× on the
+    // trigram volume, the round's one bench-flagged plan).
+    val census = base.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"))
+          .as("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("tri"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val profiles = census.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(sum(col("tf")).as("pc"))
       .transform(graft.plans.TopK.perGroup(
         Seq("plang"), Seq("pc" -> false, "tri" -> true), TriProfileK))
       .select(col("plang"), col("tri"))
-    val docTf = tris.groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("tf"))
+    val docTf = census.select(col("doc_id"), col("tri"), col("tf"))
     val votes = docTf.join(profiles, Seq("tri"))
       .groupBy(col("doc_id"), col("plang"))
       .agg(sum(col("tf")).as("votes"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("plang"))
     val top = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("plang"), col("votes"))
-    docs.select(col("doc_id"), col("lang"))
+    val out = docs.select(col("doc_id"), col("lang"))
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("plang"), lit("und")).as("pred_lang"),
         coalesce(col("votes"), lit(0L)).as("votes"))
       .withColumn("agree", col("lang") === col("pred_lang"))
+      .localCheckpoint()
+    census.unpersist()
+    out
   }
 
   /** Minimum docs sharing a skeleton before it counts as a template. */
