@@ -218,7 +218,8 @@ object SparkEntry {
     "lang_id_trigram" -> (TextMetrics.langIdTrigram _),
     "auc_eval" -> (Learn.aucEval _),
     "calibration_curve" -> (Learn.calibrationCurve _),
-    "gini_concentration" -> (Stats.giniConcentration _)
+    "gini_concentration" -> (Stats.giniConcentration _),
+    "events_autocorr" -> (Events.eventsAutocorr _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3262,6 +3263,36 @@ object SparkEntry {
         |    / CAST(CAST(n0.n AS HUGEINT) * n0.sx AS DOUBLE), 6) AS gini,
         |  round(CAST(sum(CASE WHEN i > n0.n - n0.n // 10 THEN cents ELSE 0 END) AS DOUBLE)
         |    / CAST(n0.sx AS DOUBLE), 6) AS top10_share
-        |FROM r, n0 GROUP BY n0.n, n0.sx""".stripMargin
+        |FROM r, n0 GROUP BY n0.n, n0.sx""".stripMargin,
+    "events_autocorr" ->
+      """WITH ce AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM ce GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+        |sv AS (SELECT sp.event_type, sp.h, coalesce(ce.c, 0) AS c
+        |  FROM sp LEFT JOIN ce ON ce.event_type = sp.event_type AND ce.h = sp.h),
+        |ar AS (SELECT event_type, list(CAST(c AS DOUBLE) / 100.0 ORDER BY h) AS a
+        |  FROM sv GROUP BY event_type),
+        |st AS (SELECT event_type, a, CAST(len(a) AS BIGINT) AS t,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a), (x, y) -> x + y)
+        |      / CAST(len(a) AS DOUBLE) AS mu
+        |  FROM ar),
+        |k AS (SELECT event_type, t, mu,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, CAST(t AS INT)), i -> (a[i] - mu) * (a[i + 1] - mu))),
+        |      (x, y) -> x + y) AS num1,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, CAST(t AS INT) - 23), i -> (a[i] - mu) * (a[i + 24] - mu))),
+        |      (x, y) -> x + y) AS num24,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, CAST(t AS INT) + 1), i -> (a[i] - mu) * (a[i] - mu))),
+        |      (x, y) -> x + y) AS den
+        |  FROM st)
+        |SELECT event_type, t AS n_hours, round(mu, 6) AS mean_hourly,
+        |  round(CASE WHEN t > 1 AND den > 0.0 THEN num1 / den END, 6) AS autocorr_1,
+        |  round(CASE WHEN t > 24 AND den > 0.0 THEN num24 / den END, 6) AS autocorr_24
+        |FROM k ORDER BY event_type""".stripMargin
   )
 }

@@ -720,6 +720,52 @@ object Events {
         round(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
   }
 
+  /** HOURLY AUTOCORRELATION per event type at lags 1 and 24 — the
+    * seasonality-strength diagnostic that justifies (or refutes) the
+    * hour-of-day model events_forecast fits: r₂₄ ≫ r₁ means daily
+    * seasonality dominates noise. The series is the DENSE hourly cent
+    * volume (missing hours are true zeros — the gapfill rule;
+    * computing lags over only-present hours would silently misalign
+    * them), materialized per type as a calendar-bounded sorted array;
+    * r_k folds index-aligned products in ascending order (the
+    * psi_drift sorted-fold float rule, index form on BOTH engines),
+    * one divide per lag, round 6. Guards: lag ≥ series length or a
+    * constant series report null. One aggregation shuffle onto
+    * type×hour cells; everything after is cell arithmetic. */
+  def eventsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${HourUs}L").as("h"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("h")).agg(sum(col("cents")).as("c"))
+    val spine = cells.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = spine.join(cells, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("c")))).as("s"))
+      .select(col("event_type"),
+        expr("transform(s, x -> CAST(x.c AS DOUBLE) / 100.0)").as("a"))
+      .withColumn("t", size(col("a")).cast("long"))
+      .withColumn("mu",
+        aggregate(col("a"), lit(0.0), (acc, x) => acc + x) / col("t").cast("double"))
+    def rk(lag: Int) = {
+      val num = expr(
+        s"""aggregate(transform(sequence(1, CAST(t AS INT) - $lag),
+           | i -> (element_at(a, i) - mu) * (element_at(a, i + $lag) - mu)),
+           | CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      val den = expr(
+        """aggregate(transform(sequence(1, CAST(t AS INT)),
+          | i -> (element_at(a, i) - mu) * (element_at(a, i) - mu)),
+          | CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+      round(when(col("t") > lag && den > 0.0, num / den), 6)
+    }
+    series.select(col("event_type"), col("t").as("n_hours"),
+      round(col("mu"), 6).as("mean_hourly"),
+      rk(1).as("autocorr_1"), rk(24).as("autocorr_24"))
+  }
+
   def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val cohort = ev.filter(col("event_type") === "signup")

@@ -586,6 +586,42 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
   }
 
+  test("events_autocorr matches a local dense-series replay") {
+    val rows = graft.queries.Events.eventsAutocorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (t, nHours, r1, r24) =>
+      val g = ev.filter(_._1 == t)
+      val byH = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val h0 = byH.keys.min; val h1 = byH.keys.max
+      val a = (h0 to h1).map(h => byH.getOrElse(h, 0L).toDouble / 100.0)
+      assert(nHours == a.length.toLong, s"$t length")
+      val mu = a.sum / a.length
+      def rk(k: Int): Option[Double] = {
+        val den = a.map(x => (x - mu) * (x - mu)).sum
+        if (a.length > k && den > 0)
+          Some(a.dropRight(k).zip(a.drop(k)).map { case (x, y) => (x - mu) * (y - mu) }.sum / den)
+        else None
+      }
+      (r1, rk(1)) match {
+        case (Some(o), Some(e)) => assert(math.abs(o - e) < 1e-4, s"$t r1")
+        case (a_, b_) => assert(a_.isDefined == b_.isDefined)
+      }
+      (r24, rk(24)) match {
+        case (Some(o), Some(e)) => assert(math.abs(o - e) < 1e-4, s"$t r24")
+        case (a_, b_) => assert(a_.isDefined == b_.isDefined)
+      }
+      // autocorrelation is a correlation: bounded
+      r1.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+      r24.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+    }
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
