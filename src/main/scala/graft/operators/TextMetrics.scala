@@ -393,17 +393,17 @@ object TextMetrics {
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
     // ONE trigram census keyed (doc, lang, tri) — lang is functionally
     // dependent on doc_id, so it rides the same exchange for free. The
-    // census is PERSISTED (the containment_dup discipline): its two
-    // consumers prune different columns, which makes the subtrees
-    // structurally distinct — ReusedExchange cannot dedupe them and
-    // the corpus would re-explode per consumer (measured ~2× on the
-    // trigram volume, the round's one bench-flagged plan).
+    // two consumers prune different columns (ReusedExchange cannot
+    // dedupe them), so the census computes twice — MEASURED as the
+    // cheaper choice: persisting the corpus-sized census cost more in
+    // cache serialization than the second codegen'd pass (5.2s vs
+    // 4.2s at sf0.1). A 100 TB deployment materializes the census to
+    // parquet once and serves both consumers from the scan instead.
     val census = base.select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"))
           .as("tri"))
       .groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
     val profiles = census.groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("tf")).as("pc"))
       .transform(graft.plans.TopK.perGroup(
@@ -416,15 +416,12 @@ object TextMetrics {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("plang"))
     val top = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("plang"), col("votes"))
-    val out = docs.select(col("doc_id"), col("lang"))
+    docs.select(col("doc_id"), col("lang"))
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("plang"), lit("und")).as("pred_lang"),
         coalesce(col("votes"), lit(0L)).as("votes"))
       .withColumn("agree", col("lang") === col("pred_lang"))
-      .localCheckpoint()
-    census.unpersist()
-    out
   }
 
   /** Minimum docs sharing a skeleton before it counts as a template. */
