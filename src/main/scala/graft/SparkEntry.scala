@@ -219,7 +219,9 @@ object SparkEntry {
     "auc_eval" -> (Learn.aucEval _),
     "calibration_curve" -> (Learn.calibrationCurve _),
     "gini_concentration" -> (Stats.giniConcentration _),
-    "events_autocorr" -> (Events.eventsAutocorr _)
+    "events_autocorr" -> (Events.eventsAutocorr _),
+    "conversion_ci" -> (Experiment.conversionCi _),
+    "source_kl" -> (TextMetrics.sourceKl _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3293,6 +3295,48 @@ object SparkEntry {
         |SELECT event_type, t AS n_hours, round(mu, 6) AS mean_hourly,
         |  round(CASE WHEN t > 1 AND den > 0.0 THEN num1 / den END, 6) AS autocorr_1,
         |  round(CASE WHEN t > 24 AND den > 0.0 THEN num24 / den END, 6) AS autocorr_24
-        |FROM k ORDER BY event_type""".stripMargin
+        |FROM k ORDER BY event_type""".stripMargin,
+    "conversion_ci" ->
+      s"""WITH c AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT day, n, k, CAST(n AS DOUBLE) AS nd,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    ${1.96 * 1.96} / CAST(n AS DOUBLE) AS z2n
+        |  FROM c)
+        |SELECT day, n AS n_active, k AS n_buyers, round(p, 6) AS rate,
+        |  round((p + z2n / 2.0) / (1.0 + z2n) -
+        |    (1.96 * sqrt(p * (1.0 - p) / nd + z2n / (4.0 * nd))) / (1.0 + z2n), 6) AS ci_lo,
+        |  round((p + z2n / 2.0) / (1.0 + z2n) +
+        |    (1.96 * sqrt(p * (1.0 - p) / nd + z2n / (4.0 * nd))) / (1.0 + z2n), 6) AS ci_hi
+        |FROM e ORDER BY day""".stripMargin,
+    "source_kl" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tk2 AS (SELECT source, t FROM tk WHERE t <> ''),
+        |corpus AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tk2 GROUP BY t),
+        |vocab AS (SELECT t, ct FROM (
+        |  SELECT t, ct, row_number() OVER (ORDER BY ct DESC, t) AS rk FROM corpus)
+        |  WHERE rk <= 500),
+        |ntot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM corpus),
+        |scounts AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cs FROM tk2
+        |  WHERE t IN (SELECT t FROM vocab) GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM tk2 GROUP BY source),
+        |spine AS (SELECT s.source, v.t, v.ct
+        |  FROM (SELECT DISTINCT source FROM stot) s CROSS JOIN vocab v),
+        |cells AS (SELECT sp.source, sp.t, sp.ct, coalesce(sc.cs, 0) AS cs,
+        |    st.n_src, ntot.n_corpus
+        |  FROM spine sp
+        |  LEFT JOIN scounts sc ON sc.source = sp.source AND sc.t = sp.t
+        |  JOIN stot st ON st.source = sp.source, ntot),
+        |terms AS (SELECT source, n_src, t,
+        |    (CAST(cs + 1 AS DOUBLE) / CAST(n_src + 500 AS DOUBLE)) *
+        |      ln((CAST(cs + 1 AS DOUBLE) / CAST(n_src + 500 AS DOUBLE)) /
+        |        (CAST(ct + 1 AS DOUBLE) / CAST(n_corpus + 500 AS DOUBLE))) AS term
+        |  FROM cells)
+        |SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY t)),
+        |    (a, b) -> a + b), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin
   )
 }

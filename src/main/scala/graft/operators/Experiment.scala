@@ -256,6 +256,35 @@ object Experiment {
           6).as("survival"))
   }
 
+  /** WILSON 95% confidence intervals on the daily conversion rate
+    * (buying users / active users) — the uncertainty band a growth
+    * dashboard must draw before anyone reads day-to-day wiggle as
+    * signal (Wilson, not Wald: correct coverage at small n and extreme
+    * p̂, never leaves [0,1]). Counts are exact distinct-user longs per
+    * day; the interval arithmetic is a fixed chain of double ops on
+    * (k, n, z=1.96) mirrored expression-for-expression in the oracle,
+    * sqrt only (correctly-rounded IEEE), round 6. One day-keyed
+    * distinct shuffle; everything after is day-cell arithmetic. */
+  def conversionCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 1.96
+    val cells = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("n"),
+        count_distinct(when(col("event_type") === "purchase", col("user_id"))).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2n = lit(z * z) / nD
+    val center = (p + z2n / 2.0) / (lit(1.0) + z2n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD + z2n / (lit(4.0) * nD))) /
+      (lit(1.0) + z2n)
+    cells.select(col("day"), col("n").as("n_active"), col("k").as("n_buyers"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+  }
+
   /** PSI bin width (cents) and count — the value_histogram grid,
     * clamped to a fixed spine so the index is well-defined. */
   final val PsiBinW = 5000L

@@ -424,6 +424,49 @@ object TextMetrics {
       .withColumn("agree", col("lang") === col("pred_lang"))
   }
 
+  /** Restricted vocabulary size for the KL divergence. */
+  final val KlVocab = 500
+
+  /** Per-source UNIGRAM KL DIVERGENCE from the corpus distribution —
+    * the domain-shift score (DoReMi/DSIR family) that ranks sources by
+    * how far their language drifts from the mixture: KL(P_s ‖ Q) over
+    * the corpus top-KlVocab terms, +1 Laplace smoothing on both sides
+    * so zero cells are defined. The vocabulary is a bounded-heap
+    * global TopK (broadcast-sized forever); missing (source, term)
+    * cells materialize through the source×vocab spine (the psi_drift
+    * zero-cell rule) so both engines smooth identical zeros; the
+    * V-term sum folds in sorted term order (sorted-fold float rule),
+    * round-6-after-ln. One corpus census shuffle + cell arithmetic. */
+  def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val corpus = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val vocab = corpus.transform(graft.plans.TopK.perGroup(
+      Seq(), Seq("ct" -> false, "t" -> true), KlVocab))
+    val nTot = corpus.agg(sum(col("ct")).as("n_corpus"))
+    val srcCounts = toks.join(vocab.select(col("t")), Seq("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
+    val srcTotals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val spine = srcTotals.select(col("source")).crossJoin(vocab)
+    val cells = spine
+      .join(srcCounts, Seq("source", "t"), "left")
+      .na.fill(0L, Seq("cs"))
+      .join(srcTotals, Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("p", (col("cs") + 1L).cast("double") /
+        (col("n_src") + KlVocab).cast("double"))
+      .withColumn("q", (col("ct") + 1L).cast("double") /
+        (col("n_corpus") + KlVocab).cast("double"))
+      .withColumn("term", col("p") * log(col("p") / col("q")))
+    cells.groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_tokens"),
+        sort_array(collect_list(struct(col("t"), col("term")))).as("terms"))
+      .select(col("source"), col("n_tokens"),
+        round(aggregate(col("terms"), lit(0.0),
+          (a, x) => a + x.getField("term")), 6).as("kl"))
+  }
+
   /** Minimum docs sharing a skeleton before it counts as a template. */
   final val TemplateMinDocs = 3
 

@@ -622,6 +622,52 @@ class GrowthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion_ci brackets the rate and matches a local Wilson computation") {
+    val rows = graft.operators.Experiment.conversionCi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, k, rate, lo, hi) =>
+      assert(k <= n)
+      assert(math.abs(rate - k.toDouble / n) < 1e-6)
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9, "interval brackets the estimate")
+      assert(lo >= -1e-6 && hi <= 1.0 + 1e-6, "Wilson never leaves [0,1]")
+      val z = 1.96; val p = k.toDouble / n; val z2n = z * z / n
+      val center = (p + z2n / 2.0) / (1.0 + z2n)
+      val half = z * math.sqrt(p * (1.0 - p) / n + z2n / (4.0 * n)) / (1.0 + z2n)
+      assert(math.abs(lo - (center - half)) < 1e-5)
+      assert(math.abs(hi - (center + half)) < 1e-5)
+    }
+  }
+
+  test("source_kl is nonnegative and matches a local smoothed replay") {
+    val rows = TextMetrics.sourceKl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val corpusCounts = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val vocab = corpusCounts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextMetrics.KlVocab).map(_._1)
+    val nCorpus = corpusCounts.values.sum
+    val v = TextMetrics.KlVocab
+    rows.foreach { case (src, nTok, kl) =>
+      val toks = docs.filter(_._1 == src).flatMap(_._2)
+      assert(nTok == toks.length.toLong, s"$src token count")
+      val cs = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val expected = vocab.map { t =>
+        val p = (cs.getOrElse(t, 0L) + 1).toDouble / (toks.length + v)
+        val q = (corpusCounts(t) + 1).toDouble / (nCorpus + v)
+        p * math.log(p / q)
+      }.sum
+      assert(math.abs(kl - expected) < 1e-4, s"$src kl")
+      // KL over a sub-vocabulary is not strictly >= 0 mathematically,
+      // but with smoothing and dominated mass it must be small-bounded
+      assert(kl > -0.5 && kl < 5.0, s"$src kl range")
+    }
+  }
+
   test("compact_plan bins respect the next-fit-decreasing invariants") {
     val rows = Layout.compactPlan(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
