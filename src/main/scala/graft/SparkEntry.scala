@@ -1184,7 +1184,8 @@ object SparkEntry {
         |g AS (SELECT DISTINCT doc_id,
         |  CAST(md5_number_lower(gram) % 2305843009213693951 AS BIGINT) AS h FROM g0),
         |dfr AS (SELECT h FROM g GROUP BY h
-        |  HAVING count(*) <= ${operators.Dedup.ContainDfCap}),
+        |  HAVING count(*) <= greatest(${operators.Dedup.ContainDfCap},
+        |    (SELECT count(*) FROM documents) // 8)),
         |gc AS (SELECT doc_id, h FROM g JOIN dfr USING (h)),
         |nsz AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_shared
@@ -2332,18 +2333,22 @@ object SparkEntry {
         |    sum(CASE WHEN variant = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS q_b
         |  FROM v)
         |SELECT n_a, n_b,
-        |  round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a,
-        |  round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b,
-        |  round(CASE WHEN CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE) > 0
-        |      OR CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE) > 0 THEN
+        |  CASE WHEN n_a > 0
+        |    THEN round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0
+        |    THEN round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) END AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1
+        |      AND (CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE) > 0
+        |        OR CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE) > 0) THEN
+        |    round(
         |    (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
         |      - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
         |    / sqrt(
         |      CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
         |        / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
         |      + CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
-        |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE))
-        |    ELSE CAST(0 AS DOUBLE) END, 6) AS z_score
+        |        / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE)), 6)
+        |    WHEN n_a > 1 AND n_b > 1 THEN CAST(0 AS DOUBLE) END AS z_score
         |FROM s""".stripMargin,
     "psi_drift" -> {
       import graft.operators.Experiment.{PsiBinW, PsiBins}
@@ -2806,23 +2811,28 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
         |  FROM v)
         |SELECT n_a, n_b,
-        |  round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
-        |    CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 100.0, 6) AS raw_diff,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    CAST(n * qx - sx * sx AS DOUBLE), 6) AS theta,
-        |  round(((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
-        |      CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) -
-        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * qx - sx * sx AS DOUBLE) *
-        |      (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
-        |        CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) / 100.0, 6) AS cuped_diff,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (CAST(n * qx - sx * sx AS DOUBLE) * CAST(n * qy - sy * sy AS DOUBLE)),
-        |    6) AS rho_sq
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |    round((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |      CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 100.0, 6) END AS raw_diff,
+        |  CASE WHEN CAST(n * qx - sx * sx AS DOUBLE) > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * qx - sx * sx AS DOUBLE), 6) END AS theta,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND CAST(n * qx - sx * sx AS DOUBLE) > 0 THEN
+        |    round(((CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |        CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+        |      CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * qx - sx * sx AS DOUBLE) *
+        |        (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |          CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) / 100.0, 6) END AS cuped_diff,
+        |  CASE WHEN CAST(n * qx - sx * sx AS DOUBLE) > 0
+        |      AND CAST(n * qy - sy * sy AS DOUBLE) > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (CAST(n * qx - sx * sx AS DOUBLE) * CAST(n * qy - sy * sy AS DOUBLE)),
+        |      6) END AS rho_sq
         |FROM m""".stripMargin,
     "template_dup" ->
       """WITH s AS (SELECT doc_id,
         |    md5_number_lower(regexp_replace(regexp_replace(lower(text),
-        |      '[0-9]+', '#', 'g'), '\s+', ' ', 'g')) % 2305843009213693951 AS skeleton
+        |      '[0-9]+', '#', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) % 2305843009213693951 AS skeleton
         |  FROM documents),
         |c AS (SELECT skeleton, CAST(count(*) AS BIGINT) AS n_docs_skeleton
         |  FROM s GROUP BY skeleton)
@@ -2858,7 +2868,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  max(n_chars) AS largest_file, min(n_chars) AS smallest_file,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / 16384.0, 6) AS fill_ratio
+        |  (sum(n_chars) * 1000000) // 16384 AS fill_ppm
         |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "events_ltv" ->
       """WITH ev AS (SELECT user_id,
@@ -3139,7 +3149,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |  WHERE tok <> '' GROUP BY 1, 2),
         |rare AS (SELECT t FROM (SELECT t, count(*) AS df FROM tf GROUP BY t)
-        |  WHERE df <= 64),
+        |  WHERE df <= greatest(64, (SELECT count(*) FROM documents) // 8)),
         |gc AS (SELECT tf.* FROM tf JOIN rare USING (t)),
         |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
         |  FROM gc GROUP BY doc_id),

@@ -518,9 +518,14 @@ object Dedup {
           / col("n_tokens"), 6).as("dup_coverage"))
   }
 
-  /** Word 5-grams per containment doc pair participate only while
-    * their corpus frequency stays under this bound — the fan-out cap
-    * that keeps the gram self-join linear under boilerplate. */
+  /** Df-cap FLOOR for the containment/cosine inverted indexes. The
+    * effective cap is corpus-RELATIVE: max(floor, n_docs/8) — an
+    * absolute cap degenerates as the corpus grows (every df scales
+    * with N, so a fixed bound eventually drops the whole rare-term
+    * space and the operator silently emits zero pairs; the sf0.1
+    * probe measured exactly that). n_docs/8 pins the boilerplate
+    * definition at "appears in >12.5% of docs" at any scale, while
+    * the floor keeps tiny corpora from over-pruning. */
   final val ContainDfCap = 64
   /** Containment window width (tokens). */
   final val ContainW = 5
@@ -563,8 +568,12 @@ object Dedup {
           .stripMargin)))
       .select(col("doc_id"), Similarity.md5Mod(col("g")).as("h"))
       .dropDuplicates("doc_id", "h")
+    // corpus-relative cap: one-row doc count broadcast against the
+    // gram-frequency table (see ContainDfCap scaladoc)
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val dfr = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ContainDfCap)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(ContainDfCap.toLong), expr("n_docs div 8")))
     val gc = grams.join(dfr.select(col("h")), Seq("h")).persist()
     gc.count() // materialize once: feeds sizes, both join sides
     val nsz = gc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -584,8 +593,9 @@ object Dedup {
     out
   }
 
-  /** Term-frequency doc pairs participate only while their corpus df
-    * stays under this bound (the containment_dup discipline). */
+  /** Df-cap FLOOR for cosine term pairs; effective cap is
+    * max(floor, n_docs/8) — the corpus-relative containment_dup
+    * discipline (see ContainDfCap). */
   final val CosDfCap = 64
 
   /** WEIGHTED COSINE similarity pairs over term-frequency vectors —
@@ -609,8 +619,10 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val rare = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= CosDfCap)
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(CosDfCap.toLong), expr("n_docs div 8")))
     val gc = tf.join(rare.select(col("t")), Seq("t")).persist()
     gc.count() // materialize once: feeds norms and both join sides
     val norms = gc.groupBy(col("doc_id"))

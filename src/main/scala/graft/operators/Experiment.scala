@@ -44,29 +44,35 @@ object Experiment {
       sum(when(col("variant") === 1, col("cents")).otherwise(0L)).as("s_b"),
       sum(when(col("variant") === 1,
         col("cents").cast("decimal(38,0)") * col("cents")).otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
+    // degenerate-split guard (olsByGroup rule): a variant with 0 or 1
+    // users would push a /(n-1) or /n division to NaN/Infinity through
+    // round(); emit typed nulls instead so the failure is visible, not
+    // folded into a fake statistic. Mirrored in the oracle CASE chain.
+    val splitOk = col("n_a") > 1 && col("n_b") > 1
+    val varA = (col("n_a").cast("decimal(38,0)") * col("q_a") -
+      col("s_a").cast("decimal(38,0)") * col("s_a")).cast("double")
+    val varB = (col("n_b").cast("decimal(38,0)") * col("q_b") -
+      col("s_b").cast("decimal(38,0)") * col("s_b")).cast("double")
     m.select(col("n_a"), col("n_b"),
-        round(col("s_a").cast("double") / col("n_a").cast("double") / 100.0, 6).as("mean_a"),
-        round(col("s_b").cast("double") / col("n_b").cast("double") / 100.0, 6).as("mean_b"),
+        when(col("n_a") > 0,
+          round(col("s_a").cast("double") / col("n_a").cast("double") / 100.0, 6))
+          .as("mean_a"),
+        when(col("n_b") > 0,
+          round(col("s_b").cast("double") / col("n_b").cast("double") / 100.0, 6))
+          .as("mean_b"),
         // Welch z over exact moments: var = (n·Σx² − (Σx)²)/(n·(n−1))
-        round(
-          when(
-            (col("n_a").cast("decimal(38,0)") * col("q_a") -
-              col("s_a").cast("decimal(38,0)") * col("s_a")).cast("double") > 0 ||
-            (col("n_b").cast("decimal(38,0)") * col("q_b") -
-              col("s_b").cast("decimal(38,0)") * col("s_b")).cast("double") > 0,
+        when(splitOk && (varA > 0 || varB > 0),
+          round(
             (col("s_b").cast("double") / col("n_b").cast("double") -
               col("s_a").cast("double") / col("n_a").cast("double")) /
               sqrt(
-                (col("n_a").cast("decimal(38,0)") * col("q_a") -
-                  col("s_a").cast("decimal(38,0)") * col("s_a")).cast("double") /
-                  (col("n_a").cast("double") * (col("n_a") - 1).cast("double")) /
+                varA / (col("n_a").cast("double") * (col("n_a") - 1).cast("double")) /
                   col("n_a").cast("double") +
-                (col("n_b").cast("decimal(38,0)") * col("q_b") -
-                  col("s_b").cast("decimal(38,0)") * col("s_b")).cast("double") /
-                  (col("n_b").cast("double") * (col("n_b") - 1).cast("double")) /
-                  col("n_b").cast("double")))
-            .otherwise(lit(0.0)),
-          6).as("z_score"))
+                varB / (col("n_b").cast("double") * (col("n_b") - 1).cast("double")) /
+                  col("n_b").cast("double")),
+            6))
+          .otherwise(when(splitOk, lit(0.0)))
+          .as("z_score"))
   }
 
   /** RFM SEGMENTATION over the purchase stream: per buyer, recency
@@ -170,30 +176,33 @@ object Experiment {
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx_b"),
       sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy_b"))
-    // pooled centered moments as EXACT decimals; doubles only at the end
+    // pooled centered moments as EXACT decimals; doubles only at the end.
+    // Degenerate guards (olsByGroup rule): zero-variance covariate or a
+    // 0/1-user variant yields typed nulls, never NaN/Infinity through
+    // round(). Mirrored in the oracle CASE chain.
+    val varX = (col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double")
+    val varY = (col("n").cast(d38) * col("qy") - col("sy").cast(d38) * col("sy")).cast("double")
+    val covXY = (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double")
+    val splitOk = col("n_a") > 1 && col("n_b") > 1
     m.select(
         col("n_a"), col("n_b"),
-        round((col("sy_b").cast("double") / col("n_b").cast("double") -
-          col("sy_a").cast("double") / col("n_a").cast("double")) / 100.0, 6)
+        when(splitOk,
+          round((col("sy_b").cast("double") / col("n_b").cast("double") -
+            col("sy_a").cast("double") / col("n_a").cast("double")) / 100.0, 6))
           .as("raw_diff"),
-        round(
-          (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
-            (col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double"),
-          6).as("theta"),
-        round(
-          ((col("sy_b").cast("double") / col("n_b").cast("double") -
-            col("sy_a").cast("double") / col("n_a").cast("double")) -
-            (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
-              (col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double") *
-              (col("sx_b").cast("double") / col("n_b").cast("double") -
-                col("sx_a").cast("double") / col("n_a").cast("double"))) / 100.0,
-          6).as("cuped_diff"),
-        round(
-          (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") *
-            (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).cast("double") /
-            ((col("n").cast(d38) * col("qx") - col("sx").cast(d38) * col("sx")).cast("double") *
-              (col("n").cast(d38) * col("qy") - col("sy").cast(d38) * col("sy")).cast("double")),
-          6).as("rho_sq"))
+        when(varX > 0, round(covXY / varX, 6)).as("theta"),
+        when(splitOk && varX > 0,
+          round(
+            ((col("sy_b").cast("double") / col("n_b").cast("double") -
+              col("sy_a").cast("double") / col("n_a").cast("double")) -
+              covXY / varX *
+                (col("sx_b").cast("double") / col("n_b").cast("double") -
+                  col("sx_a").cast("double") / col("n_a").cast("double"))) / 100.0,
+            6))
+          .as("cuped_diff"),
+        when(varX > 0 && varY > 0,
+          round(covXY * covXY / (varX * varY), 6))
+          .as("rho_sq"))
   }
 
   /** Censoring horizon (days): a user quiet for more than this before

@@ -98,7 +98,10 @@ object Layout {
         sum(col("n_chars")).as("total_chars"),
         max(col("n_chars")).as("largest_file"),
         min(col("n_chars")).as("smallest_file"))
-      .withColumn("fill_ratio",
-        round(col("total_chars").cast("double") / CompactTarget.toDouble, 6))
+      // Exact-integer fill metric: ppm of the target, computed with
+      // integer division so both engines produce bit-identical values
+      // (a double ratio proved hash-unstable across float renderers).
+      .withColumn("fill_ppm",
+        expr(s"(total_chars * 1000000L) div ${CompactTarget}L"))
   }
 }

@@ -489,7 +489,10 @@ object TextMetrics {
       .select(col("doc_id"),
         graft.functions.Similarity.md5Mod(
           regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "#"),
-            "\\s+", " ")).as("skeleton"))
+            // explicit class, NOT \s: Java's \s and DuckDB-RE2's \s
+            // disagree on \x0B — the dialect-pinned form is identical
+            // on both engines
+            "[ \\t\\n\\x0B\\f\\r]+", " ")).as("skeleton"))
     val census = skel.groupBy(col("skeleton")).agg(count(lit(1)).as("n_docs_skeleton"))
     skel.join(census, Seq("skeleton"))
       .select(col("doc_id"), col("skeleton"), col("n_docs_skeleton"),

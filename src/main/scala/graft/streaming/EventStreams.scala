@@ -424,6 +424,14 @@ object EventStreams {
       }
       for (e <- rows.toSeq.sortBy(_.ts_us)) {
         val hour = e.ts_us / HourUs
+        // enforce the per-key in-order contract ACROSS batches: an
+        // event whose hour precedes the open state hour would rewind
+        // curHour and silently corrupt both the bucket and the
+        // recurrence — fail loudly instead of folding it in
+        if (st.curHour != Long.MinValue && hour < st.curHour)
+          throw new IllegalStateException(
+            s"ewmaHourly[$eventType]: out-of-order event hour $hour < open hour " +
+              s"${st.curHour} violates the per-key in-order delivery contract")
         if (st.curHour != Long.MinValue && hour > st.curHour) finalizeHour()
         st = st.copy(curHour = hour, curN = st.curN + 1, curCents = st.curCents + e.cents)
       }
