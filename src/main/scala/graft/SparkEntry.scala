@@ -89,6 +89,7 @@ object SparkEntry {
     "name_fillforward" -> (ReferenceOps.nameFillforward _),
     "entity_match" -> (EntityMatch.entityMatch _),
     "entity_cascade" -> (EntityMatch.entityCascade _),
+    "entity_lattice" -> (EntityMatch.entityLattice _),
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
     "match_eval" -> (EntityMatch.matchEval _),
@@ -537,6 +538,28 @@ object SparkEntry {
         |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
         |SELECT c_custkey, c_name, s_suppkey AS match_id, s_name AS match_name, distance
         |FROM scored WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
+    "entity_lattice" ->
+      """WITH p AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    CASE WHEN pk AND pb AND pn THEN 0
+        |      WHEN pb AND pn THEN 1 WHEN pk AND pn THEN 2 WHEN pk AND pb THEN 3
+        |      WHEN pk THEN 4 WHEN pb THEN 5 WHEN pn THEN 6 ELSE 7 END AS prio
+        |  FROM (SELECT c_custkey, s_suppkey,
+        |      c_custkey % 97 = s_suppkey % 97 AS pk,
+        |      floor(c_acctbal / 1000.0) = floor(s_acctbal / 1000.0) AS pb,
+        |      right(c_name, 1) = right(s_name, 1) AS pn
+        |    FROM customer JOIN supplier ON c_nationkey = s_nationkey)),
+        |w AS (SELECT c_custkey,
+        |    min(CAST(prio AS BIGINT) * (1::BIGINT << 48) + s_suppkey) AS p
+        |  FROM p GROUP BY c_custkey)
+        |SELECT c.c_custkey,
+        |  CAST(w.p & ((1::BIGINT << 48) - 1) AS BIGINT) AS match_id,
+        |  CAST(w.p >> 48 AS INT) AS level,
+        |  coalesce(CASE WHEN w.p >> 48 = 0 THEN 4
+        |    WHEN w.p >> 48 <= 3 THEN 3 WHEN w.p >> 48 <= 6 THEN 2
+        |    WHEN w.p >> 48 = 7 THEN 1 END, 0) AS certitude
+        |FROM customer c LEFT JOIN w ON c.c_custkey = w.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     "entity_cascade" ->
       """WITH exact AS (
         |  SELECT c_custkey, min(s_suppkey) AS match_id, 'exact' AS method, 2 AS certitude

@@ -132,6 +132,65 @@ object EntityMatch {
         coalesce(col("certitude"), lit(0)).as("certitude"))
   }
 
+  /** K-LEVEL PARAMETER-SUBTRACTIVE RETRY LATTICE — the full shape of
+    * the reference's relaunch cascade (itemtoid.py:187-221
+    * relaunch_query + itemtoid.py:254-305 launch_query): the first
+    * query carries ALL available parameters; on failure the dates
+    * drop one at a time, then each remaining parameter is removed
+    * singly (restoring it before trying the next), and the certitude
+    * of a successful match counts the parameters that SURVIVED in the
+    * winning query (itemtoid.py:91-113 paramcount).
+    *
+    * Parameter mapping onto the catalog twin: the nation block plays
+    * the always-kept surname; the three subtractive parameters are
+    * key-residue (date 1 analog), balance bucket (date 2 analog), and
+    * name-tail digit (the occupation/status analog). Lattice priority
+    * replays the reference's retry order exactly:
+    * 0 = all three, 1-3 = drop one (key first, the dates-first rule),
+    * 4-6 = single-parameter fallbacks, 7 = block-only last resort
+    * (the reference's name-only final query). Certitude = surviving
+    * parameter count + 1 for the block: 4/3/2/1, and 0 when the block
+    * itself is empty.
+    *
+    * Spark-first shape: a sequential 8-pass anti-join chain would
+    * replay the retries literally, but with a LOCAL candidate set the
+    * cascade is equivalent to one blocked equi-join computing each
+    * pair's best-satisfied level, then a packed-long argmin per
+    * source row ((level, suppkey) lexicographic via min over
+    * level·2⁴⁸+key — codegen'd HashAggregate with full map-side
+    * combine). One shuffle join + one agg instead of eight passes;
+    * the per-pair when-chain is whole-stage codegen'd. */
+  def entityLattice(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .transform(Partitioning.spread)
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val pKey = pmod(col("c_custkey"), lit(97L)) === pmod(col("s_suppkey"), lit(97L))
+    val pBal = floor(col("c_acctbal") / lit(1000.0)) ===
+      floor(col("s_acctbal") / lit(1000.0))
+    val pNm = expr("right(c_name, 1)") === expr("right(s_name, 1)")
+    val prio = when(pKey && pBal && pNm, 0L)
+      .when(pBal && pNm, 1L).when(pKey && pNm, 2L).when(pKey && pBal, 3L)
+      .when(pKey, 4L).when(pBal, 5L).when(pNm, 6L)
+      .otherwise(7L)
+    val best = cust.join(supp, col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("c_custkey"))
+      .agg(min(prio * lit(1L << 48) + col("s_suppkey")).as("p"))
+      .select(col("c_custkey"),
+        unpackKey(col("p")).as("match_id"),
+        shiftright(col("p"), 48).cast("int").as("level"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(best, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("match_id"), col("level"),
+        coalesce(
+          when(col("level") === 0, 4)
+            .when(col("level") <= 3, 3)
+            .when(col("level") <= 6, 2)
+            .when(col("level") === 7, 1),
+          lit(0)).as("certitude"))
+  }
+
   /** Deduplicated set of matched entity ids — the reference's
     * idset.py:11 build_idset, which feeds the enrichment stage. */
   def idDedup(spark: SparkSession, sfDir: String): DataFrame =

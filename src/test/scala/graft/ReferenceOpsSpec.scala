@@ -149,6 +149,56 @@ class ReferenceOpsSpec extends AnyFunSuite {
     assert(c.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("entity_lattice equals a literal sequential retry replay") {
+    // replay the reference's retry order literally (try each lattice
+    // level in sequence, stop at the first non-empty candidate set,
+    // min-suppkey winner) and assert the one-join argmin form agrees
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    def replay(ck: Long, cn: String, cb: Double, cands: Seq[(Long, String, Double)])
+        : Option[(Long, Int)] = {
+      def pk(sk: Long) = ck % 97 == sk % 97
+      def pb(sb: Double) = math.floor(cb / 1000.0) == math.floor(sb / 1000.0)
+      def pn(sn: String) = cn.last == sn.last
+      val levels: Seq[((Long, String, Double)) => Boolean] = Seq(
+        { case (sk, sn, sb) => pk(sk) && pb(sb) && pn(sn) },
+        { case (sk, sn, sb) => pb(sb) && pn(sn) },
+        { case (sk, sn, sb) => pk(sk) && pn(sn) },
+        { case (sk, sn, sb) => pk(sk) && pb(sb) },
+        { case (sk, _, _) => pk(sk) },
+        { case (_, _, sb) => pb(sb) },
+        { case (_, sn, _) => pn(sn) },
+        { case _ => true })
+      levels.zipWithIndex.iterator
+        .map { case (f, i) => (cands.filter(f), i) }
+        .collectFirst { case (hits, i) if hits.nonEmpty => (hits.map(_._1).min, i) }
+    }
+    val bySupp = supp.groupBy(_._3)
+    val expected = cust.map { case (ck, cn, nk, cb) =>
+      val cands = bySupp.getOrElse(nk, Array.empty).toSeq.map(t => (t._1, t._2, t._4))
+      val m = replay(ck, cn, cb, cands)
+      ck -> (m.map(_._1), m.map(_._2).getOrElse(-1), m.map { case (_, l) =>
+        if (l == 0) 4 else if (l <= 3) 3 else if (l <= 6) 2 else 1
+      }.getOrElse(0))
+    }.toMap
+    val got = EntityMatch.entityLattice(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val ck = r.getLong(0)
+      val (mid, lvl, cert) = expected(ck)
+      assert(Option(r.get(1)).map(_.asInstanceOf[Long]) == mid, s"match_id for $ck")
+      assert(Option(r.get(2)).map(_.asInstanceOf[Int]).getOrElse(-1) == lvl, s"level for $ck")
+      assert(r.getInt(3) == cert, s"certitude for $ck")
+    }
+    // the lattice must actually exercise multiple certitude grades
+    val grades = got.map(_.getInt(3)).toSet
+    assert(grades.size >= 3, s"degenerate certitude distribution: $grades")
+  }
+
   test("word_count excludes stopwords") {
     val words = WordCount.wordCount(spark, sf).select("word")
       .collect().map(_.getString(0)).toSet
