@@ -387,23 +387,42 @@ object TextMetrics {
     * doc trigram counts in one doc-keyed shuffle, the profile join
     * unhinted (AQE broadcasts the 200-row profile), one argmax window
     * per doc inside the same layout. */
+  /** Docs threshold above which the trigram census materializes to a
+    * temp parquet instead of recomputing per consumer (see below). */
+  final val TriCensusMaterializeDocs = 2000L
+
   def langIdTrigram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val base = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
     // ONE trigram census keyed (doc, lang, tri) — lang is functionally
-    // dependent on doc_id, so it rides the same exchange for free. The
-    // two consumers prune different columns (ReusedExchange cannot
-    // dedupe them), so the census computes twice — MEASURED as the
-    // cheaper choice: persisting the corpus-sized census cost more in
-    // cache serialization than the second codegen'd pass (5.2s vs
-    // 4.2s at sf0.1). A 100 TB deployment materializes the census to
-    // parquet once and serves both consumers from the scan instead.
-    val census = base.select(col("doc_id"), col("lang"),
+    // dependent on doc_id, so it rides the same exchange for free. Two
+    // consumers need it (per-language profiles, per-doc scoring) and
+    // their pruned subtrees defeat ReusedExchange, so a naive plan
+    // computes the corpus-sized census twice. Resolution is
+    // size-dependent, picked by a metadata-only doc count: small
+    // corpora recompute (the second codegen'd pass beats any
+    // serialization — measured 4.2s vs 5.2s for a deserialized cache
+    // at sf0.1's census width); at/above TriCensusMaterializeDocs the
+    // census writes ONCE to columnar temp parquet and both consumers
+    // scan it with their own column pruning — the shape that holds at
+    // 100 TB, where a second full explode+aggregate pass is the
+    // bottleneck and a parquet round-trip is sequential I/O.
+    val censusPlan = base.select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"))
           .as("tri"))
       .groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("tf"))
+    val census = if (docs.count() >= TriCensusMaterializeDocs) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tri_census")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      censusPlan.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    } else censusPlan
     val profiles = census.groupBy(col("lang").as("plang"), col("tri"))
       .agg(sum(col("tf")).as("pc"))
       .transform(graft.plans.TopK.perGroup(
