@@ -7,6 +7,9 @@ package graft.functions
   * :495; public GPL data). Only the linguistic DATA is imported — the
   * matching mechanism (broadcast literal maps, codegen'd rule
   * cascades) is the Spark-native implementation in NameFunctions.
+  * Provenance and licensing: see the repository LICENSE file — the
+  * imported tables are GPL-3.0 and the repo is distributed under
+  * GPL-3.0 accordingly.
   */
 object MatchingTables {
 

@@ -66,4 +66,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(json.select("id", "name", "score").collect().map(_.mkString("|")).toSet ==
       df.collect().map(_.mkString("|")).toSet)
   }
+
+  test("enrichment doc sink round-trips the per-ID nested attribute shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrichdoc")
+    val wide = graft.operators.EnrichJoin.enrichWide(spark, sf)
+    graft.sources.Sinks.writeEnrichmentDoc(wide, "c_custkey", s"$dir/doc")
+    val back = spark.read.json(s"$dir/doc")
+    assert(back.count() == wide.count())
+    // every non-id column surfaces as attributes.<name>: array<string>
+    val attrFields = back.schema("attributes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(attrFields.fieldNames.toSet == wide.columns.toSet - "c_custkey")
+    attrFields.fields.foreach { f =>
+      assert(f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"${f.name} must be a value LIST (result_tojson shape)")
+    }
+    // spot-check one entity: scalar wraps to one-element list, array
+    // columns carry their values, and the id round-trips as the key
+    val row = wide.orderBy("c_custkey").head()
+    val doc = back.filter(back("id") === row.getAs[Long]("c_custkey").toString).head()
+    val attrs = doc.getAs[org.apache.spark.sql.Row]("attributes")
+    assert(attrs.getAs[scala.collection.Seq[String]]("nation_label").toSeq ==
+      Seq(row.getAs[String]("nation_label")))
+    assert(attrs.getAs[scala.collection.Seq[String]]("statuses").toSeq ==
+      row.getAs[scala.collection.Seq[String]]("statuses").toSeq)
+    assert(attrs.getAs[scala.collection.Seq[String]]("workcount").toSeq ==
+      Seq(row.getAs[Long]("workcount").toString))
+  }
 }
