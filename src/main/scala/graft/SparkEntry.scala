@@ -222,7 +222,10 @@ object SparkEntry {
     "gini_concentration" -> (Stats.giniConcentration _),
     "events_autocorr" -> (Events.eventsAutocorr _),
     "conversion_ci" -> (Experiment.conversionCi _),
-    "source_kl" -> (TextMetrics.sourceKl _)
+    "source_kl" -> (TextMetrics.sourceKl _),
+    "ngram_novelty" -> (TextMetrics.ngramNovelty _),
+    "events_cusum" -> (Events.eventsCusum _),
+    "hill_tail" -> (Stats.hillTail _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3370,6 +3373,63 @@ object SparkEntry {
         |SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY t)),
         |    (a, b) -> a + b), 6) AS kl
-        |FROM terms GROUP BY source ORDER BY source""".stripMargin
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 5),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CAST(md5_number_lower(gram) % 2305843009213693951 AS BIGINT) AS h FROM g0),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+        |p AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM g JOIN f USING (h) GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+        |  coalesce(p.n_novel, 0) AS n_novel,
+        |  CASE WHEN p.n_grams IS NOT NULL
+        |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END AS novelty
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "events_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+        |r AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily), r),
+        |cells AS (SELECT s.event_type, s.day, coalesce(d.n_events, 0) AS n_events
+        |  FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day),
+        |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS t_total,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM cells GROUP BY event_type),
+        |w AS (SELECT c.event_type, c.day, c.n_events, t.n_days, t.t_total,
+        |    sum(t.n_days * c.n_events - t.t_total) OVER (PARTITION BY c.event_type
+        |      ORDER BY c.day ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM cells c JOIN tot t USING (event_type)),
+        |w2 AS (SELECT *, s - least(min(s) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS c FROM w)
+        |SELECT event_type, CAST(make_timestamp(day * 86400000000) AS DATE) AS day,
+        |  n_events, round(CAST(c AS DOUBLE) / n_days, 6) AS excess,
+        |  c > t_total AS alarm
+        |FROM w2 ORDER BY event_type, day""".stripMargin,
+    "hill_tail" ->
+      """WITH rk AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    list(struct_pack(n_chars := n_chars, doc_id := doc_id)
+        |      ORDER BY n_chars, doc_id) AS xs
+        |  FROM rk WHERE rn <= 65 GROUP BY source),
+        |h AS (SELECT source, n_kept - 1 AS k_used,
+        |    xs[1].n_chars AS x_threshold,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(xs[2:65],
+        |          x -> ln(CAST(x.n_chars AS DOUBLE) / xs[1].n_chars))),
+        |      (a, b) -> a + b) / (n_kept - 1), 6) AS gamma
+        |  FROM g WHERE n_kept >= 2)
+        |SELECT source, k_used, x_threshold, gamma,
+        |  CASE WHEN gamma > 0 THEN round(1.0 / gamma, 6) END AS alpha
+        |FROM h ORDER BY source""".stripMargin
   )
 }

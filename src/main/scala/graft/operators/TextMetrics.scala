@@ -486,6 +486,48 @@ object TextMetrics {
           (a, x) => a + x.getField("term")), 6).as("kl"))
   }
 
+  /** Novelty n-gram width (tokens), shared with containment_dup. */
+  final val NovW = 5
+
+  /** PER-DOCUMENT N-GRAM NOVELTY against everything that came before —
+    * the curriculum/temporal-dedup signal (a doc whose 5-grams have
+    * all been seen in earlier docs adds no new content even when no
+    * single earlier doc contains it, so pairwise dedup never flags
+    * it). novelty = fraction of the doc's DISTINCT word 5-grams whose
+    * corpus-wide FIRST occurrence (min doc_id — ingestion order) is
+    * this doc; null when the doc is too short to carry a gram.
+    *
+    * Scale shape: one distinct-(doc, gram) shuffle, the gram-keyed
+    * min-doc aggregate in the SAME hash(gram) layout the join back
+    * reuses, then a doc-keyed reduce — all exact integer counts, one
+    * terminal divide round 6. The gram space is NOT df-capped: min is
+    * a bounded aggregate, so hub grams cost one row each, not df². */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Partitioning.spread(Tables.documents(spark, sfDir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= NovW)
+      .withColumn("g", explode(expr(
+        s"""transform(sequence(1, size(toks)-${NovW - 1}),
+           | i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1),
+           |   element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))"""
+          .stripMargin)))
+      .select(col("doc_id"), graft.functions.Similarity.md5Mod(col("g")).as("h"))
+      .dropDuplicates("doc_id", "h")
+    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams").isNotNull,
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+          .as("novelty"))
+  }
+
   /** Minimum docs sharing a skeleton before it counts as a template. */
   final val TemplateMinDocs = 3
 

@@ -366,6 +366,51 @@ object Events {
         round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
   }
 
+  /** CUSUM CHANGE-POINT chart over daily volumes per event type — the
+    * sequential drift detector that catches a sustained small shift a
+    * z/MAD spike test misses (Page's cumulative-sum control chart).
+    * C_t = max(0, C_{t-1} + (x_t − μ)) accumulates excess volume over
+    * the type's mean daily count; an alarm fires while the
+    * accumulated excess exceeds one mean day (C_t > μ).
+    *
+    * Exactness: the recursion is NOT window-expressible directly but
+    * its closed form is — with S_t = Σ_{j≤t}(x_j − μ),
+    * C_t = S_t − min(0, min_{j≤t} S_j) — and scaling by D (the spine
+    * day count) clears μ = T/D into integers: every window runs on
+    * exact longs (D·x − T prefix sums, running min), the one double
+    * is the terminal divide, round 6. Alarm compares longs.
+    *
+    * Scale shape: one |events|-sized daily reduce (map-side
+    * combined); the spine/windows run on (type × days) — calendar
+    * scale — inside one hash(event_type) layout; the global day range
+    * and per-type totals are one-row/|types| broadcasts. */
+  def eventsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val range = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = daily.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val cells = spine.join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("t_total"), count(lit(1)).as("n_days"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("s", sum(col("n_days") * col("n_events") - col("t_total")).over(wCum))
+      .withColumn("c", col("s") - least(min(col("s")).over(wCum), lit(0L)))
+      .select(col("event_type"),
+        to_date(timestamp_micros(col("day") * 86400000000L)).as("day"),
+        col("n_events"),
+        round(col("c").cast("double") / col("n_days").cast("double"), 6)
+          .as("excess"),
+        (col("c") > col("t_total")).as("alarm"))
+  }
+
   /** Robust-statistics twin of eventsAnomaly: hours flagged by MEDIAN
     * ABSOLUTE DEVIATION instead of mean/stddev. A z-score baseline is
     * itself dragged by the outliers it hunts (one huge hour inflates

@@ -165,6 +165,46 @@ object Stats {
         .as("est_err"))
   }
 
+  /** Hill order statistics kept per source (k + 1 with k = 64). */
+  final val HillK = 64
+
+  /** HILL TAIL-INDEX estimator per source over document lengths — the
+    * heavy-tail exponent α that tells a 100 TB planner whether length
+    * outliers are incidental (α large) or carry a constant fraction
+    * of the bytes (α ≤ 2: giant docs dominate shard sizing, straggler
+    * risk, packing). γ = (1/k)·Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order
+    * statistics, α = 1/γ (Hill 1975).
+    *
+    * Exactness: the top-(k+1) per source comes from the bounded-heap
+    * TopK ((n_chars desc, doc_id) total order — ties deterministic);
+    * the ln fold runs over the list sorted ascending (the sourceKl
+    * sorted-fold float rule, mirrored in the oracle), one round-6
+    * after the fold and one after the divide; a source with all kept
+    * lengths equal (γ = 0) yields null α, and a source with fewer
+    * than 2 docs emits no γ. Scale shape: the bounded heap keeps
+    * k + 1 rows per source with NO corpus-sized sort or shuffle — the
+    * only full pass is the pruned (source, n_chars, doc_id) scan. */
+  def hillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), HillK + 1))
+    top.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("n_chars"), col("doc_id")))).as("xs"))
+      .filter(col("n_kept") >= 2)
+      .withColumn("xk", col("xs")(0)("n_chars"))
+      .withColumn("gamma",
+        round(aggregate(slice(col("xs"), 2, HillK),
+          lit(0.0),
+          (a, x) => a + log(x.getField("n_chars").cast("double") /
+            col("xk").cast("double"))) /
+          (col("n_kept") - 1).cast("double"), 6))
+      .select(col("source"), (col("n_kept") - 1).as("k_used"),
+        col("xk").as("x_threshold"), col("gamma"),
+        when(col("gamma") > 0, round(lit(1.0) / col("gamma"), 6)).as("alpha"))
+  }
+
   /** GINI CONCENTRATION of customer spend (the Lorenz-curve summary —
     * "how 80/20 is our revenue"): G = (2·Σ i·x᎐ᵢ − (n+1)·Σx)/(n·Σx)
     * over spend sorted ascending, plus the top-decile revenue share.

@@ -703,4 +703,88 @@ class GrowthOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events_cusum equals a literal CUSUM recursion replay") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").count().collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val days = daily.keys.map(_._2)
+    val (d0, d1) = (days.min, days.max)
+    val types = daily.keys.map(_._1).toSeq.distinct
+    val got = Events.eventsCusum(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.size == types.size * (d1 - d0 + 1).toInt)
+    types.foreach { t =>
+      val xs = (d0 to d1).map(d => daily.getOrElse((t, d), 0L))
+      val dCount = xs.length.toLong
+      val total = xs.sum
+      // literal recursion on D-scaled integers: C_t = max(0, C_{t-1} + D·x_t − T)
+      var c = 0L
+      (d0 to d1).zip(xs).foreach { case (d, x) =>
+        c = math.max(0L, c + dCount * x - total)
+        val (n, excess, alarm) = got((t, d))
+        assert(n == x, s"$t day $d count")
+        val expected = BigDecimal(c.toDouble / dCount.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(excess - expected) < 1e-9, s"$t day $d excess")
+        assert(alarm == (c > total), s"$t day $d alarm")
+      }
+    }
+  }
+
+  test("ngram_novelty: first doc is fully novel and novel counts sum to distinct grams") {
+    val out = TextMetrics.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    assert(out.nonEmpty)
+    // the earliest doc carrying grams must be 100% novel
+    val firstWith = out.find(_._2 > 0).get
+    assert(firstWith._4.contains(1.0), s"first gram-bearing doc ${firstWith._1}")
+    // every novelty in [0,1]; short docs carry null
+    out.foreach { case (id, ng, nv, nov) =>
+      assert(nv <= ng, s"doc $id novel<=grams")
+      if (ng == 0) assert(nov.isEmpty, s"doc $id short-doc null")
+      else assert(nov.exists(x => x >= 0.0 && x <= 1.0), s"doc $id range")
+    }
+    // conservation: each distinct corpus gram is novel in exactly one doc
+    val distinctGrams = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),
+          | i -> concat_ws(' ', slice(split(text, ' '), i, 5)))""".stripMargin))
+        .as("g"))
+      .filter(size(split(col("g"), " ")) === 5)
+      .select(graft.functions.Similarity.md5Mod(col("g")).as("h"))
+      .distinct().count()
+    assert(out.map(_._3).sum == distinctGrams, "sum of novel = distinct grams")
+  }
+
+  test("hill_tail equals a local order-statistics replay") {
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.queries.Stats.hillTail(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    lens.foreach { case (src, xs) =>
+      val top = xs.toSeq.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(65)
+      if (top.size >= 2) {
+        val asc = top.sortBy(identity)
+        val xk = asc.head._1
+        val gammaRaw = asc.drop(1).map(t => math.log(t._1.toDouble / xk.toDouble)).sum /
+          (top.size - 1).toDouble
+        val gamma = BigDecimal(gammaRaw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (kUsed, xThr, g, alpha) = got(src)
+        assert(kUsed == top.size - 1 && xThr == xk, s"$src shape")
+        assert(math.abs(g - gamma) < 1e-9, s"$src gamma")
+        if (gamma > 0)
+          assert(alpha.exists(a => math.abs(a - BigDecimal(1.0 / gamma)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9), s"$src alpha")
+        else assert(alpha.isEmpty, s"$src alpha null")
+      } else assert(!got.contains(src), s"$src too small")
+    }
+  }
 }
