@@ -1419,13 +1419,19 @@ object SparkEntry {
         |c1 AS (SELECT w1, count(*) AS c1 FROM (
         |  SELECT unnest(string_split(text, ' ')) AS w1 FROM documents) GROUP BY w1),
         |v AS (SELECT count(*) AS v FROM c1),
-        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(c2.c2) AS BIGINT) AS sum_c2,
-        |    round(list_sum(list_sort(list(
-        |      log2(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)))))
-        |      / count(*), 6) AS mean_logp
-        |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        |  GROUP BY doc_id)
+        |bt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+        |  FROM b GROUP BY 1, 2, 3),
+        |sc0 AS (SELECT doc_id, tf, c2.c2 AS c2,
+        |    log2(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) AS logp
+        |  FROM bt JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(tf * c2) AS BIGINT) AS sum_c2,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(
+        |        list(struct_pack(logp := logp, tf := tf) ORDER BY logp, tf),
+        |        x -> CAST(x.tf AS DOUBLE) * x.logp)), (a, b) -> a + b)
+        |      / CAST(sum(tf) AS BIGINT), 6) AS mean_logp
+        |  FROM sc0 GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
         |  coalesce(sum_c2, 0) AS sum_c2, mean_logp
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id

@@ -223,7 +223,8 @@ object TextMetrics {
     * so parallelism cannot reorder it. */
   def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val bigrams = docs
+    val n = spark.sessionState.conf.numShufflePartitions
+    def bigramStream = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(transform(
@@ -231,22 +232,33 @@ object TextMetrics {
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c2 = bigramStream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = docs.select(explode(split(col("text"), " ")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).as("v"))
-    val scored = bigrams
+    // the scored side aggregates per-doc bigram TFs inside an explicit
+    // hash(doc_id) layout: the model joins stream against it (AQE
+    // broadcasts the vocab-sized c2/c1 until they outgrow it) and the
+    // final per-doc reduce reuses the SAME layout — the instance
+    // stream shuffles once, not three times. The fold weights each
+    // distinct bigram's logp by its tf, sorted (logp, tf) ascending —
+    // mirrored exactly in the oracle.
+    val docBg = bigramStream.repartition(n, col("doc_id"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val scored = docBg
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
         log2((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("c2")).as("sum_c2"),
-        sort_array(collect_list(col("logp"))).as("lps"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("c2")).as("sum_c2"),
+        sort_array(collect_list(struct(col("logp"), col("tf")))).as("lps"))
       .withColumn("mean_logp",
-        round(aggregate(col("lps"), lit(0.0), (a, x) => a + x) / col("n_bigrams"), 6))
+        round(aggregate(col("lps"), lit(0.0),
+          (a, x) => a + x.getField("tf").cast("double") * x.getField("logp")) /
+          col("n_bigrams"), 6))
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
