@@ -405,8 +405,16 @@ object TextMetrics {
 
   def langIdTrigram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val base = docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
+    // the text splits to a char ARRAY once: element_at on an array is
+    // O(1) while substring(lt, i, 3) re-seeks from the string start —
+    // per-index substring makes census construction O(n²) per doc
+    // (measured 3.5s → sub-second at sf0.1 for the same 713k rows)
+    // spread first: the documents table arrives as one row-group at
+    // test scale and the census explode would otherwise run 1-core
+    val base = Partitioning.spread(docs).filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), "").as("cs"),
+        length(col("text")).as("len"))
     // ONE trigram census keyed (doc, lang, tri) — lang is functionally
     // dependent on doc_id, so it rides the same exchange for free. Two
     // consumers need it (per-language profiles, per-doc scoring) and
@@ -421,7 +429,9 @@ object TextMetrics {
     // 100 TB, where a second full explode+aggregate pass is the
     // bottleneck and a parquet round-trip is sequential I/O.
     val censusPlan = base.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))"))
+        explode(expr("""transform(sequence(1, len - 2),
+          | i -> concat(element_at(cs, i), element_at(cs, i + 1),
+          |   element_at(cs, i + 2)))""".stripMargin))
           .as("tri"))
       .groupBy(col("doc_id"), col("lang"), col("tri"))
       .agg(count(lit(1)).as("tf"))
