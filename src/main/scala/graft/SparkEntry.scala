@@ -225,7 +225,8 @@ object SparkEntry {
     "source_kl" -> (TextMetrics.sourceKl _),
     "ngram_novelty" -> (TextMetrics.ngramNovelty _),
     "events_cusum" -> (Events.eventsCusum _),
-    "hill_tail" -> (Stats.hillTail _)
+    "hill_tail" -> (Stats.hillTail _),
+    "zonemap_prune" -> (Layout.zonemapPrune _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3436,6 +3437,50 @@ object SparkEntry {
         |  FROM g WHERE n_kept >= 2)
         |SELECT source, k_used, x_threshold, gamma,
         |  CASE WHEN gamma > 0 THEN round(1.0 / gamma, 6) END AS alpha
-        |FROM h ORDER BY source""".stripMargin
+        |FROM h ORDER BY source""".stripMargin,
+    "zonemap_prune" ->
+      """WITH b AS (SELECT min(l_orderkey) AS o_lo, max(l_orderkey) AS o_hi,
+        |    min(l_partkey) AS p_lo, max(l_partkey) AS p_hi,
+        |    min(l_suppkey) AS s_lo, max(l_suppkey) AS s_hi FROM lineitem),
+        |q AS (SELECT l_partkey, l_suppkey,
+        |    ((l_partkey - p_lo) * 65535) // greatest(p_hi - p_lo, 1) AS pq,
+        |    ((l_suppkey - s_lo) * 65535) // greatest(s_hi - s_lo, 1) AS sq,
+        |    ((l_orderkey - o_lo) * 63) // greatest(o_hi - o_lo, 1) AS b_lin
+        |  FROM lineitem CROSS JOIN b),
+        |z AS (SELECT l_partkey, l_suppkey, b_lin,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (((pq >> i) & 1) << (2 * i)) + (((sq >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+        |      >> 26 AS b_z
+        |  FROM q),
+        |tagged AS (
+        |  SELECT 'linear' AS layout, b_lin AS bucket, l_partkey, l_suppkey FROM z
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, b_z AS bucket, l_partkey, l_suppkey FROM z),
+        |footers AS (SELECT layout, bucket,
+        |    min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |    min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |  FROM tagged GROUP BY 1, 2),
+        |preds AS (SELECT
+        |    CASE WHEN k < 8 THEN 'partkey' ELSE 'suppkey' END AS pred_col,
+        |    CAST(k % 8 AS BIGINT) AS pred_idx,
+        |    CASE WHEN k < 8
+        |      THEN p_lo + ((p_hi - p_lo) * (2 * (k % 8) + 1)) // 16
+        |      ELSE s_lo + ((s_hi - s_lo) * (2 * (k % 8) + 1)) // 16 END AS pred_value
+        |  FROM (SELECT unnest(range(0, 16)) AS k), b)
+        |SELECT f.layout, p.pred_col, p.pred_idx, p.pred_value,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN (p.pred_col = 'partkey'
+        |      AND f.min_part <= p.pred_value AND p.pred_value <= f.max_part)
+        |    OR (p.pred_col = 'suppkey'
+        |      AND f.min_supp <= p.pred_value AND p.pred_value <= f.max_supp)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+        |  round(1.0 - CAST(sum(CASE WHEN (p.pred_col = 'partkey'
+        |      AND f.min_part <= p.pred_value AND p.pred_value <= f.max_part)
+        |    OR (p.pred_col = 'suppkey'
+        |      AND f.min_supp <= p.pred_value AND p.pred_value <= f.max_supp)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS prune_ratio
+        |FROM footers f CROSS JOIN preds p
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY layout, pred_col, pred_idx""".stripMargin
   )
 }

@@ -62,6 +62,75 @@ object Layout {
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
   }
 
+  /** Zone-map file count for zonemapPrune (both layouts). */
+  final val ZmFiles = 64L
+
+  /** ZONE-MAP PRUNING EFFECTIVENESS — the planning counterpart of
+    * zorderLayout: simulate writing lineitem as ZmFiles files under
+    * (a) insertion order (orderkey ranges — what a plain append
+    * produces) and (b) z-order on (partkey, suppkey), collect each
+    * file's min/max footer stats, and replay a deterministic grid of
+    * point predicates on both filter columns against the footers,
+    * reporting how many files each predicate must scan. This is the
+    * number a warehouse actually buys with OPTIMIZE ZORDER: an
+    * insertion-ordered file covers a random slice of either filter
+    * column (footers wide → nothing prunes), a z-ordered file covers
+    * a narrow rectangle (most files prune on EITHER column).
+    *
+    * Scale shape: ONE fact scan — each row tags itself with both
+    * layout buckets and explodes into the two (layout, bucket) cells,
+    * so both zone-map tables come out of one map-side-combined
+    * aggregate; everything downstream (footers × predicate grid) is
+    * metadata-scale (2·ZmFiles × 16 cells). Bounds are one-row
+    * broadcasts. */
+  def zonemapPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_orderkey")).as("o_lo"), max(col("l_orderkey")).as("o_hi"),
+      min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
+      min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
+    val tagged = li.crossJoin(broadcast(bounds))
+      .withColumn("pq", expr(
+        "((l_partkey - p_lo) * 65535) div greatest(p_hi - p_lo, 1)"))
+      .withColumn("sq", expr(
+        "((l_suppkey - s_lo) * 65535) div greatest(s_hi - s_lo, 1)"))
+      .withColumn("b_lin", expr(
+        s"((l_orderkey - o_lo) * ${ZmFiles - 1}) div greatest(o_hi - o_lo, 1)"))
+      .withColumn("b_z", shiftright(zval(col("pq"), col("sq")), 26).cast("long"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        explode(array(
+          struct(lit("linear").as("layout"), col("b_lin").as("bucket")),
+          struct(lit("zorder").as("layout"), col("b_z").as("bucket")))).as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("l_partkey"), col("l_suppkey"))
+    val footers = tagged.groupBy(col("layout"), col("bucket"))
+      .agg(min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+    // deterministic predicate grid: 8 evenly spaced points per column
+    val preds = bounds.select(explode(expr(
+      """transform(sequence(0, 15), k -> named_struct(
+        |  'pred_col', CASE WHEN k < 8 THEN 'partkey' ELSE 'suppkey' END,
+        |  'pred_idx', CAST(k % 8 AS BIGINT),
+        |  'pred_value', CASE WHEN k < 8
+        |    THEN p_lo + ((p_hi - p_lo) * (2 * (k % 8) + 1)) div 16
+        |    ELSE s_lo + ((s_hi - s_lo) * (2 * (k % 8) + 1)) div 16 END))"""
+        .stripMargin)).as("p"))
+      .select(col("p.pred_col").as("pred_col"), col("p.pred_idx").as("pred_idx"),
+        col("p.pred_value").as("pred_value"))
+    footers.crossJoin(broadcast(preds))
+      .withColumn("scanned",
+        when(col("pred_col") === "partkey",
+          col("min_part") <= col("pred_value") && col("pred_value") <= col("max_part"))
+          .otherwise(
+            col("min_supp") <= col("pred_value") && col("pred_value") <= col("max_supp")))
+      .groupBy(col("layout"), col("pred_col"), col("pred_idx"), col("pred_value"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("scanned").cast("long")).as("n_scanned"))
+      .withColumn("prune_ratio",
+        round(lit(1.0) - col("n_scanned").cast("double") / col("n_files").cast("double"), 6))
+  }
+
   /** Compaction target size (chars here; bytes in a real table). */
   final val CompactTarget = 16384L
 

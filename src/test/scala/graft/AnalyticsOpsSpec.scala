@@ -228,4 +228,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val full = li.agg(max(col("l_partkey")) - min(col("l_partkey"))).head().getLong(0)
     parts.collect().foreach(r => assert(r.getLong(1) < full))
   }
+
+  test("zonemap_prune: z-order footers prune, insertion-order footers do not") {
+    val rows = Layout.zonemapPrune(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+    assert(rows.length == 32, "2 layouts x 2 columns x 8 predicates")
+    rows.foreach { case ((lay, pc, idx), (v, nf, ns, pr)) =>
+      assert(nf > 0 && ns >= 0 && ns <= nf, s"$lay/$pc/$idx file counts")
+      assert(math.abs(pr - (1.0 - ns.toDouble / nf)) < 1e-6, s"$lay/$pc/$idx ratio")
+    }
+    def avgPrune(lay: String, pc: String): Double = {
+      val g = rows.filter { case ((l, c, _), _) => l == lay && c == pc }
+      g.map(_._2._4).sum / g.length
+    }
+    Seq("partkey", "suppkey").foreach { pc =>
+      assert(avgPrune("zorder", pc) > avgPrune("linear", pc) + 0.3,
+        s"z-order must out-prune insertion order on $pc")
+    }
+  }
 }
