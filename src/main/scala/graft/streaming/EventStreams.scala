@@ -31,6 +31,11 @@ case class RollOut(event_id: Long, user_id: Long, ts_us: Long,
 
 /** Per-user funnel progress: first view, first click strictly after
   * it, first purchase strictly after that. Also the state record. */
+case class CusumEvent(event_type: String, ts_us: Long)
+case class CusumStreamState(curDay: Long, curN: Long, c: Long)
+case class CusumOut(event_type: String, day_us: Long, n_events: Long,
+  excess: Double, alarm: Boolean)
+
 case class EwmaEvent(event_type: String, ts_us: Long, cents: Long)
 /** Open-hour accumulator + the recurrence state (acc = sₜ in cents). */
 case class EwmaState(curHour: Long, curN: Long, curCents: Long,
@@ -444,6 +449,59 @@ object EventStreams {
       .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .as[EwmaEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Streaming twin of Events.eventsCusum — Page's CUSUM is the
+    * archetypal SEQUENTIAL detector, so the streaming form is the
+    * recursion itself: per type, C closes with each completed day as
+    * C ← max(0, C + q·x − p) against a supplied reference rate p/q
+    * (events per day as an exact rational — in production a trained
+    * baseline; the parity spec feeds the batch operator's own T/D so
+    * the two replay bit-identically). Zero-volume gap days emit too
+    * (C decays by p each), exactly like the batch spine. The final
+    * open day stays in state; out-of-order delivery across batches
+    * throws (the ewmaHourly contract).
+    *
+    * Scale shape: state is three longs per event type; each
+    * micro-batch sorts only its own per-key slice. */
+  def cusumDaily(spark: SparkSession, events: DataFrame,
+      ref: Map[String, (Long, Long)]): Dataset[CusumOut] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+
+    def step(eventType: String, rows: Iterator[CusumEvent],
+        state: GroupState[CusumStreamState]): Iterator[CusumOut] = {
+      val (p, q) = ref.getOrElse(eventType, (0L, 1L))
+      def round6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      var st = state.getOption.getOrElse(CusumStreamState(Long.MinValue, 0L, 0L))
+      val out = Vector.newBuilder[CusumOut]
+      def closeDay(): Unit = {
+        val c2 = math.max(0L, st.c + q * st.curN - p)
+        out += CusumOut(eventType, st.curDay * DayUs, st.curN,
+          round6(c2.toDouble / q.toDouble), c2 > p)
+        st = CusumStreamState(st.curDay + 1, 0L, c2)
+      }
+      for (e <- rows.toSeq.sortBy(_.ts_us)) {
+        val day = e.ts_us / DayUs
+        if (st.curDay == Long.MinValue) st = st.copy(curDay = day)
+        if (day < st.curDay)
+          throw new IllegalStateException(
+            s"cusumDaily[$eventType]: out-of-order event day $day < open day " +
+              s"${st.curDay} violates the per-key in-order delivery contract")
+        while (st.curDay < day) closeDay()
+        st = st.copy(curN = st.curN + 1)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[CusumEvent]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }

@@ -355,6 +355,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ewma_sliced").collect().map(_.mkString("|")).toSet == batchTruth)
   }
 
+  test("streaming CUSUM equals batch on closed days, single batch and sliced") {
+    // reference rate per type = the batch operator's own T/D so the
+    // two replay the identical integer recursion
+    val raw = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val byType = raw.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (d0, d1) = {
+      val r = raw.agg(min("day"), max("day")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val dTotal = d1 - d0 + 1
+    val ref = byType.map { case (t, n) => t -> (n, dTotal) }
+    // streaming closes a type's day only when a later event arrives:
+    // parity set = batch rows within [first event day, last event day)
+    val span = raw.groupBy("event_type")
+      .agg(min("day").as("fd"), max("day").as("ld")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batchTruth = Events.eventsCusum(spark, sf)
+      .withColumn("day_us", expr("unix_date(day) * 86400000000"))
+      .select(col("event_type"), col("day_us"), col("n_events"),
+        col("excess"), col("alarm"))
+      .collect()
+      .filter { r =>
+        val (fd, ld) = span(r.getString(0))
+        val d = r.getLong(1) / 86400000000L
+        d >= fd && d < ld
+      }.map(_.mkString("|")).toSet
+    val single = {
+      val q = EventStreams.cusumDaily(spark,
+          EventStreams.readEvents(spark, streamDir), ref).toDF()
+        .writeStream.format("memory").queryName("cusum_single")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table("cusum_single").collect().map(_.mkString("|")).toSet
+    }
+    assert(single == batchTruth)
+    val src = chronologicalSource("cusum", Seq("2024-01-10", "2024-01-20"))
+    val q = EventStreams.cusumDaily(spark, src, ref).toDF()
+      .writeStream.format("memory").queryName("cusum_sliced")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("cusum_sliced").collect().map(_.mkString("|")).toSet == batchTruth)
+  }
+
   test("streaming retention equals batch across chronological micro-batches") {
     // the cohort table is static (batch-maintained first-signup days);
     // the stream replays three time slices in order and the final
