@@ -226,7 +226,9 @@ object SparkEntry {
     "ngram_novelty" -> (TextMetrics.ngramNovelty _),
     "events_cusum" -> (Events.eventsCusum _),
     "hill_tail" -> (Stats.hillTail _),
-    "zonemap_prune" -> (Layout.zonemapPrune _)
+    "zonemap_prune" -> (Layout.zonemapPrune _),
+    "ks_test" -> (Stats.ksTest _),
+    "benford_check" -> (Stats.benfordCheck _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3481,6 +3483,47 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS prune_ratio
         |FROM footers f CROSS JOIN preds p
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY layout, pred_col, pred_idx""".stripMargin
+        |ORDER BY layout, pred_col, pred_idx""".stripMargin,
+    "ks_test" ->
+      """WITH cs AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cs
+        |  FROM documents GROUP BY 1, 2),
+        |ct AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS ct
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+        |cells AS (SELECT t.source, c.n_chars, c.ct, coalesce(s.cs, 0) AS cs,
+        |    t.n_src, nt.n_tot
+        |  FROM tot t CROSS JOIN ct c CROSS JOIN nt
+        |  LEFT JOIN cs s ON s.source = t.source AND s.n_chars = c.n_chars),
+        |w AS (SELECT source, n_src, n_tot,
+        |    abs(sum(cs) OVER win * (n_tot - n_src)
+        |      - (sum(ct) OVER win - sum(cs) OVER win) * n_src) AS m
+        |  FROM cells
+        |  WINDOW win AS (PARTITION BY source ORDER BY n_chars
+        |    ROWS UNBOUNDED PRECEDING)),
+        |g AS (SELECT source, max(m) AS m, max(n_src) AS n_src,
+        |    max(n_tot) AS n_tot FROM w GROUP BY source)
+        |SELECT source, n_src, n_tot - n_src AS n_rest,
+        |  round(CAST(m AS DOUBLE) / CAST(n_src * (n_tot - n_src) AS DOUBLE), 6)
+        |    AS d_stat,
+        |  CAST(m AS HUGEINT) * m * 10000 >
+        |    CAST(18496 AS HUGEINT) * n_tot * n_src * (n_tot - n_src)
+        |    AS significant
+        |FROM g ORDER BY source""".stripMargin,
+    "benford_check" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |obs AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |spine AS (SELECT unnest(range(1, 10)) AS digit)
+        |SELECT s.digit, coalesce(o.n_obs, 0) AS n_obs,
+        |  round(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / n.n, 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE)), 6) AS exp_share,
+        |  round(abs(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / n.n -
+        |    log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE))), 6) AS abs_dev
+        |FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN n
+        |ORDER BY s.digit""".stripMargin
   )
 }

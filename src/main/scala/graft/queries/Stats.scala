@@ -165,6 +165,93 @@ object Stats {
         .as("est_err"))
   }
 
+  /** BENFORD FIRST-DIGIT screen over order totals — the classic
+    * fabricated-data / unit-mix detector data-quality suites run on
+    * money columns: naturally-occurring multi-magnitude amounts
+    * follow P(d) = log10(1 + 1/d); a synthetic or truncated
+    * distribution does not (TPC-H prices, drawn uniform inside one
+    * magnitude, deliberately FAIL the screen — the spec pins that).
+    *
+    * Determinism: the first digit comes from the DECIMAL(18,2) cents
+    * long via string head — no float log in the digit path; shares
+    * and the Benford expectation are single fixed-order double
+    * expressions rounded to 6. One map-side-combined 9-cell
+    * aggregate; the digit spine guarantees all 9 rows at any scale. */
+  def benfordCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.orders(spark, sfDir)
+      .select((graft.functions.Money.dec2(col("o_totalprice")) * 100)
+        .cast("long").as("c"))
+    val obs = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val n = cents.agg(count(lit(1)).as("n"))
+    spark.range(1, 10).select(col("id").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("exp_share"),
+        round(abs(col("n_obs").cast("double") / col("n").cast("double") -
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6)
+          .as("abs_dev"))
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test per source: each
+    * source's document-length distribution against the REST of the
+    * corpus — the distribution-shape companion of source_kl (KL sees
+    * vocabulary drift; KS sees length/structure drift, and unlike a
+    * moment z-test it is assumption-free). D = sup|F_src − F_rest|
+    * evaluated at every distinct corpus length.
+    *
+    * Exactness: the ECDF difference stays INTEGER until the end —
+    * M = max|cumA·n_rest − cumRest·n_src| over the source × length
+    * spine, D = M/(n_src·n_rest) is the single terminal divide
+    * (round 6), and the 95% significance test runs entirely in
+    * decimal(38,0): M²·10⁴ > 18496·n_tot·n_src·n_rest is the exact
+    * square of D > 1.36·√(n_tot/(n_src·n_rest)). Both engines
+    * compare the identical integers, so the flag cannot flake.
+    *
+    * Scale shape: one (source, length) census + one length census;
+    * the spine is |sources| × |distinct lengths| (metadata scale —
+    * lengths collapse to thousands of cells no matter the corpus);
+    * windows run inside one hash(source) layout. */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    val cs = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("cs"))
+    val ct = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("ct"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    val spine = totals.select(col("source")).crossJoin(ct)
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(cs, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("cs"))
+      .join(totals, Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("cumA", sum(col("cs")).over(w))
+      .withColumn("cumT", sum(col("ct")).over(w))
+      .withColumn("m", abs(
+        col("cumA") * (col("n_tot") - col("n_src")) -
+          (col("cumT") - col("cumA")) * col("n_src")))
+      .groupBy(col("source"))
+      .agg(max(col("m")).as("m"), max(col("n_src")).as("n_src"),
+        max(col("n_tot")).as("n_tot"))
+      .select(col("source"), col("n_src"),
+        (col("n_tot") - col("n_src")).as("n_rest"),
+        round(col("m").cast("double") /
+          (col("n_src") * (col("n_tot") - col("n_src"))).cast("double"), 6)
+          .as("d_stat"),
+        (col("m").cast(d38) * col("m") * 10000 >
+          lit(18496).cast(d38) * col("n_tot") * col("n_src") *
+            (col("n_tot") - col("n_src"))).as("significant"))
+  }
+
   /** Hill order statistics kept per source (k + 1 with k = 64). */
   final val HillK = 64
 

@@ -787,4 +787,48 @@ class GrowthOpsSpec extends AnyFunSuite {
       } else assert(!got.contains(src), s"$src too small")
     }
   }
+
+  test("ks_test equals a local exact ECDF replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nTot = docs.length.toLong
+    val values = docs.map(_._2).distinct.sorted
+    val got = graft.queries.Stats.ksTest(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val nA = xs.length.toLong
+      val nB = nTot - nA
+      val ownCounts = xs.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+      val totCounts = docs.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+      var cumA = 0L; var cumT = 0L; var m = 0L
+      values.foreach { v =>
+        cumA += ownCounts.getOrElse(v, 0L); cumT += totCounts(v)
+        m = math.max(m, math.abs(cumA * nB - (cumT - cumA) * nA))
+      }
+      val (gNA, gNB, d, sig) = got(src)
+      assert(gNA == nA && gNB == nB, s"$src counts")
+      val dExp = BigDecimal(m.toDouble / (nA * nB).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(d - dExp) < 1e-9, s"$src d_stat")
+      assert(sig == (BigInt(m) * m * 10000 > BigInt(18496) * nTot * nA * nB),
+        s"$src significance")
+    }
+  }
+
+  test("benford_check: spine complete, shares consistent, TPC-H fails the screen") {
+    val rows = graft.queries.Stats.benfordCheck(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "observed shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "Benford shares sum to 1")
+    rows.foreach { case (d, n, obs, exp, dev) =>
+      assert(math.abs(dev - math.abs(obs - exp)) < 2e-6, s"digit $d dev")
+    }
+    // uniform-magnitude synthetic prices must NOT look Benford —
+    // the screen exists to catch exactly this shape
+    assert(rows.map(_._5).max > 0.05, "synthetic prices must fail the screen")
+  }
 }
