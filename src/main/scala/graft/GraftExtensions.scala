@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_lsh"),
       info("hyperplane_lsh", "hyperplane_lsh(vec, table, planes) - random-hyperplane LSH bucket"),
       (es: Seq[Expression]) => HyperplaneLsh(es(0), intArg(es(1), "table"), intArg(es(2), "planes"))))
+    ext.injectFunction((FunctionIdentifier("levenshtein_bounded"),
+      info("levenshtein_bounded",
+        "levenshtein_bounded(a, b, k) - min(levenshtein(a,b), k+1), banded DP with early exit"),
+      (es: Seq[Expression]) => BoundedLevenshtein(es(0), es(1), intArg(es(2), "k"))))
     ext.injectFunction((FunctionIdentifier("md5_mod61"),
       info("md5_mod61", "md5_mod61(s) - md5 lower-64 mod 2^61-1 (DuckDB-reproducible hash)"),
       (es: Seq[Expression]) => Md5Mod61(es.head)))

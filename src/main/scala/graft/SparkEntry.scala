@@ -90,6 +90,7 @@ object SparkEntry {
     "entity_match" -> (EntityMatch.entityMatch _),
     "entity_cascade" -> (EntityMatch.entityCascade _),
     "entity_lattice" -> (EntityMatch.entityLattice _),
+    "entity_bounded" -> (EntityMatch.entityBounded _),
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
     "match_eval" -> (EntityMatch.matchEval _),
@@ -544,6 +545,19 @@ object SparkEntry {
         |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
         |SELECT c_custkey, c_name, s_suppkey AS match_id, s_name AS match_name, distance
         |FROM scored WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
+    "entity_bounded" ->
+      """WITH p AS (SELECT c_custkey, s_suppkey,
+        |    CAST(least(levenshtein(c_name, s_name), 9) AS BIGINT) AS d
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+        |w AS (SELECT c_custkey,
+        |    min(d * (1::BIGINT << 48) + s_suppkey) AS p
+        |  FROM p GROUP BY c_custkey)
+        |SELECT c.c_custkey,
+        |  CAST(w.p & ((1::BIGINT << 48) - 1) AS BIGINT) AS match_id,
+        |  CAST(w.p >> 48 AS INT) AS distance,
+        |  (w.p >> 48) <= 8 AS matched
+        |FROM customer c LEFT JOIN w ON c.c_custkey = w.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
     "entity_lattice" ->
       """WITH p AS (
         |  SELECT c_custkey, s_suppkey,

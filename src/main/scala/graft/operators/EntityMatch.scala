@@ -191,6 +191,40 @@ object EntityMatch {
           lit(0)).as("certitude"))
   }
 
+  /** Bounded-distance cap for entityBounded (distances saturate at
+    * BoundedK + 1). */
+  final val BoundedK = 8
+
+  /** Blocked best-match with the BANDED levenshtein kernel — the
+    * entity_match workload on the codegen'd BoundedLevenshtein
+    * expression (expressions/BoundedLevenshtein.scala): distances
+    * saturate at BoundedK+1 and the DP exits a candidate the moment
+    * its band exceeds the bound, so an obviously-far pair costs
+    * O(length gap check) instead of the full O(n·m) table — the
+    * standard ER optimization once blocking keys stop being
+    * selective at corpus scale. Saturation is oracle-expressible:
+    * DuckDB replays least(levenshtein(a, b), k+1) value-for-value,
+    * including the argmin ties it introduces (suppkey tie-break). */
+  def entityBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .transform(Partitioning.spread)
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val best = cust.join(supp, col("c_nationkey") === col("s_nationkey"))
+      .withColumn("d",
+        expr(s"levenshtein_bounded(c_name, s_name, $BoundedK)").cast("long"))
+      .groupBy(col("c_custkey"))
+      .agg(min(col("d") * lit(1L << 48) + col("s_suppkey")).as("p"))
+      .select(col("c_custkey"),
+        unpackKey(col("p")).as("match_id"),
+        shiftright(col("p"), 48).cast("int").as("distance"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(best, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("match_id"), col("distance"),
+        (col("distance") <= BoundedK).as("matched"))
+  }
+
   /** Deduplicated set of matched entity ids — the reference's
     * idset.py:11 build_idset, which feeds the enrichment stage. */
   def idDedup(spark: SparkSession, sfDir: String): DataFrame =

@@ -150,4 +150,35 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
       // different tables decorrelate: at least sometimes differ handled statistically elsewhere
     }
   }
+
+  test("bounded levenshtein equals min(full levenshtein, k+1) on random pairs") {
+    def fullLev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gen = for {
+      a <- Gen.stringOfN(12, Gen.oneOf('a', 'b', 'c'))
+      cut <- Gen.choose(0, 12)
+      suffix <- Gen.stringOfN(6, Gen.oneOf('a', 'b', 'c', 'd'))
+      k <- Gen.choose(0, 6)
+    } yield (a, a.take(cut) + suffix, k)
+    samples(gen).foreach { case (a, b, k) =>
+      val got = BoundedLevenshtein.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+      val want = math.min(fullLev(a, b), k + 1)
+      assert(got == want, s"lev_b('$a','$b',$k): $got != $want")
+    }
+    // degenerate shapes
+    assert(BoundedLevenshtein.compute(
+      UTF8String.fromString(""), UTF8String.fromString("abc"), 5) == 3)
+    assert(BoundedLevenshtein.compute(
+      UTF8String.fromString("abc"), UTF8String.fromString(""), 1) == 2)
+    assert(BoundedLevenshtein.compute(
+      UTF8String.fromString("same"), UTF8String.fromString("same"), 0) == 0)
+  }
 }
