@@ -641,10 +641,9 @@ object Dedup {
     * capped self-join, one pair-key reduce — the containment_dup plan
     * with weights. */
   def docCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Partitioning.spread(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "")
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    // per-doc TFs from the shared census warehouse
+    val tf = TermCensus.docTermTf(spark, sfDir)
+      .select(col("doc_id"), col("t"), col("tf"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val rare = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))

@@ -276,9 +276,9 @@ object TextMetrics {
     * pair) via RankFilterToTopK. */
   def docKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // per-doc TFs from the shared census warehouse
+    val tf = TermCensus.docTermTf(spark, sfDir)
+      .select(col("doc_id"), col("t").as("term"), col("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -479,16 +479,16 @@ object TextMetrics {
     * V-term sum folds in sorted term order (sorted-fold float rule),
     * round-6-after-ln. One corpus census shuffle + cell arithmetic. */
   def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "")
-    val corpus = toks.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    // all three token aggregates derive from the shared census
+    // warehouse (Σ tf ≡ instance counts, exactly)
+    val census = TermCensus.docTermTf(spark, sfDir)
+    val corpus = census.groupBy(col("t")).agg(sum(col("tf")).as("ct"))
     val vocab = corpus.transform(graft.plans.TopK.perGroup(
       Seq(), Seq("ct" -> false, "t" -> true), KlVocab))
     val nTot = corpus.agg(sum(col("ct")).as("n_corpus"))
-    val srcCounts = toks.join(vocab.select(col("t")), Seq("t"))
-      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
-    val srcTotals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val srcCounts = census.join(vocab.select(col("t")), Seq("t"))
+      .groupBy(col("source"), col("t")).agg(sum(col("tf")).as("cs"))
+    val srcTotals = census.groupBy(col("source")).agg(sum(col("tf")).as("n_src"))
     val spine = srcTotals.select(col("source")).crossJoin(vocab)
     val cells = spine
       .join(srcCounts, Seq("source", "t"), "left")
@@ -597,13 +597,10 @@ object TextMetrics {
     * expression. Two clustered shuffles: (doc, token) counts, then the
     * per-doc reduce — both inside one hash(doc_id) layout. */
   def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    val counts = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .repartition(n, col("doc_id"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+    // (doc, term) counts come from the shared census warehouse — the
+    // corpus-sized explode+shuffle runs once per suite, not per query
+    val counts = TermCensus.docTermTf(spark, sfDir)
+      .select(col("doc_id"), col("t").as("tok"), col("tf").as("c"))
     counts
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
