@@ -298,6 +298,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalFirstSeen("firstseen_ooo") == batchFirstSeen)
   }
 
+  test("ewmaHourly and cusumDaily refuse out-of-order delivery loudly") {
+    // both operators document a per-key in-order contract; a violated
+    // contract must FAIL the query, not fold into corrupt output
+    def reversedSource(tag: String): org.apache.spark.sql.DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+      val ev = graft.sources.Tables.events(spark, sf)
+      val cuts = Seq("2024-01-10", "2024-01-20")
+      val slices = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1)))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val sub = s"$dir/slice_$i"
+        sl.coalesce(1).write.parquet(sub)
+        new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, s"slice_$i.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(1000000L * (slices.length - i)) // reversed
+        }
+      }
+      spark.readStream.schema(EventStreams.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val exE = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = EventStreams.ewmaHourly(spark, reversedSource("ewma_ooo")).toDF()
+        .writeStream.format("memory").queryName("ewma_ooo")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    assert(messages(exE).exists(_.contains("out-of-order")), messages(exE).mkString(" | "))
+    val exC = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = EventStreams.cusumDaily(spark, reversedSource("cusum_ooo"),
+          Map.empty).toDF()
+        .writeStream.format("memory").queryName("cusum_ooo")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    assert(messages(exC).exists(_.contains("out-of-order")), messages(exC).mkString(" | "))
+  }
+
   /** Events re-written as N chronological slice files with ascending
     * mod-times, plus a maxFilesPerTrigger=1 source replaying them in
     * event order — one micro-batch per slice. */
