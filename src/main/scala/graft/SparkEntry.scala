@@ -229,7 +229,8 @@ object SparkEntry {
     "hill_tail" -> (Stats.hillTail _),
     "zonemap_prune" -> (Layout.zonemapPrune _),
     "ks_test" -> (Stats.ksTest _),
-    "benford_check" -> (Stats.benfordCheck _)
+    "benford_check" -> (Stats.benfordCheck _),
+    "skew_detect" -> (operators.Salting.skewDetect _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3538,6 +3539,31 @@ object SparkEntry {
         |  round(abs(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / n.n -
         |    log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE))), 6) AS abs_dev
         |FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN n
-        |ORDER BY s.digit""".stripMargin
+        |ORDER BY s.digit""".stripMargin,
+    "skew_detect" ->
+      """WITH p1 AS (SELECT CAST(o_orderstatus AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_cnt FROM p1),
+        |t1 AS (SELECT min(k) AS top_key FROM p1, s1 WHERE n = max_cnt),
+        |p2 AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_cnt FROM p2),
+        |t2 AS (SELECT min(k) AS top_key FROM p2, s2 WHERE n = max_cnt)
+        |SELECT 'o_orderstatus' AS key_col, n_rows, n_keys, max_cnt, top_key,
+        |  round(CAST(max_cnt * n_keys AS DOUBLE) / n_rows, 6) AS skew_ratio,
+        |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_part_share,
+        |  least(32, (max_cnt * 32 + n_rows - 1) // n_rows) AS rec_salts,
+        |  max_cnt * 32 > n_rows AS flagged
+        |FROM s1, t1
+        |UNION ALL
+        |SELECT 'o_custkey', n_rows, n_keys, max_cnt, top_key,
+        |  round(CAST(max_cnt * n_keys AS DOUBLE) / n_rows, 6),
+        |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6),
+        |  least(32, (max_cnt * 32 + n_rows - 1) // n_rows),
+        |  max_cnt * 32 > n_rows
+        |FROM s2, t2
+        |ORDER BY key_col""".stripMargin
   )
 }

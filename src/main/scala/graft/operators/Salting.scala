@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Manual skew salting — the fallback when AQE's runtime skew-join
   * split can't apply (e.g. the skewed side feeds an aggregation first,
@@ -63,5 +64,52 @@ object Salting {
       .agg(count(lit(1)).as("n_orders"), max(col("status_total")).as("status_total"))
       .withColumn("status_share",
         round(col("n_orders").cast("double") / col("status_total").cast("double"), 6))
+  }
+
+  /** Shuffle width the profiler judges against (the session default;
+    * a deployment passes its reducer count). */
+  final val DetectWidth = 32L
+
+  /** PRE-JOIN KEY-SKEW PROFILER — the detection counterpart of the
+    * salted executors above: before shuffling 100 TB on a key,
+    * profile it. Two distinct pathologies surface, and they need
+    * different numbers: CROSS-KEY IMBALANCE (skew_ratio =
+    * max_key_count/(rows/keys) — one customer 100× hotter than the
+    * average) and LOW CARDINALITY (the hottest key's absolute share
+    * max_part_share = max_cnt/rows — o_orderstatus is perfectly
+    * balanced across its 3 values yet one reducer would take 34% of
+    * the table). The actionable flag is width-anchored: flagged iff
+    * the hot key exceeds the ideal 1/DetectWidth partition share
+    * (exact integer compare max_cnt·width > rows), with
+    * rec_salts = ⌈max_cnt·width/rows⌉ capped at width — the factor
+    * that scatters the hot key back to ideal-partition volume.
+    * Profiled on o_orderstatus (flagged, salts 11) vs o_custkey
+    * (clean) — the contrast the flag must separate.
+    *
+    * Scale shape: one map-side-combined count per key column (output
+    * is key-cardinality sized), a one-row stats fold, and a broadcast
+    * filter for the argmax — nothing row-scale ever shuffles twice. */
+  def skewDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(keyCol: String): DataFrame = {
+      val counts = Tables.orders(spark, sfDir)
+        .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"), max(col("n")).as("max_cnt"))
+      val top = counts.crossJoin(broadcast(stats))
+        .filter(col("n") === col("max_cnt"))
+        .agg(min(col("k")).as("top_key"))
+      stats.crossJoin(broadcast(top))
+        .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("top_key"),
+          round((col("max_cnt") * col("n_keys")).cast("double") /
+            col("n_rows").cast("double"), 6).as("skew_ratio"),
+          round(col("max_cnt").cast("double") / col("n_rows").cast("double"), 6)
+            .as("max_part_share"),
+          least(lit(DetectWidth),
+            expr(s"(max_cnt * $DetectWidth + n_rows - 1) div n_rows"))
+            .as("rec_salts"),
+          (col("max_cnt") * DetectWidth > col("n_rows")).as("flagged"))
+    }
+    profile("o_orderstatus").unionByName(profile("o_custkey"))
   }
 }

@@ -46,4 +46,23 @@ class SaltingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
     assert(s == p)
   }
+
+  test("skew_detect separates the low-cardinality hot key from the benign key") {
+    val rows = graft.operators.Salting.skewDetect(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+        r.getBoolean(8))).toMap
+    val (nr, nk, mx, top, _, share, salts, flag) = rows("o_orderstatus")
+    // replay from raw data
+    val counts = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nk == counts.size && nr == counts.values.sum && mx == counts.values.max)
+    assert(top == counts.filter(_._2 == mx).keys.min)
+    assert(flag, "3-value key must be flagged: one reducer takes a third of the table")
+    assert(salts == math.min(32L, (mx * 32 + nr - 1) / nr))
+    assert(math.abs(share - mx.toDouble / nr) < 1e-6)
+    val custFlag = rows("o_custkey")._8
+    assert(!custFlag, "1500-key uniform-ish key must not be flagged")
+  }
 }
