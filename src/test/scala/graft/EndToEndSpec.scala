@@ -67,9 +67,16 @@ class EndToEndSpec extends AnyFunSuite {
     Sinks.writeTsv(nametable.drop("item_pos"), s"$outDir/nametable")
     Sinks.writeEntityJson(enriched, s"$outDir/entities")
     Sinks.writeText(rewritten, "xml_ref", s"$outDir/xml")
+    // the reference's per-ID nested attribute document (sparql.py:381)
+    Sinks.writeEnrichmentDoc(enriched, "wikidata_id", s"$outDir/enrich_doc")
     assert(spark.read.option("sep", "\t").option("header", "true")
       .csv(s"$outDir/nametable").count() == 3)
     assert(spark.read.json(s"$outDir/entities").count() == 2)
     assert(spark.read.text(s"$outDir/xml").count() >= 1)
+    val doc = spark.read.json(s"$outDir/enrich_doc")
+    assert(doc.count() == 2)
+    assert(doc.filter(col("id") === "Q535")
+      .select("attributes.occupation").head()
+      .getAs[scala.collection.Seq[String]](0).toSeq == Seq("poet"))
   }
 }
