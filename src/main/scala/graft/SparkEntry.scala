@@ -230,7 +230,8 @@ object SparkEntry {
     "zonemap_prune" -> (Layout.zonemapPrune _),
     "ks_test" -> (Stats.ksTest _),
     "benford_check" -> (Stats.benfordCheck _),
-    "skew_detect" -> (operators.Salting.skewDetect _)
+    "skew_detect" -> (operators.Salting.skewDetect _),
+    "embedding_audit" -> (Cluster.embeddingAudit _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3564,6 +3565,24 @@ object SparkEntry {
         |  least(32, (max_cnt * 32 + n_rows - 1) // n_rows),
         |  max_cnt * 32 > n_rows
         |FROM s2, t2
-        |ORDER BY key_col""".stripMargin
+        |ORDER BY key_col""".stripMargin,
+    "embedding_audit" ->
+      """WITH v AS (SELECT label, len(embedding) AS dim,
+        |    CAST(round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b)) * 1000000) AS BIGINT) AS nq,
+        |    CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+        |      AS BIGINT) AS nf
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dim) AS INT) AS dim_lo, CAST(max(dim) AS INT) AS dim_hi,
+        |  CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(nf) AS BIGINT) AS n_nonfinite,
+        |  round(CAST(min(nq) AS DOUBLE) / 1000000, 6) AS norm_min,
+        |  round(CAST(sum(nq) AS DOUBLE) / count(*) / 1000000, 6) AS norm_mean,
+        |  round(CAST(max(nq) AS DOUBLE) / 1000000, 6) AS norm_max,
+        |  min(dim) = max(dim) AND sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) = 0
+        |    AND sum(nf) = 0 AS healthy
+        |FROM v GROUP BY label ORDER BY label""".stripMargin
   )
 }

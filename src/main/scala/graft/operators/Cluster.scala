@@ -220,6 +220,48 @@ object Cluster {
   /** Outliers reported per label. */
   final val OutTopK = 5
 
+  /** EMBEDDING TABLE HEALTH AUDIT — the DQ pass a pipeline runs
+    * before trusting a vector column: per label, vector count, DIM
+    * CONSTANCY (a ragged dim breaks every downstream kernel),
+    * zero-vector count (norm 0 — cosine is undefined, a classic
+    * upstream-encoder failure), non-finite element count (NaN/Inf
+    * poisons any distance), and L2-norm spread (min/mean/max — a
+    * collapsed or exploding norm distribution flags a bad checkpoint
+    * or missing normalization).
+    *
+    * Float discipline: each vector's norm folds its OWN array in
+    * element order (deterministic in both engines), then QUANTIZES to
+    * an e6 long — per-label sums/mins/maxes over longs are exact and
+    * order-independent, so no cross-row float summation exists; the
+    * mean is one terminal divide, round 6. One map-side-combined
+    * label aggregate; nothing corpus-sized shuffles twice. */
+  def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val normQ = expr(
+      """CAST(round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+        | (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000)
+        | AS BIGINT)""".stripMargin)
+    val nonFinite = expr(
+      "exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT))")
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), size(col("embedding")).as("dim"),
+        normQ.as("nq"), nonFinite.cast("long").as("nf"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_lo"), max(col("dim")).as("dim_hi"),
+        sum((col("nq") === 0L).cast("long")).as("n_zero"),
+        sum(col("nf")).as("n_nonfinite"),
+        min(col("nq")).as("min_q"), max(col("nq")).as("max_q"),
+        sum(col("nq")).as("sum_q"))
+      .select(col("label"), col("n_vecs"), col("dim_lo"), col("dim_hi"),
+        col("n_zero"), col("n_nonfinite"),
+        round(col("min_q").cast("double") / 1e6, 6).as("norm_min"),
+        round(col("sum_q").cast("double") / col("n_vecs").cast("double") / 1e6, 6)
+          .as("norm_mean"),
+        round(col("max_q").cast("double") / 1e6, 6).as("norm_max"),
+        (col("dim_lo") === col("dim_hi") && col("n_zero") === 0 &&
+          col("n_nonfinite") === 0).as("healthy"))
+  }
+
   /** LABEL-NOISE detection: each vector's squared L2 distance to its
     * OWN label's centroid, the top-K farthest flagged per label — the
     * "probably mislabeled / out-of-distribution" audit a team runs on

@@ -259,4 +259,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(peers.map(_._4).distinct.length == 1, "tied timestamps must be frame peers")
     }
   }
+
+  test("embedding_audit equals a local per-vector replay") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getInt(2),
+        r.getAs[scala.collection.Seq[Float]](1).toSeq))
+    val got = graft.operators.Cluster.embeddingAudit(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getBoolean(9))).toMap
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val qs = vs.map { case (_, e) =>
+        val n2 = e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        math.round(math.sqrt(n2) * 1e6)
+      }
+      val (n, dLo, dHi, nz, nf, mn, mean, mx, healthy) = got(label)
+      assert(n == vs.size && dLo == vs.map(_._2.size).min && dHi == vs.map(_._2.size).max)
+      assert(nz == qs.count(_ == 0L) && nf == 0L)
+      assert(math.abs(mn - qs.min / 1e6) < 1e-6)
+      assert(math.abs(mx - qs.max / 1e6) < 1e-6)
+      val meanExp = BigDecimal(qs.sum.toDouble / qs.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - meanExp) < 1e-9)
+      assert(healthy == (dLo == dHi && nz == 0))
+    }
+  }
 }
