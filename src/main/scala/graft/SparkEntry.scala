@@ -231,7 +231,8 @@ object SparkEntry {
     "ks_test" -> (Stats.ksTest _),
     "benford_check" -> (Stats.benfordCheck _),
     "skew_detect" -> (operators.Salting.skewDetect _),
-    "embedding_audit" -> (Cluster.embeddingAudit _)
+    "embedding_audit" -> (Cluster.embeddingAudit _),
+    "ab_srm" -> (Experiment.abSrm _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -3583,6 +3584,18 @@ object SparkEntry {
         |  round(CAST(max(nq) AS DOUBLE) / 1000000, 6) AS norm_max,
         |  min(dim) = max(dim) AND sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) = 0
         |    AND sum(nf) = 0 AS healthy
-        |FROM v GROUP BY label ORDER BY label""".stripMargin
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    "ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT md5_number_lower('ab-' || user_id)
+        |    % 2305843009213693951 % 2 AS variant FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM v)
+        |SELECT n_a, n_b,
+        |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+        |  (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b) AS srm_detected
+        |FROM s""".stripMargin
   )
 }

@@ -15,6 +15,32 @@ import graft.sources.Tables
   */
 object Experiment {
 
+  /** SAMPLE-RATIO-MISMATCH check — the experiment-health gate that
+    * must pass BEFORE any A/B readout is trusted: with a 50/50
+    * deterministic hash split, the variant counts should differ only
+    * by binomial noise; a skewed split means the assignment itself is
+    * broken (trigger bias, filtering bias) and every downstream
+    * metric is invalid. χ²₁ = (n_a − n_b)²/(n_a + n_b) against the
+    * 3.841 critical value (95%) — the comparison runs in exact
+    * integers: (n_a − n_b)²·1000 > 3841·(n_a + n_b), so the flag
+    * cannot flake; the reported statistic is one terminal divide,
+    * round 6. One user-distinct aggregate, then a one-row fold. */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(Similarity.md5Mod(concat(lit("ab-"), col("user_id"))), lit(2L)))
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 1000L >
+          lit(3841L) * (col("n_a") + col("n_b"))).as("srm_detected"))
+  }
+
   /** A/B test readout: users are hashed into two variants (md5 —
     * deterministic, balanced, assignment independent of behavior) and
     * compared on revenue-per-user with the Welch two-sample z-test —

@@ -831,4 +831,20 @@ class GrowthOpsSpec extends AnyFunSuite {
     // the screen exists to catch exactly this shape
     assert(rows.map(_._5).max > 0.05, "synthetic prices must fail the screen")
   }
+
+  test("ab_srm equals a local chi-square replay of the hash split") {
+    val r = Experiment.abSrm(spark, sf).head()
+    val (na, nb, chi2, flag) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == users)
+    val d = na - nb
+    val exp = BigDecimal(d.toDouble * d / (na + nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(chi2 - exp) < 1e-9)
+    assert(flag == (d * d * 1000 > 3841 * (na + nb)))
+    // a healthy deterministic 50/50 hash split must NOT trip SRM
+    assert(!flag, s"md5 split flagged SRM: n_a=$na n_b=$nb")
+  }
 }
