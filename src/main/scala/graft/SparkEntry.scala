@@ -118,6 +118,7 @@ object SparkEntry {
     "embedding_quantize" -> (Ann.embeddingQuantize _),
     "ann_pq" -> (Pq.annPq _),
     "ann_ivf" -> (Ann.annIvf _),
+    "ann_tune" -> (Ann.annTune _),
     "knn_graph" -> (Ann.knnGraph _),
     "rrf_fusion" -> (Fusion.rrfFusion _),
     "containment_dup" -> (Dedup.containmentDup _),
@@ -1301,6 +1302,35 @@ object SparkEntry {
         |  FROM cand)
         |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "ann_tune" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |scored AS (SELECT e.vec_id, e.emb, c.c_id,
+        |  list_dot_product(e.emb, c.c_emb)
+        |    / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) AS c_cos
+        |  FROM e CROSS JOIN c),
+        |rk AS (SELECT vec_id, emb, c_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS c_rk FROM scored),
+        |assign AS (SELECT vec_id, emb, c_id FROM rk WHERE c_rk = 1),
+        |levels(nprobe) AS (VALUES (1),(2),(4),(8)),
+        |probes AS (SELECT l.nprobe, r.vec_id AS q_id, r.emb AS q_emb, r.c_id
+        |  FROM rk r CROSS JOIN levels l WHERE r.vec_id % 100 = 0 AND r.c_rk <= l.nprobe),
+        |cand AS (SELECT p.nprobe, p.q_id, a.vec_id,
+        |  list_dot_product(p.q_emb, a.emb)
+        |    / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+        |  FROM assign a JOIN probes p ON a.c_id = p.c_id WHERE a.vec_id <> p.q_id),
+        |ranked AS (SELECT nprobe, q_id, vec_id,
+        |  row_number() OVER (PARTITION BY nprobe, q_id ORDER BY cos DESC, vec_id) AS rank FROM cand),
+        |ivf AS (SELECT nprobe, q_id, vec_id FROM ranked WHERE rank <= 5),
+        |exact AS (SELECT q_id, neighbor_id AS vec_id FROM ($annBruteforceSql)),
+        |totals AS (SELECT count(*) AS n_exact, count(DISTINCT q_id) AS n_queries FROM exact),
+        |hits AS (SELECT nprobe, count(*) AS n_hits
+        |  FROM ivf JOIN exact USING (q_id, vec_id) GROUP BY nprobe)
+        |SELECT l.nprobe, t.n_queries, t.n_exact,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_exact, 6) AS recall
+        |FROM levels l CROSS JOIN totals t LEFT JOIN hits h ON h.nprobe = l.nprobe
+        |ORDER BY l.nprobe""".stripMargin,
     "knn_graph" ->
       """WITH planes AS (SELECT t, p, d,
         |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn

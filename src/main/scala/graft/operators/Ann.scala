@@ -90,6 +90,66 @@ object Ann {
     ivfSearch(emb, cents, nprobe = 4)
   }
 
+  /** Probe counts swept by annTune. */
+  final val TuneProbes = Seq(1, 2, 4, 8)
+
+  /** IVF TUNING CURVE — the measurement an ANN deployment runs before
+    * picking nprobe: recall@K of the IVF index against the exact
+    * brute-force top-K, swept over nprobe ∈ {1,2,4,8}. One centroid
+    * scoring pass serves every level (each probe row carries its
+    * centroid rank; a level keeps rows with c_rk ≤ nprobe), and the
+    * per-level rerank rides ONE (nprobe, query) window over the
+    * blocked candidate set — the sweep costs barely more than the
+    * largest single level. Recall is exact-integer hits/possible
+    * with one terminal divide, round 6.
+    *
+    * Scale shape: corpus × broadcast-centroid scoring once, the
+    * list-id equi-join fan-out bounded by Σ nprobe/nlist, and the
+    * exact baseline reuses annBruteforce's blocked plan. */
+  def annTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val byCos = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val scored = spread(emb).crossJoin(broadcast(cents))
+      .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_rk", row_number().over(byCos))
+    val assign = scored.filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    val probes = scored.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("c_id"), col("c_rk"))
+      .withColumn("nprobe", explode(typedLit(TuneProbes)))
+      .filter(col("c_rk") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ivf = assign.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .select(col("nprobe"), col("q_id"), col("vec_id"), col("cos"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("nprobe", "q_id"), Seq("cos" -> false, "vec_id" -> true), K))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+    val exact = annBruteforce(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val totals = exact.agg(count(lit(1)).as("n_exact"),
+      count_distinct(col("q_id")).as("n_queries"))
+    val spine = spark.range(1)
+      .select(explode(typedLit(TuneProbes)).as("nprobe"))
+    // the exact top-k is queries × K rows — bounded by the sampled
+    // query set, so it broadcasts no matter how big the corpus gets
+    val hits = ivf.join(broadcast(exact), Seq("q_id", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    spine.join(broadcast(hits), Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(totals))
+      .select(col("nprobe"), col("n_queries"), col("n_exact"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Distributed Lloyd iterations for the IVF coarse quantizer:
     * init = first nlist vectors; each iteration broadcasts the
     * centroids, assigns every vector to its best list (TopK argmin —

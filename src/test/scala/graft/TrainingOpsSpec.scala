@@ -714,4 +714,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("cum_survival") ==
       rows.last.getAs[Long]("n_out").toDouble / n0)
   }
+
+  test("ann_tune recall curve is monotone and its nprobe=4 level replays ann_ivf") {
+    val out = Ann.annTune(spark, sf).orderBy("nprobe").collect()
+    assert(out.map(_.getInt(0)).toSeq == Ann.TuneProbes)
+    // widening the probe set can only add candidates, so recall is
+    // monotone non-decreasing in nprobe and hits never exceed the truth
+    val recalls = out.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: $recalls")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("n_exact") >= r.getAs[Long]("n_queries"))
+    }
+    val truth = Ann.annBruteforce(spark, sf).select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf4 = Ann.annIvf(spark, sf).select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits4 = out.find(_.getInt(0) == 4).get.getAs[Long]("n_hits")
+    assert(hits4 == (truth & ivf4).size.toLong,
+      s"nprobe=4 sweep level diverges from the standalone ann_ivf plan")
+  }
 }
