@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dup_clusters" -> (Dedup.dupClusters _),
     "split_holdout" -> (Dedup.splitHoldout _),
+    "split_leakage" -> (Dedup.splitLeakage _),
     "pair_bleu" -> (Dedup.pairBleu _),
     "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
@@ -206,6 +207,8 @@ object SparkEntry {
     "survival_curve" -> (Experiment.survivalCurve _),
     "embedding_outliers" -> (Cluster.embeddingOutliers _),
     "lang_confusion" -> (TextMetrics.langConfusion _),
+    "label_agreement" -> (TextMetrics.labelAgreement _),
+    "topic_terms" -> (TextMetrics.topicTerms _),
     "skew_join" -> (Salting.skewJoin _),
     "dp_release" -> (Quality.dpRelease _),
     "cms_join_est" -> (Sketch.cmsJoinEst _),
@@ -975,6 +978,46 @@ object SparkEntry {
          |    THEN 'test' ELSE 'train' END AS split
          |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "split_leakage" ->
+      s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+         |  UNION ALL SELECT doc_b, doc_a FROM mh),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab FROM reach r JOIN e ON e.a = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (SELECT d.doc_id,
+         |  CASE WHEN md5_number_lower('split-' || coalesce(cc.cluster_id, d.doc_id))
+         |      % 2305843009213693951
+         |      < 2305843009213693951 // ${operators.Dedup.SplitTestInv}
+         |    THEN 'test' ELSE 'train' END AS safe_split,
+         |  CASE WHEN md5_number_lower('split-' || d.doc_id) % 2305843009213693951
+         |      < 2305843009213693951 // ${operators.Dedup.SplitTestInv}
+         |    THEN 'test' ELSE 'train' END AS naive_split
+         |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         |lab AS (SELECT a.safe_split AS sa, a.naive_split AS na,
+         |    b.safe_split AS sb, b.naive_split AS nb
+         |  FROM mh JOIN sp a ON a.doc_id = mh.doc_a JOIN sp b ON b.doc_id = mh.doc_b),
+         |cats AS (
+         |  SELECT 'cluster_safe' AS policy,
+         |    CASE WHEN sa = sb THEN sa || '-' || sb ELSE 'cross' END AS category FROM lab
+         |  UNION ALL
+         |  SELECT 'naive',
+         |    CASE WHEN na = nb THEN na || '-' || nb ELSE 'cross' END FROM lab),
+         |cnt AS (SELECT policy, category, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM cats GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM mh),
+         |grid AS (SELECT p.policy, c.category
+         |  FROM (VALUES ('cluster_safe'), ('naive')) p(policy)
+         |  CROSS JOIN (VALUES ('train-train'), ('test-test'), ('cross')) c(category))
+         |SELECT g.policy, g.category, coalesce(cnt.n_pairs, 0) AS n_pairs,
+         |  CASE WHEN t.n_total = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(cnt.n_pairs, 0) AS DOUBLE) / t.n_total, 6)
+         |  END AS pair_share
+         |FROM grid g LEFT JOIN cnt USING (policy, category) CROSS JOIN tot t
+         |ORDER BY g.policy, g.category""".stripMargin,
     "pair_bleu" ->
       s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
          |d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -3051,6 +3094,52 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / CAST(labeled_total AS DOUBLE), 6) AS share,
         |  labeled_lang = pred_lang AS agree
         |FROM tot ORDER BY labeled_lang, pred_lang""".stripMargin,
+    "label_agreement" ->
+      """WITH marks(word, cand_lang) AS (VALUES ('the','en'),('a','en'),('fast','en'),
+        |  ('batch','de'),('window','de'),('merge','fr'),('sort','fr'),
+        |  ('filter','es'),('join','es'),('vector','zh'),('spark','zh')),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT doc_id, cand_lang, count(*) AS votes FROM w JOIN marks USING (word) GROUP BY 1, 2),
+        |t AS (SELECT doc_id, cand_lang, votes,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rk FROM v),
+        |p AS (SELECT d.doc_id, d.lang, coalesce(t.cand_lang, 'und') AS pred_lang
+        |  FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id AND t.rk = 1),
+        |cells AS (SELECT lang AS labeled, pred_lang AS pred,
+        |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM cells),
+        |rowm AS (SELECT labeled AS cls, CAST(sum(n) AS HUGEINT) AS r FROM cells GROUP BY 1),
+        |colm AS (SELECT pred AS cls, CAST(sum(n) AS HUGEINT) AS c FROM cells GROUP BY 1),
+        |diag AS (SELECT labeled AS cls, CAST(n AS HUGEINT) AS a FROM cells WHERE labeled = pred),
+        |base AS (SELECT cls, coalesce(r, 0) AS r, coalesce(c, 0) AS c,
+        |    coalesce(a, 0) AS a, tot.n
+        |  FROM rowm FULL OUTER JOIN colm USING (cls)
+        |  LEFT JOIN diag USING (cls) CROSS JOIN tot),
+        |g AS (SELECT '__all__' AS scope, max(n) AS n, sum(a) AS agree,
+        |    sum(r * c) AS e FROM base),
+        |per AS (SELECT cls AS scope, n, a + (n - r - c + a) AS agree,
+        |    r * c + (n - r) * (n - c) AS e FROM base),
+        |u AS (SELECT * FROM g UNION ALL SELECT * FROM per)
+        |SELECT scope, CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+        |  CASE WHEN n * n = e THEN NULL
+        |    ELSE round(CAST(n * agree - e AS DOUBLE) / CAST(n * n - e AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM u ORDER BY scope""".stripMargin,
+    "topic_terms" ->
+      """WITH w AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS src_df FROM st GROUP BY 1),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents),
+        |r AS (SELECT st.source, st.term, st.tf, df.src_df,
+        |    row_number() OVER (PARTITION BY st.source
+        |      ORDER BY st.tf DESC, df.src_df, st.term) AS rk
+        |  FROM st JOIN df USING (term))
+        |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, src_df,
+        |  round(tf * ln(CAST(n_sources AS DOUBLE) / CAST(src_df AS DOUBLE)), 6) AS ctfidf
+        |FROM r CROSS JOIN ns WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "skew_join" ->
       """WITH dim AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS status_total
         |  FROM orders GROUP BY 1)

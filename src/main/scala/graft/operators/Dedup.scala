@@ -334,6 +334,53 @@ object Dedup {
           lit("test")).otherwise(lit("train")).as("split"))
   }
 
+  /** SPLIT-LEAKAGE AUDIT: how many verified near-dup pairs straddle
+    * the train/test boundary, under BOTH split policies — the naive
+    * per-document draw (what most pipelines ship first) and the
+    * cluster-keyed leakage-safe draw (splitHoldout). The safe policy
+    * must report cross = 0 BY CONSTRUCTION (both ends of every
+    * near-dup pair share a cluster root, so they share a draw); the
+    * naive policy's cross count is the leaked-eval-content volume
+    * this audit exists to surface. A fixed policy×category spine
+    * zero-fills the absent cells so "no leakage" is an explicit row,
+    * not a missing one.
+    *
+    * Scale shape: the pair table is the file-backed minhash warehouse
+    * (near-dup-pair sized, tiny next to the corpus); split labels are
+    * row-local md5 draws joined pair-end-wise; the category counts are
+    * one aggregate over 2×|pairs| rows. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val testCut = graft.expressions.CrossHash.P / SplitTestInv
+    val sp = splitHoldout(spark, sfDir)
+      .select(col("doc_id"), col("split").as("safe_split"))
+      .withColumn("naive_split",
+        when(Similarity.md5Mod(concat(lit("split-"), col("doc_id"))) < testCut,
+          lit("test")).otherwise(lit("train")))
+    val lab = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("safe_split").as("sa"),
+        col("naive_split").as("na")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("safe_split").as("sb"),
+        col("naive_split").as("nb")), Seq("doc_b"))
+    def cat(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(x === y, concat(x, lit("-"), y)).otherwise(lit("cross"))
+    val cnt = lab.select(lit("cluster_safe").as("policy"), cat(col("sa"), col("sb")).as("category"))
+      .unionByName(lab.select(lit("naive").as("policy"), cat(col("na"), col("nb")).as("category")))
+      .groupBy(col("policy"), col("category")).agg(count(lit(1)).as("n_pairs"))
+    val tot = pairs.agg(count(lit(1)).as("n_total"))
+    val grid = spark.range(1)
+      .select(explode(typedLit(Seq("cluster_safe", "naive"))).as("policy"))
+      .crossJoin(spark.range(1).select(
+        explode(typedLit(Seq("train-train", "test-test", "cross"))).as("category")))
+    grid.join(broadcast(cnt), Seq("policy", "category"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("policy"), col("category"), col("n_pairs"),
+        when(col("n_total") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_pairs").cast("double")
+            / col("n_total").cast("double"), 6)).as("pair_share"))
+  }
+
   /** BLEU/ROUGE-style n-gram overlap metrics over the VERIFIED
     * near-dup pairs — the eval-metric family (clipped n-gram
     * precision, n-gram recall, brevity penalty) a pipeline uses to

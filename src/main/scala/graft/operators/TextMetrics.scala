@@ -292,6 +292,43 @@ object TextMetrics {
           .as("tfidf"))
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF shape): the top-10
+    * terms that CHARACTERIZE each source, ranked per source by exact
+    * integer keys (class tf desc, cross-class df asc, term) — the
+    * float score is a rounded payload, never a sort key (the
+    * docKeywords discipline, lifted from documents to classes). This
+    * is the cluster-labeling pass a topic pipeline runs after
+    * cluster_assign/semantic_dedup: "what is this group of documents
+    * about", at class granularity where per-doc keywords are noise.
+    *
+    * Scale shape: class tf sums come off the shared census warehouse
+    * (one pruned parquet scan), collapse to a |sources|×|vocab| table
+    * in ONE map-side-combined aggregate, and src_df is a second tiny
+    * aggregate over that table; the top-10 cut rides the bounded-heap
+    * TopK operator so only 10×|sources| rows ever hit the final
+    * window. Vocabulary-sized, not corpus-sized, after the first
+    * aggregate — holds at any corpus size. */
+  def topicTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = TermCensus.docTermTf(spark, sfDir)
+      .groupBy(col("source"), col("t").as("term"))
+      .agg(sum(col("tf")).as("tf"))
+    val dfreq = st.groupBy(col("term")).agg(count(lit(1)).as("src_df"))
+    val n = Tables.documents(spark, sfDir)
+      .agg(count_distinct(col("source")).as("n_sources"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tf").desc, col("src_df").asc, col("term").asc)
+    st.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("source"),
+        Seq("tf" -> false, "src_df" -> true, "term" -> true), 10))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("term"), col("tf"), col("src_df"),
+        round(col("tf") * log(col("n_sources").cast("double")
+          / col("src_df").cast("double")), 6).as("ctfidf"))
+  }
+
   /** Collocation extraction: the top-k corpus bigrams (by exact count,
     * deterministic (count, w1, w2) tiebreak) scored with pointwise
     * mutual information — the classic collocation detector (Church &
@@ -380,6 +417,57 @@ object TextMetrics {
         round(col("n_docs").cast("double") / col("labeled_total").cast("double"), 6)
           .as("share"),
         (col("labeled_lang") === col("pred_lang")).as("agree"))
+  }
+
+  /** INTER-GRADER AGREEMENT (Cohen's kappa) between the corpus's
+    * claimed lang column and the marker-vote grader (langId) — the
+    * chance-corrected statistic label-quality audits report where raw
+    * accuracy misleads under class imbalance. One global multiclass
+    * row plus a one-vs-rest row per class, so a single bad language
+    * is visible even when the pooled kappa looks healthy.
+    *
+    * All marginals are exact longs off the |langs|² confusion cell
+    * table; the quadratic terms (n², Σ r·c) ride decimal(38,0) so the
+    * identity kappa = (n·agree − Σrc) / (n² − Σrc) stays exact at any
+    * corpus size (n > 3·10⁹ overflows a long squared), with the three
+    * reported ratios each ONE terminal double divide, round 6. A
+    * degenerate grader pair (pe = 1) emits null kappa on both engines.
+    * Scale shape: langId's one corpus pass, checkpointed cell table,
+    * then everything runs on ≤ |langs|²-row inputs. */
+  def labelAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langId(spark, sfDir)
+      .groupBy(col("lang").as("labeled"), col("pred_lang").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny; three consumers below reuse it
+    val tot = cells.agg(sum(col("n")).as("n_docs"))
+    val rowm = cells.groupBy(col("labeled").as("cls")).agg(sum(col("n")).as("r"))
+    val colm = cells.groupBy(col("pred").as("cls")).agg(sum(col("n")).as("c"))
+    val diag = cells.filter(col("labeled") === col("pred"))
+      .select(col("labeled").as("cls"), col("n").as("a"))
+    val dec = "decimal(38,0)"
+    val base = rowm.join(colm, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("r"), lit(0L)).cast(dec).as("r"),
+        coalesce(col("c"), lit(0L)).cast(dec).as("c"))
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"), col("r"), col("c"),
+        coalesce(col("a"), lit(0L)).cast(dec).as("a"))
+      .crossJoin(broadcast(tot.select(col("n_docs").cast(dec).as("n"))))
+    val global = base
+      .agg(max(col("n")).as("n"), sum(col("a")).as("agree"),
+        sum(col("r") * col("c")).as("e"))
+      .select(lit("__all__").as("scope"), col("n"), col("agree"), col("e"))
+    val per = base.select(col("cls").as("scope"), col("n"),
+      (col("a") + (col("n") - col("r") - col("c") + col("a"))).as("agree"),
+      (col("r") * col("c") + (col("n") - col("r")) * (col("n") - col("c"))).as("e"))
+    global.unionByName(per).select(col("scope"),
+      col("n").cast("long").as("n_docs"),
+      col("agree").cast("long").as("n_agree"),
+      round(col("agree").cast("double") / col("n").cast("double"), 6).as("po"),
+      round(col("e").cast("double") / (col("n") * col("n")).cast("double"), 6).as("pe"),
+      when((col("n") * col("n")) === col("e"), lit(null).cast("double"))
+        .otherwise(round((col("n") * col("agree") - col("e")).cast("double")
+          / (col("n") * col("n") - col("e")).cast("double"), 6)).as("kappa"))
   }
 
   /** Trigram profile width per language. */

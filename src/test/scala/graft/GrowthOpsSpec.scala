@@ -280,6 +280,57 @@ class GrowthOpsSpec extends AnyFunSuite {
     rows.foreach { case (l, p, _, _, agree) => assert(agree == (l == p)) }
   }
 
+  test("label_agreement kappa satisfies its defining identity and a literal replay") {
+    val rows = TextMetrics.labelAgreement(spark, sf).collect()
+    val global = rows.find(_.getString(0) == "__all__").get
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(global.getLong(1) == nDocs)
+    rows.foreach { r =>
+      val (po, pe) = (r.getDouble(3), r.getDouble(4))
+      assert(po >= 0 && po <= 1 && pe >= 0 && pe <= 1)
+      if (!r.isNullAt(5)) {
+        val kappa = r.getDouble(5)
+        assert(kappa <= 1.0 + 1e-9)
+        // defining identity (po - pe) / (1 - pe), up to the round(,6)
+        // applied independently to each of the three ratios
+        assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4,
+          s"scope ${r.getString(0)}: kappa=$kappa po=$po pe=$pe")
+      }
+    }
+    // literal replay of the global multiclass kappa from the raw cells
+    val cells = TextMetrics.langId(spark, sf)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = cells.values.sum
+    val agree = cells.collect { case ((l, p), c) if l == p => c }.sum
+    val classes = cells.keys.flatMap(k => Seq(k._1, k._2)).toSet
+    val e = classes.toSeq.map { c =>
+      val r = cells.collect { case ((l, _), v) if l == c => v }.sum
+      val cc = cells.collect { case ((_, p), v) if p == c => v }.sum
+      r * cc
+    }.sum
+    val expected = (n.toDouble * agree - e) / (n.toDouble * n - e)
+    assert(math.abs(global.getDouble(5) - expected) < 1e-6)
+  }
+
+  test("topic_terms ranks by exact integer keys within each source") {
+    val rows = TextMetrics.topicTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= 10 && sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      // rank order == (tf desc, src_df asc, term asc)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert((a._4, -a._5, b._3) != null) // shape guard
+          val ord = implicitly[Ordering[(Long, Long, String)]]
+          assert(ord.lteq((-a._4, a._5, a._3), (-b._4, b._5, b._3)),
+            s"$src rank ${a._2} vs ${b._2} out of order")
+        case _ =>
+      }
+    }
+  }
+
   test("skew_join equals the unsalted join exactly") {
     import graft.operators.Salting
     val salted = Salting.skewJoin(spark, sf).collect()

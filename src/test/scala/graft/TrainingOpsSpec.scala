@@ -646,6 +646,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(split.values.map(_._2).toSet == Set("train", "test"))
   }
 
+  test("split_leakage: safe policy has zero cross pairs, counts replay the pair labels") {
+    val rows = Dedup.splitLeakage(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows.size == 6, "fixed 2-policy x 3-category spine")
+    assert(rows(("cluster_safe", "cross")) == 0L,
+      "cluster-keyed split must never straddle a verified near-dup pair")
+    val nPairs = Dedup.dedupMinhash(spark, sf).count()
+    Seq("cluster_safe", "naive").foreach { p =>
+      val total = Seq("train-train", "test-test", "cross").map(c => rows((p, c))).sum
+      assert(total == nPairs, s"policy $p categories must partition the pair set")
+    }
+    // the naive per-doc draw replayed literally
+    val split = Dedup.splitHoldout(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val naive = graft.sources.Tables.documents(spark, sf).select(col("doc_id"),
+        graft.functions.Similarity.md5Mod(concat(lit("split-"), col("doc_id"))).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < graft.expressions.CrossHash.P / Dedup.SplitTestInv) "test"
+         else "train")).toMap
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naiveCross = pairs.count { case (a, b) => naive(a) != naive(b) }
+    assert(rows(("naive", "cross")) == naiveCross.toLong)
+    val safeCross = pairs.count { case (a, b) => split(a) != split(b) }
+    assert(safeCross == 0)
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
