@@ -107,6 +107,7 @@ object SparkEntry {
     "dup_clusters" -> (Dedup.dupClusters _),
     "split_holdout" -> (Dedup.splitHoldout _),
     "split_leakage" -> (Dedup.splitLeakage _),
+    "minhash_band_tune" -> (Dedup.minhashBandTune _),
     "pair_bleu" -> (Dedup.pairBleu _),
     "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
@@ -236,7 +237,8 @@ object SparkEntry {
     "benford_check" -> (Stats.benfordCheck _),
     "skew_detect" -> (operators.Salting.skewDetect _),
     "embedding_audit" -> (Cluster.embeddingAudit _),
-    "ab_srm" -> (Experiment.abSrm _)
+    "ab_srm" -> (Experiment.abSrm _),
+    "bootstrap_ci" -> (Experiment.bootstrapCi _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -1018,6 +1020,41 @@ object SparkEntry {
          |  END AS pair_share
          |FROM grid g LEFT JOIN cnt USING (policy, category) CROSS JOIN tot t
          |ORDER BY g.policy, g.category""".stripMargin,
+    "minhash_band_tune" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |u AS (SELECT doc_id, unnest(shingles) AS s FROM d),
+        |h AS (SELECT doc_id, md5_number_lower(s) % 2305843009213693951 AS hb FROM u),
+        |seeds AS (SELECT i, md5_number_lower('minhash-a-' || i) % 2305843009213693950 + 1 AS a,
+        |  md5_number_lower('minhash-b-' || i) % 2305843009213693951 AS b FROM range(16) r(i)),
+        |sig AS (SELECT doc_id, i, min(CAST((CAST(a AS HUGEINT) * hb + b) % 2305843009213693951 AS BIGINT)) AS m
+        |  FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+        |cfg(r) AS (VALUES (2), (4), (8)),
+        |bands AS (SELECT cfg.r, doc_id, i // cfg.r AS band,
+        |    string_agg(m, ',' ORDER BY i) AS band_key
+        |  FROM sig CROSS JOIN cfg GROUP BY cfg.r, doc_id, i // cfg.r),
+        |cand AS (SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.r = b.r AND a.band = b.band
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+        |    / (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))) AS jaccard
+        |  FROM pairs JOIN d da ON da.doc_id = pairs.doc_a JOIN d db ON db.doc_id = pairs.doc_b),
+        |agg AS (SELECT cand.r, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN j.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |  FROM cand JOIN j USING (doc_a, doc_b) GROUP BY cand.r)
+        |SELECT cfg.r AS rows_per_band, CAST(16 // cfg.r AS BIGINT) AS n_bands,
+        |  coalesce(agg.n_candidates, 0) AS n_candidates,
+        |  coalesce(agg.n_verified, 0) AS n_verified,
+        |  CASE WHEN coalesce(agg.n_candidates, 0) = 0 THEN NULL
+        |    ELSE round(CAST(agg.n_verified AS DOUBLE) / agg.n_candidates, 6)
+        |  END AS precision,
+        |  round(1 - pow(1 - pow(0.5, cfg.r), 16.0 / cfg.r), 6) AS p_cand_at_tau
+        |FROM cfg LEFT JOIN agg ON agg.r = cfg.r
+        |ORDER BY cfg.r""".stripMargin,
     "pair_bleu" ->
       s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
          |d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -3715,6 +3752,37 @@ object SparkEntry {
         |SELECT n_a, n_b,
         |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
         |  (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b) AS srm_detected
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "bootstrap_ci" ->
+      s"""WITH ev AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, event_id, cents, b
+        |  FROM ev CROSS JOIN range(${operators.Experiment.BootB}) bb(b)),
+        |d AS (SELECT event_type, b, cents,
+        |    CAST(md5_number_lower('boot-' || event_id || '-' || b)
+        |        % 2305843009213693951 AS DOUBLE)
+        |      / CAST(2305843009213693951 AS DOUBLE) AS u FROM g),
+        |c AS (SELECT event_type, b, cents,
+        |    CASE ${operators.Experiment.PoisCum.zipWithIndex
+                 .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")}
+        |      ELSE 9 END AS cnt FROM d),
+        |res AS (SELECT event_type, b, CAST(sum(cnt * cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(cnt) AS BIGINT) AS n_b
+        |  FROM c GROUP BY 1, 2 HAVING sum(cnt) > 0),
+        |m AS (SELECT event_type, b,
+        |    CAST(sum_cents AS DOUBLE) / (100.0 * CAST(n_b AS DOUBLE)) AS mean_b FROM res),
+        |r AS (SELECT event_type, mean_b,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS bp FROM m),
+        |ci AS (SELECT event_type, CAST(max(bp) AS BIGINT) AS n_resamples,
+        |    max(CASE WHEN rk = (bp * 25 + 999) // 1000 THEN mean_b END) AS ci_lo,
+        |    max(CASE WHEN rk = (bp * 975 + 999) // 1000 THEN mean_b END) AS ci_hi
+        |  FROM r GROUP BY 1),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS DOUBLE) / (100.0 * CAST(count(*) AS DOUBLE)) AS mean_value
+        |  FROM ev GROUP BY 1)
+        |SELECT pt.event_type, pt.n_events, ci.n_resamples, pt.mean_value,
+        |  ci.ci_lo, ci.ci_hi
+        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
   )
 }

@@ -176,6 +176,77 @@ object Dedup {
     (pairs, docs)
   }
 
+  /** Rows-per-band configs swept by minhashBandTune (bands = 16/r).
+    * r = 1 (16 bands of one hash) is deliberately excluded: a single
+    * shared minhash value is a candidate, so hub values blow the pair
+    * set up ~125× at sf0.1 (155k pairs for 5k docs, measured) — the
+    * sweep exists to pick a config, not to pay for the degenerate
+    * one. */
+  final val BandTuneRows = Seq(2, 4, 8)
+
+  /** LSH BAND-CONFIGURATION TUNING CURVE — the measurement run before
+    * committing a (bands × rows) choice for a 100 TB dedup pass: for
+    * each config over the SAME 16-hash signature, the candidate-pair
+    * volume (the cost driver: every candidate is a verification join
+    * row) and the verified-duplicate yield (jaccard ≥ 0.5), so the
+    * cost/recall trade reads directly off one table. The theoretical
+    * candidate probability at the threshold, 1-(1-τ^r)^b, rides along
+    * as a rounded payload for sanity-checking the empirical counts.
+    *
+    * One signature pass serves every config: the per-config banding is
+    * a row-local explode of slice keys (Σ 16/r rows per doc); exact
+    * Jaccard is computed ONCE per distinct candidate pair across the
+    * sweep (the per-config sets overlap heavily — the r=2 set contains
+    * most of the others) and each config joins its candidates back.
+    * Scale shape: identical to dedupMinhash plus a constant explode
+    * factor; nothing grows faster than the loosest config's candidate
+    * set. */
+  def minhashBandTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, sfDir))
+      .withColumn("sh", array_sort(expr("transform(shingles, s -> xxhash64(s))")))
+      .withColumn("sig", Similarity.minhashSig(col("shingles"), 16))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .persist() // reused by the banding explode and both verify joins
+    val rs = BandTuneRows.mkString("array(", ",", ")")
+    val banded = docs.select(col("doc_id"), explode(expr(
+        s"""flatten(transform($rs, r ->
+           | transform(sequence(0, 16 div r - 1), b ->
+           |   named_struct('r', r, 'band', b,
+           |     'band_key', array_join(transform(slice(sig, b*r+1, r),
+           |       x -> cast(x as string)), ',')))))""".stripMargin)).as("bb"))
+      .select(col("doc_id"), col("bb.r").as("r"), col("bb.band").as("band"),
+        col("bb.band_key").as("band_key"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("r"), col("band"), col("band_key"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("r"), col("band"), col("band_key")),
+        Seq("r", "band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("r"), col("doc_a"), col("doc_b"))
+      .distinct()
+    val pairJac = cand.select(col("doc_a"), col("doc_b")).distinct()
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Similarity.sortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val agg = cand.join(pairJac, Seq("doc_a", "doc_b"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_verified"))
+    val spine = spark.range(1).select(explode(typedLit(BandTuneRows)).as("r"))
+    val out = spine.join(broadcast(agg), Seq("r"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_verified"))
+      .select(col("r").as("rows_per_band"),
+        expr("16 div r").as("n_bands"),
+        col("n_candidates"), col("n_verified"),
+        when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_verified").cast("double")
+            / col("n_candidates").cast("double"), 6)).as("precision"),
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(0.5), col("r")),
+          lit(16.0) / col("r")), 6).as("p_cand_at_tau"))
+      .localCheckpoint()
+    docs.unpersist()
+    out
+  }
+
   /** Incremental-batch fraction: 1-in-10 docs by md5 draw. */
   final val IncBatchMod = 10L
 

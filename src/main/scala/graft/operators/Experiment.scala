@@ -15,6 +15,83 @@ import graft.sources.Tables
   */
 object Experiment {
 
+  /** Bootstrap resample count. */
+  final val BootB = 200
+
+  /** Poisson(1) inverse-CDF cumulative thresholds e⁻¹·Σ 1/j! for
+    * j ≤ k, k = 0..8 — decimal literals parse to the identical double
+    * in both engines, so the per-(row, resample) count is
+    * engine-deterministic. Counts above 9 (P < 1.1e-7 per draw) clamp
+    * to 9; the truncation is part of the operator's definition and
+    * identical on both sides. */
+  final val PoisCum = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747945319)
+
+  /** PERCENTILE-BOOTSTRAP confidence interval for the mean event value
+    * per event type, via the POISSON BOOTSTRAP (each row contributes
+    * Poisson(1) copies to each resample) — the formulation that scales:
+    * the classic index-resample needs a B×n random-access join, while
+    * the Poisson draw is ROW-LOCAL (one md5 per (row, resample), one
+    * map-side-combined aggregate onto ≤ |types|×B cells), which is how
+    * bootstrap CIs are actually computed over massive datasets.
+    *
+    * Exactness: values ride decimal cents (exact longs), each
+    * resample mean is ONE IEEE divide of exact integers — bit-identical
+    * across engines, so ranking resamples by (mean, b) is
+    * engine-deterministic with no rounding anywhere before the
+    * terminal outputs. The CI bounds are the ceil-rank order
+    * statistics at 2.5%/97.5%, computed in exact integer arithmetic
+    * ((25·B′+999) div 1000) — no float rank math. Empty resamples
+    * (possible only for vanishingly small types) are excluded on both
+    * engines by the same n_b > 0 rule. */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val u = Similarity.md5Mod(concat(lit("boot-"), col("event_id"),
+        lit("-"), col("b"))).cast("double") /
+      lit(graft.expressions.CrossHash.P.toDouble)
+    // foldRight keeps the SMALLEST threshold outermost:
+    // when(u<c0,0).otherwise(when(u<c1,1).otherwise(... lit(9)))
+    val cnt = PoisCum.zipWithIndex
+      .foldRight(lit(9): org.apache.spark.sql.Column) {
+        case ((t, k), e) => when(col("u") < t, lit(k)).otherwise(e)
+      }.cast("long")
+    val res = Partitioning.spread(ev)
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("cnt", cnt)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("cnt") * col("cents")).as("sum_cents"),
+        sum(col("cnt")).as("n_b"))
+      .filter(col("n_b") > 0L)
+      .withColumn("mean_b", col("sum_cents").cast("double")
+        / (lit(100.0) * col("n_b").cast("double")))
+    val wT = Window.partitionBy(col("event_type"))
+    val ranked = res
+      .withColumn("rk", row_number().over(
+        wT.orderBy(col("mean_b").asc, col("b").asc)).cast("long"))
+      .withColumn("bp", count(lit(1)).over(wT))
+      .withColumn("lo_rk", expr("(bp * 25 + 999) div 1000"))
+      .withColumn("hi_rk", expr("(bp * 975 + 999) div 1000"))
+    val ci = ranked
+      .groupBy(col("event_type"))
+      .agg(max(col("bp")).as("n_resamples"),
+        max(when(col("rk") === col("lo_rk"), col("mean_b"))).as("ci_lo"),
+        max(when(col("rk") === col("hi_rk"), col("mean_b"))).as("ci_hi"))
+    val point = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("tc"))
+      .select(col("event_type"), col("n_events"),
+        (col("tc").cast("double") / (lit(100.0) * col("n_events").cast("double")))
+          .as("mean_value"))
+    point.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_resamples"),
+        col("mean_value"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check — the experiment-health gate that
     * must pass BEFORE any A/B readout is trusted: with a 50/50
     * deterministic hash split, the variant counts should differ only

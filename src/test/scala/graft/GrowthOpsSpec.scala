@@ -883,6 +883,44 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).max > 0.05, "synthetic prices must fail the screen")
   }
 
+  test("bootstrap_ci brackets the point mean and replays a local Poisson bootstrap") {
+    val rows = Experiment.bootstrapCi(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_.getLong(1)).sum == ev.length)
+    rows.foreach { r =>
+      assert(r.getLong(2) == Experiment.BootB.toLong)
+      val (m, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo < hi, s"${r.getString(0)}: degenerate CI")
+      assert(lo <= m && m <= hi,
+        s"${r.getString(0)}: mean $m outside percentile CI [$lo, $hi]")
+    }
+    // literal local replay of one type's resample means
+    val typ = rows.head.getString(0)
+    val sub = ev.filter(_._1 == typ)
+    def md5mod(s: String): Long = graft.expressions.CrossHash.md5Mod(s)
+    val means = (0 until Experiment.BootB).flatMap { b =>
+      var sum = 0L; var n = 0L
+      sub.foreach { case (_, id, cents) =>
+        val u = md5mod(s"boot-$id-$b").toDouble / graft.expressions.CrossHash.P.toDouble
+        val k = Experiment.PoisCum.indexWhere(u < _) match {
+          case -1 => 9L
+          case i  => i.toLong
+        }
+        sum += k * cents; n += k
+      }
+      if (n > 0) Some((sum.toDouble / (100.0 * n.toDouble), b)) else None
+    }.sorted
+    val bp = means.length
+    val expLo = means(((bp * 25 + 999) / 1000 - 1).toInt)._1
+    val expHi = means(((bp * 975 + 999) / 1000 - 1).toInt)._1
+    val got = rows.find(_.getString(0) == typ).get
+    assert(got.getDouble(4) == expLo, s"ci_lo replay mismatch for $typ")
+    assert(got.getDouble(5) == expHi, s"ci_hi replay mismatch for $typ")
+  }
+
   test("ab_srm equals a local chi-square replay of the hash split") {
     val r = Experiment.abSrm(spark, sf).head()
     val (na, nb, chi2, flag) =

@@ -673,6 +673,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(safeCross == 0)
   }
 
+  test("minhash_band_tune: candidates widen as rows shrink; (8,2) level replays dedup_minhash") {
+    val rows = Dedup.minhashBandTune(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Dedup.BandTuneRows)
+    rows.foreach { case (r, b, cand, ver) =>
+      assert(b == 16 / r)
+      assert(ver <= cand, s"r=$r verified exceeds candidates")
+    }
+    // fewer rows per band = looser buckets = at least as many candidates
+    rows.sliding(2).foreach { case Array(loose, tight) =>
+      assert(loose._3 >= tight._3,
+        s"candidates must not grow as rows-per-band rises: $loose vs $tight")
+    case _ =>
+    }
+    // the r=2 level IS dedup_minhash's production config (8 bands x 2)
+    assert(rows.find(_._1 == 2).get._4 == Dedup.dedupMinhash(spark, sf).count())
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
