@@ -121,6 +121,7 @@ object SparkEntry {
     "ann_pq" -> (Pq.annPq _),
     "ann_ivf" -> (Ann.annIvf _),
     "ann_tune" -> (Ann.annTune _),
+    "mmr_diversify" -> (Ann.mmrDiversify _),
     "knn_graph" -> (Ann.knnGraph _),
     "rrf_fusion" -> (Fusion.rrfFusion _),
     "containment_dup" -> (Dedup.containmentDup _),
@@ -281,6 +282,46 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
       |SELECT q_id, vec_id AS neighbor_id, rank, cos FROM r WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
+
+  /** MMR oracle: the greedy argmax is inherently sequential in k, so
+    * the SQL unrolls one (m, p, sel) stage per pick — generated here
+    * from the same K/pool constants the Spark operator uses, so the
+    * two sides cannot drift on depth or pool width. */
+  private val mmrDiversifySql: String = {
+    val k = operators.Ann.MmrK
+    val pool = operators.Ann.MmrPool
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val stages = (1 to k).map { i =>
+      s"""m$i AS (SELECT c.q_id, c.vec_id, c.rel, coalesce(max(p.sim), 0.0) AS ms
+         |  FROM pool c
+         |  LEFT JOIN sel${i - 1} s ON s.q_id = c.q_id
+         |  LEFT JOIN ps p ON p.q_id = c.q_id AND p.a = c.vec_id AND p.b = s.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+         |    WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |p$i AS (SELECT q_id, vec_id, rel, ms, $i AS pick FROM (
+         |  SELECT q_id, vec_id, rel, ms, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY 0.7 * rel - 0.3 * ms DESC, vec_id) AS rn FROM m$i) z
+         |  WHERE rn = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
+       |s0 AS (SELECT q_id, vec_id, ${cos("q_emb", "emb")} AS rel, emb
+       |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
+       |pool AS (SELECT q_id, vec_id, rel, emb FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |  FROM s0) z WHERE rn <= $pool),
+       |ps AS (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b, ${cos("a.emb", "b.emb")} AS sim
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel0 AS (SELECT q_id, vec_id, rel, 0.0 AS ms, 0 AS pick FROM pool WHERE 1 = 0),
+       |$stages
+       |SELECT q_id, pick, vec_id, round(rel, 6) AS rel,
+       |  round(ms, 6) AS max_sim_selected,
+       |  round(0.7 * rel - 0.3 * ms, 6) AS mmr_score
+       |FROM sel$k ORDER BY q_id, pick""".stripMargin
+  }
 
   /** MinHash+LSH pair oracle — shared verbatim by dedup_minhash and as
     * the edge source inside dup_clusters' recursive CTE. */
@@ -1411,6 +1452,7 @@ object SparkEntry {
         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_exact, 6) AS recall
         |FROM levels l CROSS JOIN totals t LEFT JOIN hits h ON h.nprobe = l.nprobe
         |ORDER BY l.nprobe""".stripMargin,
+    "mmr_diversify" -> mmrDiversifySql,
     "knn_graph" ->
       """WITH planes AS (SELECT t, p, d,
         |  CASE WHEN md5_number_lower('hp-' || t || '-' || p || '-' || d) % 2 = 0 THEN 1 ELSE -1 END AS sgn

@@ -187,6 +187,76 @@ object Ann {
     ivfSearch(emb, kmeansCentroids(emb, nlist = 16, iters = 2), nprobe = 4)
   }
 
+  /** MMR picks per query. */
+  final val MmrK = 5
+  /** MMR candidate pool width (top-N by relevance before re-ranking). */
+  final val MmrPool = 20
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): from each query's top-20 relevance pool, greedily pick
+    * 5 results maximizing λ·rel − (1−λ)·max_{s∈picked} sim(cand, s)
+    * with λ = 0.7 — the diversification pass a retrieval pipeline runs
+    * so near-duplicate hits don't crowd the result page. The empty
+    * picked-set convention is max-sim = 0 (first pick is pure
+    * relevance), and ties break on vec_id; both rules are part of the
+    * operator definition and replayed by the oracle.
+    *
+    * Determinism: rel and sim are the engine-identical cosine doubles
+    * the ANN family is built on, and every greedy comparison is the
+    * same 0.7·rel − 0.3·ms expression on both engines — identical
+    * floats, identical argmax, no rounding before the terminal payload
+    * columns. The greedy loop is INHERENTLY sequential in k, so the
+    * plan unrolls K=5 argmax stages; each stage's inputs are the
+    * checkpointed pool (queries×20 rows) and pair-sim (queries×380
+    * rows) tables, both BOUNDED BY THE QUERY SET, not the corpus —
+    * the unrolled lattice costs the same at any corpus size, and only
+    * the pool construction (one broadcast-query scoring pass + bounded
+    * TopK) ever sees the full table. */
+  def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pool = spread(emb).crossJoin(broadcast(queriesOf(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel", Similarity.cosine(col("q_emb"), col("embedding")))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("q_id"), Seq("rel" -> false, "vec_id" -> true), MmrPool))
+      .localCheckpoint() // queries×20 — reused by every greedy stage
+    val ps = pool.select(col("q_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(pool.select(col("q_id"), col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        Similarity.cosine(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint() // queries×380 — bounded by the query set
+    val cand = pool.select(col("q_id"), col("vec_id"), col("rel"))
+    var sel = cand.filter(lit(false))
+      .select(col("q_id"), col("vec_id"), col("rel"),
+        lit(0.0).as("ms"), lit(0).as("pick"))
+    for (k <- 1 to MmrK) {
+      val remaining = cand.join(sel.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val scored = remaining
+        .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id"), "left")
+        .join(ps.select(col("q_id"), col("a").as("vec_id"), col("b"), col("sim")),
+          Seq("q_id", "vec_id", "b"), "left")
+        .groupBy(col("q_id"), col("vec_id"), col("rel"))
+        .agg(coalesce(max(col("sim")), lit(0.0)).as("ms"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("ms")).desc, col("vec_id"))
+      val picked = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("ms"), lit(k).as("pick"))
+      // checkpoint per stage: the next argmax re-reads sel twice (the
+      // anti-join and the pair expansion) and the unrolled lineage
+      // would otherwise recompute the whole prefix each stage
+      sel = sel.unionByName(picked).localCheckpoint()
+    }
+    sel.select(col("q_id"), col("pick"), col("vec_id"),
+      round(col("rel"), 6).as("rel"),
+      round(col("ms"), 6).as("max_sim_selected"),
+      round(lit(0.7) * col("rel") - lit(0.3) * col("ms"), 6).as("mmr_score"))
+  }
+
   /** LSH-bucketed ANN: L independent hyperplane tables; a candidate
     * shares a bucket with the query in at least one table (classic
     * multi-table recall amplification). Exact cosine ranks candidates

@@ -692,6 +692,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 2).get._4 == Dedup.dedupMinhash(spark, sf).count())
   }
 
+  test("mmr_diversify replays a literal local greedy MMR over the pool") {
+    val out = Ann.mmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = emb.keys.filter(_ % 100 == 0).toSeq.sorted
+    assert(out.length == qs.size * Ann.MmrK)
+    qs.foreach { q =>
+      val pool = emb.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, rel) => (-rel, v) }.take(Ann.MmrPool)
+      var picked = Vector.empty[Long]
+      for (_ <- 1 to Ann.MmrK) {
+        val best = pool.filterNot(p => picked.contains(p._1)).map { case (v, rel) =>
+          val ms = if (picked.isEmpty) 0.0
+            else picked.map(s => cos(emb(v), emb(s))).max
+          (v, 0.7 * rel - 0.3 * ms)
+        }.minBy { case (v, score) => (-score, v) }._1
+        picked :+= best
+      }
+      val got = out.filter(_._1 == q).sortBy(_._2).map(_._3).toVector
+      assert(got == picked, s"query $q: greedy picks diverge ($got vs $picked)")
+    }
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
