@@ -702,23 +702,32 @@ object Dedup {
     * join stays UNHINTED — AQE broadcasts at test scale, shuffles at
     * 100 TB. */
   def containmentDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // per-doc distinct grams dedupe ROW-LOCALLY (array_distinct over
+    // the hashed gram array) — the equivalent dropDuplicates(doc, h)
+    // costs a full-corpus shuffle for a set that is per-doc by
+    // definition; md5_mod61 is the registered SQL form of the same
+    // cross-engine hash, so the distinct-on-hash semantics are
+    // unchanged
     val grams = Partitioning.spread(Tables.documents(spark, sfDir))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= ContainW)
-      .withColumn("g", explode(expr(
-        s"""transform(sequence(1, size(toks)-${ContainW - 1}),
-           | i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1),
-           |   element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))"""
-          .stripMargin)))
-      .select(col("doc_id"), Similarity.md5Mod(col("g")).as("h"))
-      .dropDuplicates("doc_id", "h")
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks)-${ContainW - 1}),
+           | i -> md5_mod61(concat_ws(' ', element_at(toks,i), element_at(toks,i+1),
+           |   element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))))"""
+          .stripMargin)).as("h"))
     // corpus-relative cap: one-row doc count broadcast against the
     // gram-frequency table (see ContainDfCap scaladoc)
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    val dfr = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // explicit hash(h) layout (the assoc_rules trick): one exchange,
+    // ReusedExchange feeds the df aggregate AND the cap join's probe
+    // side, and the cap join itself needs no further shuffle
+    val gh = grams.repartition(
+      spark.sessionState.conf.numShufflePartitions, col("h"))
+    val dfr = gh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= greatest(lit(ContainDfCap.toLong), expr("n_docs div 8")))
-    val gc = grams.join(dfr.select(col("h")), Seq("h")).persist()
+    val gc = gh.join(dfr.select(col("h")), Seq("h")).persist()
     gc.count() // materialize once: feeds sizes, both join sides
     val nsz = gc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = gc.select(col("doc_id").as("src_id"), col("h"))
