@@ -108,6 +108,7 @@ object SparkEntry {
     "split_holdout" -> (Dedup.splitHoldout _),
     "split_leakage" -> (Dedup.splitLeakage _),
     "minhash_band_tune" -> (Dedup.minhashBandTune _),
+    "dedup_cross_source" -> (Dedup.dedupCrossSource _),
     "pair_bleu" -> (Dedup.pairBleu _),
     "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "domain_mix" -> (Sampling.domainMix _),
     "seq_pack" -> (Sampling.seqPack _),
     "cluster_assign" -> (Cluster.clusterAssign _),
+    "cluster_metrics" -> (Cluster.clusterMetrics _),
     "semantic_dedup" -> (Cluster.semanticDedup _),
     "embedding_pca" -> (Cluster.embeddingPca _),
     "quality_classifier" -> (TextMetrics.qualityClassifier _),
@@ -1096,6 +1098,24 @@ object SparkEntry {
         |  round(1 - pow(1 - pow(0.5, cfg.r), 16.0 / cfg.r), 6) AS p_cand_at_tau
         |FROM cfg LEFT JOIN agg ON agg.r = cfg.r
         |ORDER BY cfg.r""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |ds AS (SELECT doc_id, source FROM documents),
+         |lab AS (SELECT least(a.source, b.source) AS source_a,
+         |    greatest(a.source, b.source) AS source_b
+         |  FROM mh JOIN ds a ON a.doc_id = mh.doc_a JOIN ds b ON b.doc_id = mh.doc_b),
+         |cnt AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM mh),
+         |s AS (SELECT DISTINCT source FROM documents),
+         |grid AS (SELECT a.source AS source_a, b.source AS source_b
+         |  FROM s a JOIN s b ON a.source <= b.source)
+         |SELECT g.source_a, g.source_b, coalesce(cnt.n_pairs, 0) AS n_pairs,
+         |  CASE WHEN t.n_total = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(cnt.n_pairs, 0) AS DOUBLE) / t.n_total, 6)
+         |  END AS pair_share
+         |FROM grid g LEFT JOIN cnt USING (source_a, source_b) CROSS JOIN tot t
+         |ORDER BY g.source_a, g.source_b""".stripMargin,
     "pair_bleu" ->
       s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
          |d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -1762,6 +1782,52 @@ object SparkEntry {
         |SELECT a0.vec_id, e.label, cluster0, cluster1, cluster0 <> cluster1 AS moved
         |FROM a0 JOIN a1 USING (vec_id) JOIN embeddings e ON e.vec_id = a0.vec_id
         |ORDER BY a0.vec_id""".stripMargin,
+    "cluster_metrics" ->
+      """WITH qv AS (SELECT vec_id, d,
+        |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
+        |  FROM embeddings CROSS JOIN range(64) dd(d)),
+        |norms AS (SELECT vec_id, CAST(sum(qd * qd) AS BIGINT) AS qnorm FROM qv GROUP BY vec_id),
+        |c0 AS (SELECT vec_id AS c_id, d, qd FROM qv WHERE vec_id < 16),
+        |c0n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c0 GROUP BY c_id),
+        |dots0 AS (SELECT qv.vec_id, c0.c_id, CAST(sum(qv.qd * c0.qd) AS BIGINT) AS dot
+        |  FROM qv JOIN c0 USING (d) GROUP BY qv.vec_id, c0.c_id),
+        |s0 AS (SELECT vec_id, c_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+        |  FROM dots0 JOIN norms USING (vec_id) JOIN c0n USING (c_id)),
+        |a0 AS (SELECT vec_id, c_id FROM (
+        |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM s0) WHERE rk = 1),
+        |sums AS (SELECT a0.c_id, d, CAST(sum(qd) AS BIGINT) AS sq, count(*) AS cnt
+        |  FROM a0 JOIN qv USING (vec_id) GROUP BY a0.c_id, d),
+        |c1 AS (SELECT c0.c_id, c0.d,
+        |  coalesce((sq - (((sq % cnt) + cnt) % cnt)) // cnt, c0.qd) AS qd
+        |  FROM c0 LEFT JOIN sums ON sums.c_id = c0.c_id AND sums.d = c0.d),
+        |c1n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c1 GROUP BY c_id),
+        |dots1 AS (SELECT qv.vec_id, c1.c_id, CAST(sum(qv.qd * c1.qd) AS BIGINT) AS dot
+        |  FROM qv JOIN c1 USING (d) GROUP BY qv.vec_id, c1.c_id),
+        |s1 AS (SELECT vec_id, c_id,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+        |  FROM dots1 JOIN norms USING (vec_id) JOIN c1n USING (c_id)),
+        |own AS (SELECT vec_id, c_id, cos FROM (
+        |  SELECT vec_id, c_id, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM s1) WHERE rk = 1),
+        |per AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |    CAST(sum(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS s_e6,
+        |    min(cos) AS min_cos
+        |  FROM own GROUP BY c_id),
+        |ccd AS (SELECT a.c_id AS ca, b.c_id AS cb, CAST(sum(a.qd * b.qd) AS BIGINT) AS dot
+        |  FROM c1 a JOIN c1 b ON a.d = b.d AND a.c_id <> b.c_id GROUP BY 1, 2),
+        |ccs AS (SELECT ca, cb,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.cnorm AS DOUBLE)) * sqrt(CAST(nb.cnorm AS DOUBLE))) AS cos
+        |  FROM ccd JOIN c1n na ON na.c_id = ccd.ca JOIN c1n nb ON nb.c_id = ccd.cb),
+        |nn AS (SELECT ca AS c_id, cb AS nn_c_id, cos AS nn_cos FROM (
+        |  SELECT ca, cb, cos, row_number() OVER (PARTITION BY ca ORDER BY cos DESC, cb) AS rk
+        |  FROM ccs) WHERE rk = 1)
+        |SELECT per.c_id, per.n_vectors,
+        |  round(CAST(per.s_e6 AS DOUBLE) / (1000000.0 * CAST(per.n_vectors AS DOUBLE)), 6) AS mean_cos,
+        |  round(per.min_cos, 6) AS min_cos,
+        |  nn.nn_c_id, round(nn.nn_cos, 6) AS nn_centroid_cos
+        |FROM per JOIN nn USING (c_id) ORDER BY per.c_id""".stripMargin,
     "embedding_pca" -> {
       val S = operators.Cluster.PcaScale
       s"""WITH qd AS (SELECT vec_id, d,

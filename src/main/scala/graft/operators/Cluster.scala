@@ -52,6 +52,32 @@ object Cluster {
       .select(col("vec_id"), col("q"), col("qnorm"), col("c_id"))
   }
 
+  /** One distributed Lloyd refinement step: per-(cluster, dim) integer
+    * sums — exact under any partitioning — then a floor division (via
+    * pmod, so negative sums floor identically on both engines) back to
+    * an integer centroid. LEFT join from the seed dims: a cluster that
+    * attracted no vectors keeps its seed centroid instead of silently
+    * vanishing (k would shrink — the same guard Ann.kmeansCentroids
+    * applies). Shared by clusterAssign and clusterMetrics so the two
+    * gate rows cannot drift on the refinement definition. */
+  private def refineOnce(cents0: DataFrame, a0: DataFrame): DataFrame = {
+    val sums = a0
+      .select(col("c_id"), col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy(col("c_id"), col("d"))
+      .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
+      // integer `div` (never `/`: double division) on the exact multiple
+      .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
+    val seedDims = cents0
+      .select(col("c_id"), posexplode(col("cq")).as(Seq("d", "seed_qd")))
+    seedDims
+      .join(sums.select(col("c_id"), col("d"), col("cd")), Seq("c_id", "d"), "left")
+      .withColumn("cd", coalesce(col("cd"), col("seed_qd")))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        s => s.getField("cd")).as("cq"))
+      .withColumn("cnorm", qdot(col("cq"), col("cq")))
+  }
+
   /** Seed assignment (centroids = vectors 0..15) plus one distributed
     * Lloyd refinement; emits each vector's cluster before/after. */
   def clusterAssign(spark: SparkSession, sfDir: String): DataFrame = {
@@ -64,27 +90,7 @@ object Cluster {
         col("qnorm").as("cnorm"))
     val a0 = assign(vecs, cents0)
 
-    // Lloyd update: per-(cluster, dim) integer sums — exact under any
-    // partitioning — then a floor division (via pmod, so negative sums
-    // floor identically on both engines) back to an integer centroid.
-    val sums = a0
-      .select(col("c_id"), col("vec_id"), posexplode(col("q")).as(Seq("d", "qd")))
-      .groupBy(col("c_id"), col("d"))
-      .agg(sum(col("qd")).as("sq"), count(lit(1)).as("cnt"))
-      // integer `div` (never `/`: double division) on the exact multiple
-      .withColumn("cd", expr("(sq - pmod(sq, cnt)) div cnt"))
-    // LEFT join from the seed dims: a cluster that attracted no vectors
-    // keeps its seed centroid instead of silently vanishing (k would
-    // shrink — the same guard Ann.kmeansCentroids applies)
-    val seedDims = cents0
-      .select(col("c_id"), posexplode(col("cq")).as(Seq("d", "seed_qd")))
-    val cents1 = seedDims
-      .join(sums.select(col("c_id"), col("d"), col("cd")), Seq("c_id", "d"), "left")
-      .withColumn("cd", coalesce(col("cd"), col("seed_qd")))
-      .groupBy(col("c_id"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
-        s => s.getField("cd")).as("cq"))
-      .withColumn("cnorm", qdot(col("cq"), col("cq")))
+    val cents1 = refineOnce(cents0, a0)
     val a1 = assign(a0.select(col("vec_id"), col("q"), col("qnorm")), cents1)
       .select(col("vec_id"), col("c_id").as("c1_id"))
 
@@ -93,6 +99,57 @@ object Cluster {
       .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("cluster0"), col("cluster1"),
         (col("cluster0") =!= col("cluster1")).as("moved"))
+  }
+
+  /** CLUSTERING QUALITY METRICS for the refined assignment — the eval
+    * that decides whether a clustering is good enough to block
+    * semantic dedup or curriculum sampling on: per cluster, the member
+    * count, the mean and worst cosine to the OWN centroid (cohesion),
+    * and the nearest OTHER centroid with its cosine (separation — a
+    * cluster whose nn_centroid_cos approaches its mean_cos is
+    * bleeding into a neighbor, the Davies-Bouldin failure shape read
+    * directly off two columns).
+    *
+    * Exactness: per-vector own-cos is the usual one-divide double off
+    * exact integer dot/norms; the CROSS-ROW mean rides an e6-quantized
+    * long sum (floor(cos·10⁶) — order-independent, the
+    * embedding_audit discipline) with one terminal divide; min is
+    * order-free. Centroid-centroid cosines are 16×16 exact-integer
+    * work. Scale shape: one corpus×k broadcast scoring pass (shared
+    * shape with cluster_assign), one k-row aggregate, k² centroid
+    * table — everything after the scoring pass is metadata-scale. */
+  def clusterMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qnorm", qdot(col("q"), col("q")))
+    val cents0 = vecs.filter(col("vec_id") < SeedK)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"),
+        col("qnorm").as("cnorm"))
+    val cents1 = refineOnce(cents0, assign(vecs, cents0))
+    val scored = vecs.crossJoin(broadcast(cents1))
+      .withColumn("cos", qcos(qdot(col("q"), col("cq")), col("qnorm"), col("cnorm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
+    val own = scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("c_id"), col("vec_id"), col("cos"))
+    val per = own
+      .withColumn("cos_e6", floor(col("cos") * lit(1000000.0)).cast("long"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("cos_e6")).as("s_e6"),
+        min(col("cos")).as("min_cos"))
+    val cc = cents1.select(col("c_id").as("ca"), col("cq").as("qa"), col("cnorm").as("na"))
+      .crossJoin(broadcast(cents1.select(col("c_id").as("cb"),
+        col("cq").as("qb"), col("cnorm").as("nb"))))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("cos", qcos(qdot(col("qa"), col("qb")), col("na"), col("nb")))
+    val wc = Window.partitionBy(col("ca")).orderBy(col("cos").desc, col("cb"))
+    val nn = cc.withColumn("rk", row_number().over(wc)).filter(col("rk") === 1)
+      .select(col("ca").as("c_id"), col("cb").as("nn_c_id"), col("cos").as("nn_cos"))
+    per.join(nn, Seq("c_id"))
+      .select(col("c_id"), col("n_vectors"),
+        round(col("s_e6").cast("double")
+          / (lit(1000000.0) * col("n_vectors").cast("double")), 6).as("mean_cos"),
+        round(col("min_cos"), 6).as("min_cos"),
+        col("nn_c_id"), round(col("nn_cos"), 6).as("nn_centroid_cos"))
   }
 
   /** Cosine threshold above which two cluster-mates are semantic

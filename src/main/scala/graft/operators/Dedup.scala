@@ -452,6 +452,43 @@ object Dedup {
             / col("n_total").cast("double"), 6)).as("pair_share"))
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX: verified near-dup pairs bucketed
+    * by the (unordered) source pair of their endpoints — the
+    * provenance-overlap question ("how much of source X is recycled
+    * from source Y") that decides which source to drop when a mixture
+    * is over budget. Diagonal cells are within-source redundancy;
+    * off-diagonal cells are cross-source copying. A full source×source
+    * spine zero-fills absent cells so clean source pairs read as
+    * explicit zeros.
+    *
+    * Scale shape: the pair table is the file-backed minhash warehouse
+    * (near-dup-pair sized); the two source lookups are row-local
+    * equi-joins against the (doc_id, source) projection; the matrix is
+    * |sources|² — metadata-scale forever. */
+  def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val ds = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(ds.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(ds.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+    val cnt = lab.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = pairs.agg(count(lit(1)).as("n_total"))
+    val srcs = ds.select(col("source")).distinct()
+    val grid = srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") <= col("source_b"))
+    grid.join(broadcast(cnt), Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        when(col("n_total") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_pairs").cast("double")
+            / col("n_total").cast("double"), 6)).as("pair_share"))
+  }
+
   /** BLEU/ROUGE-style n-gram overlap metrics over the VERIFIED
     * near-dup pairs — the eval-metric family (clipped n-gram
     * precision, n-gram recall, brevity penalty) a pipeline uses to

@@ -726,6 +726,41 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cross_source partitions the pair set and replays the source labels") {
+    val rows = Dedup.dedupCrossSource(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    rows.keys.foreach { case (a, b) => assert(a <= b, "unordered pair keys") }
+    val src = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.values.sum == pairs.length, "matrix must partition the pair set")
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.length.toLong).toMap
+    expected.foreach { case (k, n) => assert(rows(k) == n, s"cell $k") }
+    // zero-filled spine: every cell of the source grid is present
+    val nSrc = src.values.toSet.size
+    assert(rows.size == nSrc * (nSrc + 1) / 2)
+  }
+
+  test("cluster_metrics cohesion/separation are consistent with cluster_assign") {
+    val m = Cluster.clusterMetrics(spark, sf).collect()
+    val sizes = Cluster.clusterAssign(spark, sf).collect()
+      .groupBy(_.getLong(3)).view.mapValues(_.length.toLong).toMap // cluster1
+    assert(m.map(_.getLong(1)).sum == sizes.values.sum)
+    m.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) == sizes(c), s"cluster $c size disagrees with cluster_assign")
+      val (mean, mn, nnCos) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(mn <= mean + 1e-6 && mean <= 1.0 + 1e-9, s"cluster $c cohesion bounds")
+      assert(nnCos < 1.0, s"cluster $c nearest-other-centroid must not be identical")
+      assert(r.getLong(4) != c, s"cluster $c nn must be another cluster")
+    }
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
