@@ -212,6 +212,7 @@ object SparkEntry {
     "embedding_outliers" -> (Cluster.embeddingOutliers _),
     "lang_confusion" -> (TextMetrics.langConfusion _),
     "label_agreement" -> (TextMetrics.labelAgreement _),
+    "grader_significance" -> (TextMetrics.graderSignificance _),
     "topic_terms" -> (TextMetrics.topicTerms _),
     "skew_join" -> (Salting.skewJoin _),
     "dp_release" -> (Quality.dpRelease _),
@@ -3271,6 +3272,56 @@ object SparkEntry {
         |    ELSE round(CAST(n * agree - e AS DOUBLE) / CAST(n * n - e AS DOUBLE), 6)
         |  END AS kappa
         |FROM u ORDER BY scope""".stripMargin,
+    "grader_significance" ->
+      s"""WITH qt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        |qm AS (SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS nw,
+        |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(toks) AS sr
+        |  FROM qt),
+        |q AS (SELECT doc_id, lang,
+        |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS quality_score
+        |  FROM qm),
+        |tk AS (SELECT doc_id, t FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+        |sc AS (SELECT doc_id,
+        |  CAST(sum(CAST((md5_number_lower('qw-' ||
+        |      CAST((md5_number_lower('qc-' || t) % 2305843009213693951) % ${TextMetrics.QcBuckets} AS BIGINT))
+        |    % 2305843009213693951) % 2001 AS BIGINT) - 1000) AS BIGINT) AS margin_raw
+        |  FROM tk GROUP BY doc_id),
+        |gg AS (SELECT q.doc_id,
+        |  CASE WHEN (q.quality_score >= 0.5) = (q.lang = 'en') THEN 1 ELSE 0 END AS ca,
+        |  CASE WHEN (coalesce(sc.margin_raw, 0) > 0) = (q.lang = 'en') THEN 1 ELSE 0 END AS cb
+        |  FROM q LEFT JOIN sc USING (doc_id)),
+        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ca) AS BIGINT) AS sa,
+        |    CAST(sum(cb) AS BIGINT) AS sb FROM gg),
+        |gr AS (SELECT doc_id, ca, cb, b
+        |  FROM gg CROSS JOIN range(${operators.Experiment.BootB}) bb(b)),
+        |dd AS (SELECT b, ca, cb,
+        |    CAST(md5_number_lower('gsig-' || doc_id || '-' || b)
+        |        % 2305843009213693951 AS DOUBLE)
+        |      / CAST(2305843009213693951 AS DOUBLE) AS u FROM gr),
+        |cc AS (SELECT b, ca, cb,
+        |    CASE ${operators.Experiment.PoisCum.zipWithIndex
+                 .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")}
+        |      ELSE 9 END AS cnt FROM dd),
+        |res AS (SELECT b, CAST(sum(cnt * (ca - cb)) AS BIGINT) AS sd,
+        |    CAST(sum(cnt) AS BIGINT) AS nb
+        |  FROM cc GROUP BY b HAVING sum(cnt) > 0),
+        |m AS (SELECT b, CAST(sd AS DOUBLE) / CAST(nb AS DOUBLE) AS delta_b FROM res),
+        |r AS (SELECT delta_b, row_number() OVER (ORDER BY delta_b, b) AS rk,
+        |    count(*) OVER () AS bp FROM m),
+        |ci AS (SELECT CAST(max(bp) AS BIGINT) AS n_resamples,
+        |    max(CASE WHEN rk = (bp * 25 + 999) // 1000 THEN delta_b END) AS lo,
+        |    max(CASE WHEN rk = (bp * 975 + 999) // 1000 THEN delta_b END) AS hi
+        |  FROM r)
+        |SELECT pt.n_docs, ci.n_resamples,
+        |  round(CAST(pt.sa AS DOUBLE) / CAST(pt.n_docs AS DOUBLE), 6) AS acc_rule,
+        |  round(CAST(pt.sb AS DOUBLE) / CAST(pt.n_docs AS DOUBLE), 6) AS acc_model,
+        |  round(CAST(pt.sa - pt.sb AS DOUBLE) / CAST(pt.n_docs AS DOUBLE), 6) AS delta,
+        |  round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+        |  (ci.lo > 0.0 OR ci.hi < 0.0) AS significant
+        |FROM pt CROSS JOIN ci""".stripMargin,
     "topic_terms" ->
       """WITH w AS (SELECT source,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term

@@ -470,6 +470,75 @@ object TextMetrics {
           / (col("n") * col("n") - col("e")).cast("double"), 6)).as("kappa"))
   }
 
+  /** GRADER-COMPARISON SIGNIFICANCE TEST: is the hashed-linear quality
+    * classifier actually better than the rule-based quality score at
+    * predicting the corpus label (lang = 'en', the auc_eval ground
+    * truth), or is the observed accuracy gap bootstrap noise? The
+    * PAIRED test: per-document correctness bits for both graders ride
+    * the SAME Poisson(1) resample draw, so each resample replays the
+    * accuracy DELTA over an identical resampled corpus — the paired
+    * design cancels shared-document variance exactly as a paired
+    * t-test would, without its normality assumption.
+    *
+    * significant = the 95% percentile CI of the delta excludes 0.
+    * Exactness: both graders' decisions are engine-deterministic
+    * (margin_raw is an exact integer; the rule score's threshold
+    * compare runs on the engine-identical quality_score double); each
+    * resample delta is ONE IEEE divide of exact integer sums, so the
+    * rank order is exact (the bootstrap_ci discipline). Scale shape:
+    * two row-local grader passes, one row-local ×B explode, one
+    * B-cell aggregate — nothing bigger than the corpus ever shuffles. */
+  def graderSignificance(spark: SparkSession, sfDir: String): DataFrame = {
+    val y = col("lang") === "en"
+    val graders = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(qualityScore(spark, sfDir).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+      .join(qualityClassifier(spark, sfDir).select(col("doc_id"), col("margin_raw")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        ((col("quality_score") >= 0.5) === y).cast("long").as("ca"),
+        ((col("margin_raw") > 0L) === y).cast("long").as("cb"))
+    val pt = graders.agg(count(lit(1)).as("n_docs"),
+      sum(col("ca")).as("sa"), sum(col("cb")).as("sb"))
+    val u = graft.functions.Similarity.md5Mod(concat(lit("gsig-"), col("doc_id"),
+        lit("-"), col("b"))).cast("double") /
+      lit(graft.expressions.CrossHash.P.toDouble)
+    val cnt = Experiment.PoisCum.zipWithIndex
+      .foldRight(lit(9): org.apache.spark.sql.Column) {
+        case ((t, k), e) => when(col("u") < t, lit(k)).otherwise(e)
+      }.cast("long")
+    val res = Partitioning.spread(graders)
+      .select(col("doc_id"), col("ca"), col("cb"),
+        explode(sequence(lit(0), lit(Experiment.BootB - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("cnt", cnt)
+      .groupBy(col("b"))
+      .agg(sum(col("cnt") * (col("ca") - col("cb"))).as("sd"),
+        sum(col("cnt")).as("nb"))
+      .filter(col("nb") > 0L)
+      .withColumn("delta_b", col("sd").cast("double") / col("nb").cast("double"))
+      .withColumn("g", lit(1))
+    val wG = Window.partitionBy(col("g"))
+    val ranked = res
+      .withColumn("rk", row_number().over(
+        wG.orderBy(col("delta_b").asc, col("b").asc)).cast("long"))
+      .withColumn("bp", count(lit(1)).over(wG))
+      .withColumn("lo_rk", expr("(bp * 25 + 999) div 1000"))
+      .withColumn("hi_rk", expr("(bp * 975 + 999) div 1000"))
+    val ci = ranked.groupBy(col("g"))
+      .agg(max(col("bp")).as("n_resamples"),
+        max(when(col("rk") === col("lo_rk"), col("delta_b"))).as("lo"),
+        max(when(col("rk") === col("hi_rk"), col("delta_b"))).as("hi"))
+    pt.crossJoin(broadcast(ci))
+      .select(col("n_docs"), col("n_resamples"),
+        round(col("sa").cast("double") / col("n_docs").cast("double"), 6).as("acc_rule"),
+        round(col("sb").cast("double") / col("n_docs").cast("double"), 6).as("acc_model"),
+        round((col("sa") - col("sb")).cast("double")
+          / col("n_docs").cast("double"), 6).as("delta"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
+        (col("lo") > 0.0 || col("hi") < 0.0).as("significant"))
+  }
+
   /** Trigram profile width per language. */
   final val TriProfileK = 40
 

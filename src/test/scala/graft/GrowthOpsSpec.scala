@@ -921,6 +921,33 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(got.getDouble(5) == expHi, s"ci_hi replay mismatch for $typ")
   }
 
+  test("grader_significance: paired delta matches the graders' own point accuracies") {
+    val r = TextMetrics.graderSignificance(spark, sf).head()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.getLong(0) == nDocs)
+    assert(r.getLong(1) == Experiment.BootB.toLong)
+    val (accA, accB, delta) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.abs(delta - (accA - accB)) < 2e-6, "delta is the paired difference")
+    val (lo, hi) = (r.getDouble(5), r.getDouble(6))
+    assert(lo <= hi)
+    assert(lo <= delta + 1e-6 && delta <= hi + 1e-6,
+      "point delta must sit inside its own bootstrap CI")
+    assert(r.getBoolean(7) == (lo > 0.0 || hi < 0.0))
+    // replay the point accuracies from the graders directly
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("lang") === "en").as("y"))
+    val qa = TextMetrics.qualityScore(spark, sf)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("p"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("p") === col("y")).count()
+    val qb = TextMetrics.qualityClassifier(spark, sf)
+      .select(col("doc_id"), (col("margin_raw") > 0L).as("p"))
+      .join(docs, Seq("doc_id"))
+      .filter(col("p") === col("y")).count()
+    assert(math.abs(accA - qa.toDouble / nDocs) < 1e-6)
+    assert(math.abs(accB - qb.toDouble / nDocs) < 1e-6)
+  }
+
   test("ab_srm equals a local chi-square replay of the hash split") {
     val r = Experiment.abSrm(spark, sf).head()
     val (na, nb, chi2, flag) =
