@@ -109,6 +109,7 @@ object SparkEntry {
     "split_leakage" -> (Dedup.splitLeakage _),
     "minhash_band_tune" -> (Dedup.minhashBandTune _),
     "dedup_cross_source" -> (Dedup.dedupCrossSource _),
+    "dataset_card" -> (Quality.datasetCard _),
     "pair_bleu" -> (Dedup.pairBleu _),
     "dedup_eval" -> (Dedup.dedupEval _),
     "substring_dup" -> ((s: SparkSession, d: String) => Dedup.substringDup(s, d)),
@@ -1117,6 +1118,42 @@ object SparkEntry {
          |  END AS pair_share
          |FROM grid g LEFT JOIN cnt USING (source_a, source_b) CROSS JOIN tot t
          |ORDER BY g.source_a, g.source_b""".stripMargin,
+    "dataset_card" ->
+      s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1),
+         |tk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM (
+         |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) z
+         |  WHERE t <> '' GROUP BY source),
+         |qt AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+         |qm AS (SELECT doc_id, source, CAST(len(toks) AS DOUBLE) AS nw,
+         |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+         |    / len(toks) AS sr
+         |  FROM qt),
+         |q AS (SELECT doc_id, source,
+         |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS qs
+         |  FROM qm),
+         |qu AS (SELECT source, CAST(sum(CAST(floor(qs * 1000000.0) AS BIGINT)) AS BIGINT) AS q_e6
+         |  FROM q GROUP BY 1),
+         |lg AS (SELECT source, lang AS top_lang, n_lang FROM (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_lang,
+         |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rk
+         |  FROM documents GROUP BY source, lang) z WHERE rk = 1),
+         |dd AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM mh UNION ALL SELECT doc_b FROM mh) u),
+         |dup AS (SELECT d.source, CAST(count(*) AS BIGINT) AS dup_docs
+         |  FROM dd JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT b.source, b.n_docs, coalesce(tk.n_tokens, 0) AS n_tokens,
+         |  round(CAST(b.sum_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS mean_chars,
+         |  round(CAST(qu.q_e6 AS DOUBLE) / (1000000.0 * CAST(b.n_docs AS DOUBLE)), 6) AS mean_quality,
+         |  lg.top_lang,
+         |  round(CAST(lg.n_lang AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share,
+         |  coalesce(dup.dup_docs, 0) AS dup_docs,
+         |  round(CAST(coalesce(dup.dup_docs, 0) AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6) AS dup_rate
+         |FROM base b LEFT JOIN tk USING (source) JOIN qu USING (source)
+         |JOIN lg USING (source) LEFT JOIN dup USING (source)
+         |ORDER BY b.source""".stripMargin,
     "pair_bleu" ->
       s"""WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
          |d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

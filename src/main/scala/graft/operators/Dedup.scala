@@ -452,6 +452,16 @@ object Dedup {
             / col("n_total").cast("double"), 6)).as("pair_share"))
   }
 
+  /** Distinct endpoints of the verified near-dup pair set — the
+    * "document is near-dup-exposed" predicate dataset_card reports
+    * per source. Pair-warehouse sized. */
+  private[operators] def dupDocIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = dedupMinhash(spark, sfDir)
+    p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id")))
+      .distinct()
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX: verified near-dup pairs bucketed
     * by the (unordered) source pair of their endpoints — the
     * provenance-overlap question ("how much of source X is recycled

@@ -27,6 +27,62 @@ object Quality {
   final val WlLo = 3
   final val WlHi = 12
 
+  /** DATASET CARD — the per-source datasheet row ("Datasheets for
+    * Datasets", Gebru et al.) a corpus release publishes: volume
+    * (docs, tokens, mean chars), the dominant claimed language and its
+    * share, the mean rule-based quality score, and the verified
+    * near-dup exposure (docs appearing in ≥1 minhash-verified pair).
+    * One table that answers "what is in this mixture" before a
+    * training run commits to it.
+    *
+    * Exactness: counts are longs; mean quality rides the e6-quantized
+    * order-free sum (floor(q·10⁶)); every rate is one terminal divide.
+    * Scale shape: token totals come off the term-census warehouse
+    * (one pruned scan), quality is one row-local pass, the language
+    * majority is a |sources|×|langs| cell argmax, and the dup side is
+    * the pair-warehouse's distinct endpoints — nothing quadratic,
+    * nothing corpus-sized after the first aggregates. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val toks = TermCensus.docTermTf(spark, sfDir)
+      .groupBy(col("source")).agg(sum(col("tf")).as("n_tokens"))
+    val qual = docs.select(col("doc_id"), col("source"))
+      .join(TextMetrics.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(floor(col("quality_score") * lit(1000000.0)).cast("long")).as("q_e6"))
+    val wS = Window.partitionBy(col("source"))
+      .orderBy(col("n_lang").desc, col("lang").asc)
+    val lang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n_lang"))
+    val dupDocs = Dedup.dupDocIds(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    base
+      .join(toks, Seq("source"), "left")
+      .join(qual, Seq("source"))
+      .join(lang, Seq("source"))
+      .join(broadcast(dupDocs), Seq("source"), "left")
+      .na.fill(0L, Seq("n_tokens", "dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_chars"),
+        round(col("q_e6").cast("double")
+          / (lit(1000000.0) * col("n_docs").cast("double")), 6).as("mean_quality"),
+        col("top_lang"),
+        round(col("n_lang").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_lang_share"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
   /** Per-rule attrition funnel of a pretraining filter chain — the
     * observability table a corpus run publishes next to its output:
     * how many documents entered each rule, how many it dropped, and

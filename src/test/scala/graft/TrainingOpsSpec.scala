@@ -761,6 +761,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset_card totals reconcile with the corpus and the pair warehouse") {
+    val rows = graft.operators.Quality.datasetCard(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "n_chars").collect()
+    assert(rows.map(_.getLong(1)).sum == docs.length, "doc totals")
+    val bySource = docs.groupBy(_.getString(1))
+    assert(rows.length == bySource.size, "one row per source")
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = bySource(src)
+      assert(r.getLong(1) == mine.length)
+      // majority language replay
+      val top = mine.groupBy(_.getString(2)).view.mapValues(_.length).toSeq
+        .minBy { case (l, n) => (-n, l) }
+      assert(r.getString(5) == top._1, s"$src top_lang")
+      assert(math.abs(r.getDouble(6) - top._2.toDouble / mine.length) < 1e-6)
+      assert(r.getLong(7) <= r.getLong(1), s"$src dup_docs bound")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0 + 1e-9, s"$src mean_quality")
+    }
+    // dup exposure reconciles with the verified pair endpoints
+    val dupIds = Dedup.dedupMinhash(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val srcOf = docs.map(d => d.getLong(0) -> d.getString(1)).toMap
+    val expDup = dupIds.groupBy(srcOf).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(7) == expDup.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)} dup_docs")
+    }
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
