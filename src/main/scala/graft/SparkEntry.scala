@@ -71,6 +71,7 @@ object SparkEntry {
     "bloom_prune" -> (BloomPrune.bloomPrune _),
     "sample_group" -> (Sampling.sampleGroup _),
     "bm25_rank" -> (Search.bm25Rank _),
+    "search_eval" -> (Search.searchEval _),
     "graph_triangles" -> (Graph.graphTriangles _),
     "graph_linkpred" -> (Graph.graphLinkpred _),
     "graph_kcore" -> (Graph.graphKcore _),
@@ -325,6 +326,35 @@ object SparkEntry {
        |  round(ms, 6) AS max_sim_selected,
        |  round(0.7 * rel - 0.3 * ms, 6) AS mmr_score
        |FROM sel$k ORDER BY q_id, pick""".stripMargin
+  }
+
+  /** BM25 top-k oracle — shared by bm25_rank and as the retrieved side
+    * of search_eval; generated from Search.bm25Queries so the workload
+    * cannot drift. */
+  private val bm25RankSql: String = {
+    import graft.operators.Search
+    val terms = Search.bm25Queries.flatMap(_._2).distinct
+    val dfSel = terms.map(t =>
+      s"sum(CASE WHEN list_contains(toks, '${sq(t)}') THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    // constants round-trip through Scala double toString, so DuckDB
+    // parses the bit-identical value Spark computes with
+    def score(qterms: Seq[String]): String = qterms.map { t =>
+      s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))" +
+        s" * (CAST(len(list_filter(toks, x -> x = '${sq(t)}')) AS DOUBLE) * ${Search.K1 + 1.0})" +
+        s" / (CAST(len(list_filter(toks, x -> x = '${sq(t)}')) AS DOUBLE) + ${Search.K1}" +
+        s" * (${1.0 - Search.B} + ${Search.B} * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    }.mkString(" + ")
+    val branches = Search.bm25Queries.map { case (qid, qterms) =>
+      s"SELECT '${sq(qid)}' AS query_id, doc_id, round(${score(qterms)}, 6) AS score FROM dd CROSS JOIN st"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, toks, CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM dd),
+       |scored AS ($branches),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM scored WHERE score > 0)
+       |SELECT query_id, doc_id, score FROM r WHERE rk <= ${Search.TopN}
+       |ORDER BY query_id, doc_id""".stripMargin
   }
 
   /** MinHash+LSH pair oracle — shared verbatim by dedup_minhash and as
@@ -2429,30 +2459,44 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM t)
          |SELECT doc_id, lang, draw FROM r WHERE rk <= ${graft.operators.Sampling.ReservoirK}
          |ORDER BY lang, doc_id""".stripMargin,
-    "bm25_rank" -> {
+    "bm25_rank" -> bm25RankSql,
+    "search_eval" -> {
       import graft.operators.Search
-      val terms = Search.bm25Queries.flatMap(_._2).distinct
-      val dfSel = terms.map(t =>
-        s"sum(CASE WHEN list_contains(toks, '${sq(t)}') THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
-      // constants round-trip through Scala double toString, so DuckDB
-      // parses the bit-identical value Spark computes with
-      def score(qterms: Seq[String]): String = qterms.map { t =>
-        s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))" +
-          s" * (CAST(len(list_filter(toks, x -> x = '${sq(t)}')) AS DOUBLE) * ${Search.K1 + 1.0})" +
-          s" / (CAST(len(list_filter(toks, x -> x = '${sq(t)}')) AS DOUBLE) + ${Search.K1}" +
-          s" * (${1.0 - Search.B} + ${Search.B} * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-      }.mkString(" + ")
       val branches = Search.bm25Queries.map { case (qid, qterms) =>
-        s"SELECT '${sq(qid)}' AS query_id, doc_id, round(${score(qterms)}, 6) AS score FROM dd CROSS JOIN st"
+        val conj = qterms.map(t =>
+          s"len(list_filter(toks, x -> x = '${sq(t)}')) >= ${Search.EvalMinTf}")
+          .mkString(" AND ")
+        s"SELECT '${sq(qid)}' AS query_id, doc_id FROM d WHERE $conj"
       }.mkString("\nUNION ALL\n")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |dd AS (SELECT doc_id, toks, CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS dl FROM d),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM dd),
-         |scored AS ($branches),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-         |  FROM scored WHERE score > 0)
-         |SELECT query_id, doc_id, score FROM r WHERE rk <= ${Search.TopN}
-         |ORDER BY query_id, doc_id""".stripMargin
+      val spine = Search.bm25Queries.map(q => s"'${sq(q._1)}'").mkString(", ")
+      s"""WITH ret AS (SELECT query_id, doc_id, score FROM ($bm25RankSql)),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |truth AS ($branches),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+         |  FROM truth GROUP BY 1),
+         |r AS (SELECT ret.query_id, ret.doc_id,
+         |    row_number() OVER (PARTITION BY ret.query_id ORDER BY ret.score DESC, ret.doc_id) AS rank,
+         |    (t.doc_id IS NOT NULL) AS relv
+         |  FROM ret LEFT JOIN truth t ON t.query_id = ret.query_id AND t.doc_id = ret.doc_id),
+         |c AS (SELECT *, CAST(sum(CASE WHEN relv THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS cum_hits FROM r),
+         |m AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+         |    CAST(sum(CASE WHEN relv THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |    min(CASE WHEN relv THEN rank END) AS first_rel,
+         |    list_sum(list_sort(list(CASE WHEN relv THEN CAST(cum_hits AS DOUBLE) / rank
+         |      ELSE CAST(0 AS DOUBLE) END))) AS ap_num
+         |  FROM c GROUP BY 1),
+         |qs AS (SELECT unnest([$spine]) AS query_id)
+         |SELECT qs.query_id, coalesce(nrel.n_relevant, 0) AS n_relevant,
+         |  coalesce(m.n_retrieved, 0) AS n_retrieved, coalesce(m.n_hits, 0) AS n_hits,
+         |  CASE WHEN coalesce(m.n_retrieved, 0) = 0 THEN NULL
+         |    ELSE round(CAST(m.n_hits AS DOUBLE) / m.n_retrieved, 6) END AS precision_at_k,
+         |  round(CASE WHEN m.first_rel IS NULL THEN 0.0 ELSE 1.0 / m.first_rel END, 6) AS mrr,
+         |  CASE WHEN least(coalesce(nrel.n_relevant, 0), ${Search.TopN}) = 0 THEN 0.0
+         |    ELSE round(coalesce(m.ap_num, 0.0) / least(nrel.n_relevant, ${Search.TopN}), 6)
+         |  END AS ap_at_k
+         |FROM qs LEFT JOIN nrel USING (query_id) LEFT JOIN m USING (query_id)
+         |ORDER BY qs.query_id""".stripMargin
     },
     "graph_triangles" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk

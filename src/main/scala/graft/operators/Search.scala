@@ -65,4 +65,74 @@ object Search {
       .transform(graft.plans.TopK.perGroup(
         Seq("query_id"), Seq("score" -> false, "doc_id" -> true), TopN))
   }
+
+  /** Relevance truth: every query term must appear at least this many
+    * times. tf ≥ 1 and tf ≥ 2 are DEGENERATE on this corpus (common
+    * terms make ~25-60% of docs relevant, so BM25's top-10 scores a
+    * trivial P@10 = 1); tf ≥ 3 measured P@10 = 0.8-0.9 — the metrics
+    * actually discriminate. */
+  final val EvalMinTf = 3
+
+  /** RETRIEVAL QUALITY EVAL over the BM25 workload: P@k, MRR, and
+    * AP@k of each query's top-k against a conjunctive ground truth (a
+    * document is relevant iff it contains EVERY query term at least
+    * EvalMinTf times) — the standard ranked-retrieval metrics a search
+    * deployment tracks, here closing bm25_rank's loop the way ann_eval
+    * closes ann_lsh's. BM25's length normalization can rank a
+    * one-term-heavy doc above a contains-all doc, so the metrics are
+    * non-trivial by construction.
+    *
+    * Exactness: ranks and hit counts are integers; MRR is one divide;
+    * AP's precision-at-hit terms sum through the sorted-fold float
+    * discipline (ann_eval's DCG pattern) and divide once by
+    * min(n_relevant, k). A query spine keeps zero-relevant queries as
+    * explicit rows. Scale shape: the truth side is one row-local
+    * containment pass; everything after bm25's own bounded top-k is
+    * k×|queries| rows. */
+  def searchEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val truthBranches = bm25Queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        terms.map(t => size(filter(col("toks"), x => x === t)) >= EvalMinTf)
+          .reduce(_ && _).as("relv"))
+    }
+    val truth = docs.select(col("doc_id"), explode(array(truthBranches: _*)).as("r"))
+      .filter(col("r.relv"))
+      .select(col("r.query_id").as("query_id"), col("doc_id"))
+    val nRel = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val rel = bm25Rank(spark, sfDir)
+      .withColumn("rank", row_number().over(wQ).cast("long"))
+      .join(broadcast(truth.withColumn("relv", lit(true))),
+        Seq("query_id", "doc_id"), "left")
+      .withColumn("relv", coalesce(col("relv"), lit(false)))
+      .withColumn("cum_hits", sum(when(col("relv"), 1L).otherwise(0L)).over(
+        Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+    val m = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("relv"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("relv"), col("rank"))).as("first_rel"),
+        sort_array(collect_list(when(col("relv"),
+          col("cum_hits").cast("double") / col("rank").cast("double"))
+          .otherwise(lit(0.0)))).as("gains"))
+      .withColumn("ap_num", aggregate(col("gains"), lit(0.0), (a, x) => a + x))
+    val spine = spark.range(1)
+      .select(explode(typedLit(bm25Queries.map(_._1))).as("query_id"))
+    spine
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .join(broadcast(m), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_relevant", "n_retrieved", "n_hits"))
+      .select(col("query_id"), col("n_relevant"), col("n_retrieved"), col("n_hits"),
+        when(col("n_retrieved") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_hits").cast("double")
+            / col("n_retrieved"), 6)).as("precision_at_k"),
+        round(when(col("first_rel").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel")), 6).as("mrr"),
+        when(least(col("n_relevant"), lit(TopN.toLong)) === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("ap_num"), lit(0.0))
+            / least(col("n_relevant"), lit(TopN.toLong)), 6)).as("ap_at_k"))
+  }
 }

@@ -948,6 +948,37 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(math.abs(accB - qb.toDouble / nDocs) < 1e-6)
   }
 
+  test("search_eval replays a literal local MRR/MAP over the bm25 ranking") {
+    import graft.operators.Search
+    val out = Search.searchEval(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Search.bm25Queries.map(_._1).toSet)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val ranked = Search.bm25Rank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    Search.bm25Queries.foreach { case (qid, terms) =>
+      val rel = docs.collect { case (id, toks)
+        if terms.forall(t => toks.count(_ == t) >= Search.EvalMinTf) => id }.toSet
+      val top = ranked.filter(_._1 == qid)
+        .sortBy { case (_, id, s) => (-s, id) }.map(_._2)
+      val hits = top.count(rel)
+      val r = out(qid)
+      assert(r.getLong(1) == rel.size, s"$qid n_relevant")
+      assert(r.getLong(3) == hits, s"$qid n_hits")
+      val firstIdx = top.indexWhere(rel)
+      val mrr = if (firstIdx < 0) 0.0 else 1.0 / (firstIdx + 1)
+      assert(math.abs(r.getDouble(5) - mrr) < 1e-6, s"$qid mrr")
+      var cum = 0
+      val apNum = top.zipWithIndex.map { case (id, i) =>
+        if (rel(id)) { cum += 1; cum.toDouble / (i + 1) } else 0.0
+      }.sorted.sum
+      val ap = if (rel.isEmpty) 0.0 else apNum / math.min(rel.size, Search.TopN)
+      assert(math.abs(r.getDouble(6) - ap) < 1e-6, s"$qid ap")
+    }
+  }
+
   test("ab_srm equals a local chi-square replay of the hash split") {
     val r = Experiment.abSrm(spark, sf).head()
     val (na, nb, chi2, flag) =
