@@ -139,6 +139,7 @@ object SparkEntry {
     "contamination_check" -> (Fingerprint.contaminationCheck _),
     "multimodal_meta" -> (Multimodal.multimodalMeta _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "multimodal_dedup" -> (Multimodal.multimodalDedup _),
     "corpus_filter" -> (TextMetrics.corpusFilter _),
     "blocklist_filter" -> (TextMetrics.blocklistFilter _),
     "repetition_score" -> (TextMetrics.repetitionScore _),
@@ -1621,6 +1622,28 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS distinct_texts
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'wav'
+        |      ELSE 'png' END AS format,
+        |    text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, format,
+        |    unnest(list_transform(range(0, greatest((n // 16 + 3) // 4, 0)),
+        |      s -> md5_number_lower(substr(text, CAST(s * 64 + 1 AS INT), 16))
+        |        % 2305843009213693951)) AS fh
+        |  FROM t),
+        |g AS (SELECT format, fh, CAST(count(*) AS BIGINT) AS copies,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |  FROM f GROUP BY 1, 2)
+        |SELECT format, CAST(sum(copies) AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_frames,
+        |  CAST(sum(copies - 1) AS BIGINT) AS n_dup_frames,
+        |  CASE WHEN sum(copies) = 0 THEN NULL
+        |    ELSE round(CAST(sum(copies - 1) AS DOUBLE) / sum(copies), 6)
+        |  END AS dup_rate,
+        |  CAST(max(copies) AS BIGINT) AS max_frame_copies,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_across_docs
+        |FROM g GROUP BY format ORDER BY format""".stripMargin,
     "multimodal_features" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |b AS (SELECT doc_id, unnest(list_transform(range(1, n + 1),

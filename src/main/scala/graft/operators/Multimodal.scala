@@ -225,6 +225,54 @@ object Multimodal {
       entRounded, nFrames.toLong, frames)
   }
 
+  /** FRAME-FINGERPRINT DEDUP — the media analog of shingle dedup:
+    * whole-file hashes never collide here (every container embeds
+    * doc-derived dims), so duplication lives at the CONTENT level —
+    * the sampled frame fingerprints multimodalFeatures already
+    * extracts. Shared fingerprints across assets are recycled footage
+    * / repeated stills; a video pipeline dedupes exactly this way
+    * (per-frame perceptual hashes, bucket-joined). Reported per
+    * format: total and distinct sampled frames, duplicate-frame
+    * volume, the hottest frame's copy count, and how many fingerprints
+    * appear in ≥2 distinct assets.
+    *
+    * The frame stream is the exact multimodalFeatures sampling
+    * (FrameBytes=16, FrameStride=4 — one fingerprint per 64 content
+    * bytes), so the two gate rows describe the same fingerprints.
+    * Scale shape: one row-local explode (1/64th of content volume),
+    * one hash-keyed count aggregate (map-side combined), one
+    * |formats|-row fold — the shuffle moves 61-bit hashes, never
+    * content. */
+  def multimodalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val frames = graft.operators.Partitioning.spread(
+        Tables.documents(spark, sfDir))
+      // frames exist only past one full FrameBytes window (the oracle's
+      // empty range(0, 0)); the filter also dodges Spark's descending
+      // sequence(0, -1) surprise
+      .filter(length(col("text")) >= FrameBytes)
+      .select(col("doc_id"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'png' END")
+          .as("format"),
+        explode(expr(
+          s"""transform(sequence(0, (length(text) div $FrameBytes + ${FrameStride - 1}) div $FrameStride - 1),
+             | s -> md5_mod61(substring(text, cast(s * ${FrameBytes * FrameStride} + 1 as int), $FrameBytes)))"""
+            .stripMargin)).as("fh"))
+    val g = frames.groupBy(col("format"), col("fh"))
+      .agg(count(lit(1)).as("copies"), count_distinct(col("doc_id")).as("nd"))
+    g.groupBy(col("format"))
+      .agg(sum(col("copies")).as("n_frames"),
+        count(lit(1)).as("n_distinct_frames"),
+        sum(col("copies") - 1).as("n_dup_frames"),
+        max(col("copies")).as("max_frame_copies"),
+        sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_shared_across_docs"))
+      .select(col("format"), col("n_frames"), col("n_distinct_frames"),
+        col("n_dup_frames"),
+        when(col("n_frames") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_dup_frames").cast("double")
+            / col("n_frames").cast("double"), 6)).as("dup_rate"),
+        col("max_frame_copies"), col("n_shared_across_docs"))
+  }
+
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

@@ -791,6 +791,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_dedup frame totals reconcile with multimodal_features' fingerprints") {
+    val rows = Multimodal.multimodalDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("bmp", "wav", "png"))
+    // the features op emits the SAME sampled fingerprints per doc
+    val feats = Multimodal.multimodalFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](5)))
+    val fmt = (id: Long) => (id % 3) match {
+      case 0 => "bmp"; case 1 => "wav"; case _ => "png"
+    }
+    val byFmt = feats.groupBy { case (id, _) => fmt(id) }
+      .view.mapValues(_.flatMap { case (id, fhs) => fhs.map(h => (id, h)) }).toMap
+    rows.foreach { case (f, r) =>
+      val frames = byFmt.getOrElse(f, Array.empty[(Long, Long)]).toSeq
+      assert(r.getLong(1) == frames.length, s"$f n_frames")
+      val groups = frames.groupBy(_._2)
+      assert(r.getLong(2) == groups.size, s"$f n_distinct_frames")
+      assert(r.getLong(3) == frames.length - groups.size, s"$f n_dup_frames")
+      assert(r.getLong(5) == groups.values.map(_.length).max, s"$f max_frame_copies")
+      assert(r.getLong(6) ==
+        groups.values.count(g => g.map(_._1).distinct.length >= 2), s"$f shared")
+    }
+    // the operator exists to find CONTENT-level duplication: non-zero here
+    assert(rows.values.map(_.getLong(3)).sum > 0, "corpus has shared frames")
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
