@@ -152,6 +152,7 @@ object SparkEntry {
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
     "seq_pack" -> (Sampling.seqPack _),
+    "pack_efficiency" -> (Sampling.packEfficiency _),
     "cluster_assign" -> (Cluster.clusterAssign _),
     "cluster_metrics" -> (Cluster.clusterMetrics _),
     "semantic_dedup" -> (Cluster.semanticDedup _),
@@ -328,6 +329,22 @@ object SparkEntry {
        |  round(0.7 * rel - 0.3 * ms, 6) AS mmr_score
        |FROM sel$k ORDER BY q_id, pick""".stripMargin
   }
+
+  /** seq_pack oracle — shared by seq_pack and as the packing side of
+    * pack_efficiency. */
+  private val seqPackSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, lang, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, tok_offset,
+       |  tok_offset // ${Sampling.SeqBudget} AS seq_first,
+       |  (tok_offset + n_tokens - 1) // ${Sampling.SeqBudget} AS seq_last,
+       |  (tok_offset + n_tokens - 1) // ${Sampling.SeqBudget}
+       |    - tok_offset // ${Sampling.SeqBudget} + 1 AS n_seqs
+       |FROM o ORDER BY doc_id""".stripMargin
 
   /** BM25 top-k oracle — shared by bm25_rank and as the retrieved side
     * of search_eval; generated from Search.bm25Queries so the workload
@@ -1828,19 +1845,19 @@ object SparkEntry {
          |WHERE md5_number_lower('mix-' || doc_id) % 2305843009213693951 < thr
          |ORDER BY doc_id""".stripMargin
     },
-    "seq_pack" ->
-      s"""WITH t AS (SELECT doc_id, lang,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-         |o AS (SELECT doc_id, lang, n_tokens,
-         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-         |  FROM t)
-         |SELECT doc_id, lang, n_tokens, tok_offset,
-         |  tok_offset // ${Sampling.SeqBudget} AS seq_first,
-         |  (tok_offset + n_tokens - 1) // ${Sampling.SeqBudget} AS seq_last,
-         |  (tok_offset + n_tokens - 1) // ${Sampling.SeqBudget}
-         |    - tok_offset // ${Sampling.SeqBudget} + 1 AS n_seqs
-         |FROM o ORDER BY doc_id""".stripMargin,
+    "seq_pack" -> seqPackSql,
+    "pack_efficiency" ->
+      s"""WITH sp AS (SELECT * FROM ($seqPackSql))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs,
+         |  CAST((CAST(sum(n_tokens) AS HUGEINT) * 1000000)
+         |    // (CAST(max(seq_last) + 1 AS HUGEINT) * ${Sampling.SeqBudget}) AS BIGINT) AS fill_ppm,
+         |  CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+         |  round(CAST(sum(CASE WHEN n_seqs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS split_rate,
+         |  CAST(max(n_seqs) AS BIGINT) AS max_doc_span
+         |FROM sp GROUP BY lang ORDER BY lang""".stripMargin,
     "cluster_assign" ->
       """WITH qv AS (SELECT vec_id, d,
         |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd

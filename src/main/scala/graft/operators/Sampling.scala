@@ -198,6 +198,37 @@ object Sampling {
     * The only unbounded-partition window runs over buckets, not rows.
     * All arithmetic is integer-exact; the oracle states the semantics
     * as the single naive window — same numbers. */
+  /** PACKING-EFFICIENCY EVAL over seqPack's layout — the two numbers a
+    * packing policy is judged by: capacity utilization (fill_ppm — an
+    * exact-integer parts-per-million, the compact_plan float-free
+    * discipline; only the final partially-filled sequence leaves
+    * slack) and the document-split cost (docs straddling a sequence
+    * boundary train with truncated context — the quality price of
+    * greedy contiguous packing). Per-language rows so a skewed
+    * mixture's worst language is visible directly.
+    *
+    * Scale shape: one aggregate over seqPack's own output; the
+    * quadratic-free prefix-sum layout is seqPack's, shared via one
+    * oracle definition so the two gate rows cannot drift. HUGEINT/
+    * decimal(38,0) carries tokens·10⁶ (overflows a long past ~10¹³
+    * tokens — exactly the 100 TB regime). */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    seqPack(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("seq_last")) + 1).as("n_seqs"),
+        sum(when(col("n_seqs") > 1L, 1L).otherwise(0L)).as("n_split_docs"),
+        max(col("n_seqs")).as("max_doc_span"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+        expr(s"""cast((cast(total_tokens as decimal(38,0)) * 1000000)
+                | div (cast(n_seqs as decimal(38,0)) * $SeqBudget) as bigint)"""
+          .stripMargin).as("fill_ppm"),
+        col("n_split_docs"),
+        round(col("n_split_docs").cast("double")
+          / col("n_docs").cast("double"), 6).as("split_rate"),
+        col("max_doc_span"))
+
   def seqPack(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),

@@ -817,6 +817,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.values.map(_.getLong(3)).sum > 0, "corpus has shared frames")
   }
 
+  test("pack_efficiency reconciles with a literal fold over seq_pack's layout") {
+    val sp = Sampling.seqPack(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+    val out = Sampling.packEfficiency(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    sp.groupBy(_._1).foreach { case (lang, rows) =>
+      val r = out(lang)
+      val total = rows.map(_._2).sum
+      val nSeqs = rows.map(_._3).max + 1
+      assert(r.getLong(1) == rows.length)
+      assert(r.getLong(2) == total)
+      assert(r.getLong(3) == nSeqs)
+      assert(r.getLong(4) ==
+        (BigInt(total) * 1000000 / (BigInt(nSeqs) * Sampling.SeqBudget)).toLong)
+      assert(r.getLong(5) == rows.count(_._4 > 1))
+      // greedy contiguous packing wastes only the final sequence's tail
+      assert(r.getLong(4) > 800000L && r.getLong(4) <= 1000000L,
+        s"$lang fill_ppm=${r.getLong(4)}")
+    }
+  }
+
   test("embedding_pca matches a local BigInt power-iteration replay") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
       .select("embedding").collect()
