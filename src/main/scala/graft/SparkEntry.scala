@@ -73,6 +73,7 @@ object SparkEntry {
     "bm25_rank" -> (Search.bm25Rank _),
     "search_eval" -> (Search.searchEval _),
     "graph_triangles" -> (Graph.graphTriangles _),
+    "graph_clustering" -> (Graph.graphClustering _),
     "graph_linkpred" -> (Graph.graphLinkpred _),
     "graph_kcore" -> (Graph.graphKcore _),
     "graph_bfs" -> (Graph.graphBfs _),
@@ -246,7 +247,8 @@ object SparkEntry {
     "skew_detect" -> (operators.Salting.skewDetect _),
     "embedding_audit" -> (Cluster.embeddingAudit _),
     "ab_srm" -> (Experiment.abSrm _),
-    "bootstrap_ci" -> (Experiment.bootstrapCi _)
+    "bootstrap_ci" -> (Experiment.bootstrapCi _),
+    "audience_overlap" -> (Experiment.audienceOverlap _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -2550,6 +2552,27 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
         |SELECT partkey, count(*) AS n_triangles FROM verts
         |GROUP BY partkey ORDER BY partkey""".stripMargin,
+    "graph_clustering" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |bo AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS partkey, CAST(count(*) AS BIGINT) AS degree FROM bo GROUP BY u),
+        |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |verts AS (SELECT x AS partkey FROM t
+        |  UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+        |tri AS (SELECT partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM verts GROUP BY partkey)
+        |SELECT deg.partkey, deg.degree, coalesce(tri.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.degree < 2 THEN NULL
+        |    ELSE round(CAST(coalesce(tri.n_triangles, 0) * 2 AS DOUBLE)
+        |      / (deg.degree * (deg.degree - 1)), 6)
+        |  END AS local_cc
+        |FROM deg LEFT JOIN tri USING (partkey)
+        |ORDER BY deg.partkey""".stripMargin,
     "graph_linkpred" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
         |  FROM lineitem WHERE l_quantity > 25),
@@ -4063,6 +4086,23 @@ object SparkEntry {
         |  FROM ev GROUP BY 1)
         |SELECT pt.event_type, pt.n_events, ci.n_resamples, pt.mean_value,
         |  ci.ci_lo, ci.ci_hi
-        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
+        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+    "audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM sizes a JOIN sizes b ON a.event_type < b.event_type)
+        |SELECT g.type_a, g.type_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_common, 0) AS n_common,
+        |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+        |    / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+        |FROM grid g LEFT JOIN inter i USING (type_a, type_b)
+        |JOIN sizes sa ON sa.event_type = g.type_a
+        |JOIN sizes sb ON sb.event_type = g.type_b
+        |ORDER BY g.type_a, g.type_b""".stripMargin
   )
 }

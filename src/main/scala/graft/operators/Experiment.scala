@@ -92,6 +92,41 @@ object Experiment {
         col("mean_value"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** AUDIENCE-OVERLAP MATRIX: exact Jaccard of the distinct-user sets
+    * behind every event-type pair — who clicks also purchases? The
+    * EXACT baseline for kmv_overlap's sketch estimate (run both on a
+    * sample to calibrate the sketch's error before trusting it at full
+    * scale). A zero-filled unordered type-pair spine keeps disjoint
+    * audiences as explicit rows.
+    *
+    * Scale shape: one (type, user) distinct shuffle, then a user-keyed
+    * self-join whose per-user fan-out is bounded by C(|types|, 2) — a
+    * catalog constant, so the pair stream is O(users), never
+    * quadratic in events. Counts exact, one terminal divide. */
+  def audienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val tu = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_common"))
+    val types = sizes.select(col("event_type"))
+    val grid = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    grid.join(broadcast(inter), Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check — the experiment-health gate that
     * must pass BEFORE any A/B readout is trusted: with a 50/50
     * deterministic hash split, the variant counts should differ only

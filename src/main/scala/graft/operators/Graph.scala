@@ -78,6 +78,27 @@ object Graph {
     counts
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per vertex — triangles/possible-
+    * wedges, the standard "how clique-like is this neighborhood"
+    * measure (Watts-Strogatz): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * null for degree-1 vertices where the ratio is undefined. The
+    * triangle counts are graphTriangles' own (degree-oriented wedge
+    * closure — O(m^1.5), hub-safe) and the degree falls out of the
+    * cached both-direction edge layout with no extra exchange; the
+    * composition adds ONE vertex-keyed join to the triangle plan.
+    * Exactness: integers everywhere, one terminal divide, round 6. */
+  def graphClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val deg = directedEdges(spark, sfDir)
+      .groupBy(col("u").as("partkey")).agg(count(lit(1)).as("degree"))
+    deg.join(graphTriangles(spark, sfDir), Seq("partkey"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("partkey"), col("degree"), col("n_triangles"),
+        when(col("degree") < 2L, lit(null).cast("double"))
+          .otherwise(round((col("n_triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("local_cc"))
+  }
+
   /** PageRank over the (undirected → both-direction) co-purchase
     * graph, damping 0.85, three synchronous iterations — the canonical
     * iterative-graph workload, in the same exact fixed-point

@@ -521,4 +521,44 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("graph_clustering composes triangles/degrees into Watts-Strogatz coefficients") {
+    val tri = Graph.graphTriangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Graph.graphClustering(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, deg, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(t == tri.getOrElse(v, 0L), s"vertex $v triangle count")
+      if (deg < 2) assert(r.isNullAt(3), s"vertex $v cc must be null at degree $deg")
+      else {
+        val cc = r.getDouble(3)
+        val exp = BigDecimal(2.0 * t / (deg.toDouble * (deg - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(cc - exp) < 1e-9, s"vertex $v cc")
+        assert(cc >= 0.0 && cc <= 1.0 + 1e-9, s"vertex $v cc out of range")
+      }
+    }
+  }
+
+  test("audience_overlap equals a literal set-intersection replay") {
+    val tu = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = graft.operators.Experiment.audienceOverlap(spark, sf).collect()
+    val types = sets.keys.toSeq.sorted
+    assert(rows.length == types.size * (types.size - 1) / 2, "full pair spine")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size)
+      assert(r.getLong(4) == inter, s"pair ($a,$b) intersection")
+      val exp = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - exp) < 1e-9, s"pair ($a,$b) jaccard")
+    }
+  }
 }
