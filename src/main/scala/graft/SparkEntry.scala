@@ -248,7 +248,8 @@ object SparkEntry {
     "embedding_audit" -> (Cluster.embeddingAudit _),
     "ab_srm" -> (Experiment.abSrm _),
     "bootstrap_ci" -> (Experiment.bootstrapCi _),
-    "audience_overlap" -> (Experiment.audienceOverlap _)
+    "audience_overlap" -> (Experiment.audienceOverlap _),
+    "funnel_significance" -> (Experiment.funnelSignificance _)
   )
 
   /** SQL string literal escape for generated oracle fragments. */
@@ -4103,6 +4104,53 @@ object SparkEntry {
         |FROM grid g LEFT JOIN inter i USING (type_a, type_b)
         |JOIN sizes sa ON sa.event_type = g.type_a
         |JOIN sizes sb ON sb.event_type = g.type_b
-        |ORDER BY g.type_a, g.type_b""".stripMargin
+        |ORDER BY g.type_a, g.type_b""".stripMargin,
+    "funnel_significance" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |  OVER (PARTITION BY user_id) AS t_view FROM ev),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t_view
+        |    AND us <= t_view + ${operators.Experiment.FunnelWindowUs} THEN us END)
+        |  OVER (PARTITION BY user_id) AS t_click FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t_click
+        |    AND us <= t_click + ${operators.Experiment.FunnelWindowUs} THEN us END)
+        |  OVER (PARTITION BY user_id) AS t_purchase FROM s2),
+        |f AS (SELECT user_id,
+        |    CAST(CASE WHEN max(t_purchase) IS NOT NULL THEN 3
+        |      WHEN max(t_click) IS NOT NULL THEN 2
+        |      WHEN max(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached,
+        |    md5_number_lower('ab-' || user_id) % 2305843009213693951 % 2 AS variant
+        |  FROM s3 GROUP BY user_id),
+        |g AS (SELECT s.step, f.variant,
+        |    CAST(count(*) AS BIGINT) AS entered,
+        |    CAST(sum(CASE WHEN f.steps_reached >= s.step THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM f CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) s
+        |  WHERE f.steps_reached >= s.step - 1
+        |  GROUP BY 1, 2),
+        |piv AS (SELECT step,
+        |    CAST(coalesce(max(CASE WHEN variant = 0 THEN entered END), 0) AS HUGEINT) AS n_a,
+        |    CAST(coalesce(max(CASE WHEN variant = 0 THEN converted END), 0) AS HUGEINT) AS conv_a,
+        |    CAST(coalesce(max(CASE WHEN variant = 1 THEN entered END), 0) AS HUGEINT) AS n_b,
+        |    CAST(coalesce(max(CASE WHEN variant = 1 THEN converted END), 0) AS HUGEINT) AS conv_b
+        |  FROM g GROUP BY step),
+        |k AS (SELECT step, n_a, conv_a, n_b, conv_b,
+        |    (n_a + n_b) * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+        |      * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b) AS num,
+        |    n_a * n_b * (conv_a + conv_b)
+        |      * ((n_a - conv_a) + (n_b - conv_b)) AS den
+        |  FROM piv)
+        |SELECT CAST(step AS BIGINT) AS step,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+        |  CASE WHEN n_a = 0 THEN NULL
+        |    ELSE round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS rate_a,
+        |  CASE WHEN n_b = 0 THEN NULL
+        |    ELSE round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS rate_b,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN den = 0 THEN NULL
+        |    ELSE num * 1000 > den * 3841 END AS significant
+        |FROM k ORDER BY step""".stripMargin
   )
 }

@@ -92,6 +92,85 @@ object Experiment {
         col("mean_value"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** PER-STEP FUNNEL A/B SIGNIFICANCE: at each funnel transition
+    * (entered step k−1 → converted to step k), the 2×2 chi-square of
+    * conversion by hash-split variant — the localized readout that
+    * tells an experimenter WHICH step an intervention moved, where the
+    * end-to-end conversion test averages the signal away. Uses the
+    * same deterministic md5 variant split as ab_srm (so the SRM gate
+    * certifies this test's assignment) and eventsFunnel's own
+    * steps_reached, shared via one definition.
+    *
+    * Exactness: all four cells are exact longs; chi² =
+    * n·(ad−bc)² / (n_a·n_b·(a+c)·(b+d)) rides decimal(38,0) (DuckDB
+    * HUGEINT) and emits via one terminal double divide, round 6 —
+    * exact while n⁵ fits 128 bits (n ≲ 10⁷ entered users per step;
+    * past that, sample or widen to interval arithmetic). The
+    * significance flag is the exact integer cross-multiplication
+    * 1000·num > 3841·den (95% critical value), so it cannot flake;
+    * degenerate steps (an empty variant, zero conversions, or
+    * all-converted) emit null. */
+  /** Conversion window for funnelSignificance's funnel (1 day in
+    * epoch micros). The UNWINDOWED funnel (eventsFunnel) is degenerate
+    * for this test — over a long enough history every user eventually
+    * does everything, so all rates are 1.0; measured step survivors at
+    * sf0.01 under this window: 150 → 60 → 25, a textbook funnel. */
+  final val FunnelWindowUs: Long = 86400L * 1000000L
+
+  def funnelSignificance(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wU = Window.partitionBy(col("user_id"))
+    val f = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("us"))).over(wU))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("us") > col("t_view")
+          && col("us") <= col("t_view") + FunnelWindowUs, col("us"))).over(wU))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("us") > col("t_click")
+          && col("us") <= col("t_click") + FunnelWindowUs, col("us"))).over(wU))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+        max(col("t_purchase")).as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, 3L).when(col("tc").isNotNull, 2L)
+          .when(col("tv").isNotNull, 1L).otherwise(0L).as("steps_reached"))
+      .withColumn("variant",
+        pmod(Similarity.md5Mod(concat(lit("ab-"), col("user_id"))), lit(2L)))
+    val steps = spark.range(1).select(explode(typedLit(Seq(1L, 2L, 3L))).as("step"))
+    val cells = f.crossJoin(broadcast(steps))
+      .filter(col("steps_reached") >= col("step") - 1)
+      .groupBy(col("step"), col("variant"))
+      .agg(count(lit(1)).as("entered"),
+        sum(when(col("steps_reached") >= col("step"), 1L).otherwise(0L)).as("converted"))
+    val piv = cells.groupBy(col("step")).agg(
+      coalesce(max(when(col("variant") === 0L, col("entered"))), lit(0L)).as("n_a"),
+      coalesce(max(when(col("variant") === 0L, col("converted"))), lit(0L)).as("conv_a"),
+      coalesce(max(when(col("variant") === 1L, col("entered"))), lit(0L)).as("n_b"),
+      coalesce(max(when(col("variant") === 1L, col("converted"))), lit(0L)).as("conv_b"))
+    val a = col("conv_a").cast(dec)
+    val b = (col("n_a") - col("conv_a")).cast(dec)
+    val c = col("conv_b").cast(dec)
+    val d = (col("n_b") - col("conv_b")).cast(dec)
+    val n = (col("n_a") + col("n_b")).cast(dec)
+    val num = n * (a * d - b * c) * (a * d - b * c)
+    val den = col("n_a").cast(dec) * col("n_b").cast(dec) * (a + c) * (b + d)
+    piv.withColumn("num", num).withColumn("den", den)
+      .select(col("step"), col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        when(col("n_a") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("conv_a").cast("double") / col("n_a").cast("double"), 6))
+          .as("rate_a"),
+        when(col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("conv_b").cast("double") / col("n_b").cast("double"), 6))
+          .as("rate_b"),
+        when(col("den") === 0, lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("chi2"),
+        when(col("den") === 0, lit(null).cast("boolean"))
+          .otherwise(col("num") * 1000 > col("den") * 3841).as("significant"))
+  }
+
   /** AUDIENCE-OVERLAP MATRIX: exact Jaccard of the distinct-user sets
     * behind every event-type pair — who clicks also purchases? The
     * EXACT baseline for kmv_overlap's sketch estimate (run both on a

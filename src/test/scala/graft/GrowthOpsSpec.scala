@@ -979,6 +979,40 @@ class GrowthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel_significance replays a local windowed funnel and 2x2 chi-square") {
+    val rows = Experiment.funnelSignificance(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val win = Experiment.FunnelWindowUs
+    val steps = ev.groupBy(_._1).map { case (uid, es) =>
+      val tv = es.collect { case (_, "view", t) => t }.minOption
+      val tc = tv.flatMap(v =>
+        es.collect { case (_, "click", t) if t > v && t <= v + win => t }.minOption)
+      val tp = tc.flatMap(c =>
+        es.collect { case (_, "purchase", t) if t > c && t <= c + win => t }.minOption)
+      uid -> (if (tp.isDefined) 3 else if (tc.isDefined) 2 else if (tv.isDefined) 1 else 0)
+    }
+    val variant = (uid: Long) =>
+      graft.expressions.CrossHash.md5Mod(s"ab-$uid") % 2
+    (1 to 3).foreach { k =>
+      val entered = steps.filter(_._2 >= k - 1)
+      val a = entered.filter(e => variant(e._1) == 0)
+      val b = entered.filter(e => variant(e._1) == 1)
+      val r = rows(k.toLong)
+      assert(r.getLong(1) == a.size && r.getLong(3) == b.size, s"step $k entered")
+      assert(r.getLong(2) == a.count(_._2 >= k), s"step $k conv_a")
+      assert(r.getLong(4) == b.count(_._2 >= k), s"step $k conv_b")
+    }
+    // a deterministic hash split carries NO treatment effect: nothing
+    // may come out significant on this corpus
+    rows.values.foreach(r => assert(r.isNullAt(8) || !r.getBoolean(8)))
+    // the windowed funnel must actually narrow (non-degenerate test)
+    assert(rows(2L).getLong(2) < rows(1L).getLong(1))
+  }
+
   test("ab_srm equals a local chi-square replay of the hash split") {
     val r = Experiment.abSrm(spark, sf).head()
     val (na, nb, chi2, flag) =
