@@ -73,6 +73,12 @@ object SparkEntry {
     "bm25_rank" -> (Search.bm25Rank _),
     "search_eval" -> (Search.searchEval _),
     "graph_triangles" -> (Graph.graphTriangles _),
+    "graph_community" -> (Graph.graphCommunity _),
+    "graph_modularity" -> (Graph.graphModularity _),
+    "k_anonymity" -> (Profile.kAnonymity _),
+    "pr_curve" -> (Learn.prCurve _),
+    "negative_mining" -> (Search.negativeMining _),
+    "temperature_mix" -> (Sampling.temperatureMix _),
     "graph_clustering" -> (Graph.graphClustering _),
     "graph_linkpred" -> (Graph.graphLinkpred _),
     "graph_kcore" -> (Graph.graphKcore _),
@@ -352,7 +358,10 @@ object SparkEntry {
   /** BM25 top-k oracle — shared by bm25_rank and as the retrieved side
     * of search_eval; generated from Search.bm25Queries so the workload
     * cannot drift. */
-  private val bm25RankSql: String = {
+  /** BM25 scored-corpus CTE prefix (d, dd, st, scored) — shared by
+    * bm25_rank and negative_mining, generated from the same query/
+    * constant Seqs the Spark operator uses. */
+  private val bm25ScoredCtes: String = {
     import graft.operators.Search
     val terms = Search.bm25Queries.flatMap(_._2).distinct
     val dfSel = terms.map(t =>
@@ -368,14 +377,63 @@ object SparkEntry {
     val branches = Search.bm25Queries.map { case (qid, qterms) =>
       s"SELECT '${sq(qid)}' AS query_id, doc_id, round(${score(qterms)}, 6) AS score FROM dd CROSS JOIN st"
     }.mkString("\nUNION ALL\n")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |dd AS (SELECT doc_id, toks, CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS dl FROM d),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfSel FROM dd),
-       |scored AS ($branches),
+       |scored AS ($branches)""".stripMargin
+  }
+
+  private val bm25RankSql: String = {
+    import graft.operators.Search
+    s"""WITH $bm25ScoredCtes,
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
        |  FROM scored WHERE score > 0)
        |SELECT query_id, doc_id, score FROM r WHERE rk <= ${Search.TopN}
        |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  private val negativeMiningSql: String = {
+    import graft.operators.Search
+    val truthBranches = Search.bm25Queries.map { case (qid, qterms) =>
+      val conj = qterms
+        .map(t => s"len(list_filter(toks, x -> x = '${sq(t)}')) >= ${Search.EvalMinTf}")
+        .mkString(" AND ")
+      s"SELECT '${sq(qid)}' AS query_id, doc_id FROM dd WHERE $conj"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bm25ScoredCtes,
+       |truth AS ($truthBranches),
+       |neg AS (SELECT s.query_id, s.doc_id, s.score FROM scored s
+       |  LEFT JOIN truth t ON t.query_id = s.query_id AND t.doc_id = s.doc_id
+       |  WHERE t.doc_id IS NULL AND s.score > 0),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM neg)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id, score FROM r
+       |WHERE rk <= ${Search.HardK} ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Label-propagation CTE chain (WITH-body fragment ending at
+    * l{LpcIters}) — shared by graph_community and graph_modularity,
+    * generated from the same iteration/pack constants the Spark
+    * operator uses so the two sides cannot drift on depth or
+    * tie-break arithmetic. */
+  private val lpLabelCtes: String = {
+    import graft.operators.Graph.{LpcIters, LpcPack}
+    val hi = LpcPack - 1L
+    val stages = (1 to LpcIters).map { i =>
+      val p = i - 1
+      s"""c$i AS (SELECT bo.u, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM bo JOIN l$p l ON bo.v = l.lv GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT u AS lv,
+         |  $hi - (max(c * $LpcPack + ($hi - lbl)) % $LpcPack) AS lbl
+         |  FROM c$i GROUP BY u)""".stripMargin
+    }.mkString(",\n")
+    s"""items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+       |  FROM lineitem WHERE l_quantity > 25),
+       |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+       |bo AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT DISTINCT u AS lv, u AS lbl FROM bo),
+       |$stages""".stripMargin
   }
 
   /** MinHash+LSH pair oracle — shared verbatim by dedup_minhash and as
@@ -1848,6 +1906,21 @@ object SparkEntry {
          |WHERE md5_number_lower('mix-' || doc_id) % 2305843009213693951 < thr
          |ORDER BY doc_id""".stripMargin
     },
+    "temperature_mix" ->
+      """WITH tot AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_src,
+        |    CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000.0) AS BIGINT) AS temp_w
+        |  FROM s),
+        |sw AS (SELECT sum(temp_w) AS sum_w FROM w)
+        |SELECT source, n_src, temp_w,
+        |  round(CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS raw_share,
+        |  round(CAST(temp_w AS DOUBLE) / CAST(sum_w AS DOUBLE), 6) AS temp_share,
+        |  CAST(CAST(temp_w AS HUGEINT) * (n_total // 2) // sum_w AS BIGINT) AS expected_docs,
+        |  round((CAST(temp_w AS DOUBLE) / CAST(sum_w AS DOUBLE))
+        |    / (CAST(n_src AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS boost
+        |FROM w CROSS JOIN sw CROSS JOIN tot ORDER BY source""".stripMargin,
     "seq_pack" -> seqPackSql,
     "pack_efficiency" ->
       s"""WITH sp AS (SELECT * FROM ($seqPackSql))
@@ -2503,6 +2576,7 @@ object SparkEntry {
          |SELECT doc_id, lang, draw FROM r WHERE rk <= ${graft.operators.Sampling.ReservoirK}
          |ORDER BY lang, doc_id""".stripMargin,
     "bm25_rank" -> bm25RankSql,
+    "negative_mining" -> negativeMiningSql,
     "search_eval" -> {
       import graft.operators.Search
       val branches = Search.bm25Queries.map { case (qid, qterms) =>
@@ -2882,6 +2956,73 @@ object SparkEntry {
         |  round(CAST(cn.cn AS DOUBLE) / CAST(da.d + db.d - 2 - cn.cn AS DOUBLE), 6) AS jaccard
         |FROM cn JOIN deg da ON da.p = cn.a JOIN deg db ON db.p = cn.b
         |ORDER BY cn.a, cn.b""".stripMargin,
+    "pr_curve" -> {
+      val grid = operators.Learn.PrThresholdsMilli.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, t FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''),
+         |sc AS (SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CAST((md5_number_lower('qw-' ||
+         |      CAST((md5_number_lower('qc-' || t) % 2305843009213693951) % ${TextMetrics.QcBuckets} AS BIGINT))
+         |    % 2305843009213693951) % 2001 AS BIGINT) - 1000) AS BIGINT) AS margin_raw
+         |  FROM toks GROUP BY doc_id),
+         |s AS (SELECT sc.margin_raw, sc.n_tokens,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents d JOIN sc USING (doc_id) WHERE sc.n_tokens > 0),
+         |g AS (SELECT unnest([$grid]) AS t_milli),
+         |c AS (SELECT t_milli,
+         |    CAST(sum(CASE WHEN margin_raw > t_milli * n_tokens AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN margin_raw > t_milli * n_tokens AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN margin_raw <= t_milli * n_tokens AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN margin_raw <= t_milli * n_tokens AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM s CROSS JOIN g GROUP BY t_milli)
+         |SELECT CAST(t_milli AS BIGINT) AS t_milli, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE round(2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+         |FROM c ORDER BY t_milli""".stripMargin
+    },
+    "k_anonymity" ->
+      """WITH qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      / 100000.0) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |g AS (SELECT nation, segment, bal_bucket, CAST(count(*) AS BIGINT) AS k
+        |  FROM qi GROUP BY 1, 2, 3),
+        |b AS (SELECT CASE WHEN k = 1 THEN 1 WHEN k <= 4 THEN 2 WHEN k <= 9 THEN 5
+        |    WHEN k <= 19 THEN 10 ELSE 20 END AS band_lo, k FROM g),
+        |t AS (SELECT sum(k) AS n_total FROM b)
+        |SELECT CAST(band_lo AS BIGINT) AS band_lo,
+        |  CASE band_lo WHEN 1 THEN '1' WHEN 2 THEN '2-4' WHEN 5 THEN '5-9'
+        |    WHEN 10 THEN '10-19' ELSE '20+' END AS k_band,
+        |  CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(k) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS rows_share
+        |FROM b CROSS JOIN t GROUP BY band_lo, n_total ORDER BY band_lo""".stripMargin,
+    "graph_community" ->
+      s"""WITH $lpLabelCtes
+         |SELECT lv AS partkey, lbl AS community
+         |FROM l${operators.Graph.LpcIters} ORDER BY partkey""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $lpLabelCtes,
+         |lab AS (SELECT lv, lbl FROM l${operators.Graph.LpcIters}),
+         |wc AS (SELECT bo.u, bo.v, a.lbl AS cu, b.lbl AS cv FROM bo
+         |  JOIN lab a ON bo.u = a.lv JOIN lab b ON bo.v = b.lv),
+         |mm AS (SELECT count(*) // 2 AS m FROM wc),
+         |intra AS (SELECT cu AS community, CAST(count(*) // 2 AS BIGINT) AS internal_edges
+         |  FROM wc WHERE cu = cv GROUP BY 1),
+         |degs AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS deg_sum,
+         |    CAST(count(DISTINCT u) AS BIGINT) AS n_vertices FROM wc GROUP BY 1)
+         |SELECT d.community, d.n_vertices,
+         |  coalesce(i.internal_edges, 0) AS internal_edges, d.deg_sum,
+         |  round(CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+         |    - (CAST(d.deg_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE))
+         |      * (CAST(d.deg_sum AS DOUBLE) / CAST(2 * mm.m AS DOUBLE)), 6)
+         |    + CAST(0 AS DOUBLE) AS contribution
+         |FROM degs d LEFT JOIN intra i USING (community) CROSS JOIN mm
+         |ORDER BY d.community""".stripMargin,
     "graph_assortativity" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
         |  FROM lineitem WHERE l_quantity > 25),

@@ -618,4 +618,112 @@ object Graph {
     (pr.select(col("id").as("partkey"), col("deg"), col("pr").as("pr_scaled")), rounds)
   }
 
+  /** Label-propagation rounds — FIXED at 3 so engine and oracle agree
+    * converged or not (the kcore discipline: a fixed unroll, not a
+    * data-dependent stop). */
+  final val LpcIters = 3
+  /** Pack base for the (count, min-label) argmax: 2^40. Labels are
+    * vertex ids < 2^40 and neighbor-label counts must stay < 2^23 for
+    * the packed long — the co-purchase degree bound holds orders of
+    * magnitude of headroom at any plausible SF. */
+  final val LpcPack = 1L << 40
+
+  /** Community-label warehouse per (session, dataset) — the
+    * triangle-count pattern: graph_community and graph_modularity both
+    * consume the identical assignment, and the 3-round propagation
+    * (the family's only multi-join derivation besides the wedge
+    * closure) runs once per suite. */
+  private val lpcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def communityLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = lpcMemo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$sfDir",
+      _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_lpc")
+        sys.addShutdownHook {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        deriveCommunityLabels(spark, sfDir).write.mode("overwrite")
+          .parquet(d.toString)
+        d.toString
+      })
+    spark.read.parquet(dir)
+  }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007), made fully
+    * deterministic: every vertex starts labeled with its own id; each
+    * round it adopts the label most frequent among its neighbors,
+    * ties broken by SMALLEST label — the (count, min-label) argmax is
+    * one packed-long max, so a round is exactly two shuffles (the
+    * edge⋈label join re-using the cached hash(u) edge layout, then the
+    * (u, label) cell agg). Integer-only state: bit-reproducible, and
+    * the DuckDB oracle replays the identical 3 rounds as unrolled
+    * CTEs. */
+  private def deriveCommunityLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = directedEdges(spark, sfDir)
+    // every vertex appears as a source in the both-direction list, so
+    // the init distinct runs inside the cached hash(u) layout
+    var labels = directed.select(col("u")).distinct()
+      .select(col("u").as("lv"), col("u").as("lbl"))
+    for (_ <- 1 to LpcIters) {
+      labels = directed
+        .join(labels.withColumnRenamed("lv", "v"), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(col("c") * LpcPack + (lit(LpcPack - 1L) - col("lbl"))).as("pk"))
+        .select(col("u").as("lv"),
+          (lit(LpcPack - 1L) - pmod(col("pk"), lit(LpcPack))).as("lbl"))
+    }
+    val out = labels
+      .select(col("lv").as("partkey"), col("lbl").as("community"))
+      .localCheckpoint()
+    directed.unpersist()
+    out
+  }
+
+  /** Community detection over the co-purchase graph: the per-vertex
+    * label-propagation assignment (see deriveCommunityLabels). */
+  def graphCommunity(spark: SparkSession, sfDir: String): DataFrame =
+    communityLabels(spark, sfDir)
+
+  /** Newman modularity of the DETECTED (label-propagation) partition —
+    * the eval that closes graph_community's loop the way
+    * cluster_metrics closes cluster_assign (graph_assortativity grades
+    * the a-priori brand partition; this grades the discovered one).
+    * Per community: size, internal edges, degree mass, and the
+    * modularity contribution e_c/m − (d_c/2m)² in the assortativity
+    * float discipline — exact longs into two IEEE divides, one
+    * product, one subtraction in fixed order, round 6, negative-zero
+    * canonicalized. One labels⋈edges join pair inside the cached
+    * hash layouts, then community-sized aggs. */
+  def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = communityLabels(spark, sfDir)
+    val directed = directedEdges(spark, sfDir)
+    val withC = directed
+      .join(labels.select(col("partkey").as("u"), col("community").as("cu")), Seq("u"))
+      .join(labels.select(col("partkey").as("v"), col("community").as("cv")), Seq("v"))
+      .persist()
+    val m = withC.count() / 2 // both-direction list counts each edge twice
+    val intra = withC.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg((count(lit(1)) / 2).cast("long").as("internal_edges"))
+    val degs = withC.groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("deg_sum"), countDistinct(col("u")).as("n_vertices"))
+    val out = degs.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+      .select(col("community"), col("n_vertices"), col("internal_edges"), col("deg_sum"),
+        (round(
+          col("internal_edges").cast("double") / m.toDouble -
+            (col("deg_sum").cast("double") / (2.0 * m)) *
+              (col("deg_sum").cast("double") / (2.0 * m)),
+          6) + lit(0.0)).as("contribution"))
+      .localCheckpoint()
+    withC.unpersist()
+    directed.unpersist()
+    out
+  }
+
 }

@@ -125,4 +125,56 @@ object Learn {
         round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
           .as("pos_rate"))
   }
+
+  /** pr_curve threshold grid in PER-MILL score units, covering the
+    * observed score mass (sf0.01: p5 ≈ −0.43, median ≈ −0.28,
+    * p95 ≈ −0.14 — probed before fixing the grid so the sweep is not
+    * degenerate at either end). */
+  val PrThresholdsMilli: Seq[Long] =
+    Seq(-500L, -450L, -400L, -350L, -325L, -300L, -275L, -250L, -225L,
+      -200L, -175L, -150L, -100L, -50L, 0L)
+
+  /** PRECISION/RECALL/F1 THRESHOLD SWEEP of the quality classifier
+    * against the lang = 'en' label — the operating-point picker
+    * beside auc_eval's ranking grade and calibration_curve's score
+    * meaning: a filtering deployment reads this table to choose the
+    * cut. EXACT at every threshold: score > t/1000 rewrites to the
+    * integer predicate margin_raw > t·n_tokens (n_tokens > 0), so no
+    * float compare anywhere; the confusion counts are longs and each
+    * metric is one terminal divide (F1 = 2tp/(2tp+fp+fn) — the
+    * harmonic mean without intermediate rounding).
+    *
+    * Scale shape: ONE corpus scoring pass fans out against the
+    * broadcast literal grid; the map-side-combined shuffle carries
+    * |grid| cells per partition regardless of corpus size. */
+  def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val lbl = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val scored = TextMetrics.qualityClassifier(spark, sfDir)
+      .filter(col("score").isNotNull)
+      .select(col("doc_id"), col("margin_raw"), col("n_tokens"))
+      .join(lbl, Seq("doc_id"))
+    val grid = spark.range(1)
+      .select(explode(typedLit(PrThresholdsMilli)).as("t_milli"))
+    scored.crossJoin(broadcast(grid))
+      .withColumn("pred", col("margin_raw") > col("t_milli") * col("n_tokens"))
+      .groupBy(col("t_milli"))
+      .agg(
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("t_milli"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("tp").cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6))
+          .as("f1"))
+  }
 }

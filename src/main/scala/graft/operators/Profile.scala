@@ -190,4 +190,45 @@ object Profile {
       max(col(c)).cast("long").as(s"max_$c")))
     li.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** K-ANONYMITY audit over the customer quasi-identifiers
+    * (nation, market segment, $1000 balance bucket) — the governance
+    * gate a release pipeline runs before publishing row-level data
+    * beside dp_release's aggregate path: every row's group size k
+    * under the QI projection, banded into the re-identification risk
+    * tiers privacy review actually reads (k=1 unique, 2-4, 5-9,
+    * 10-19, 20+), with group counts, row mass, and row share per
+    * tier.
+    *
+    * Money floats ride the events_heatmap cents discipline
+    * (decimal(18,2)·100 → exact long); the $1000 bucket is
+    * floor(cents/1e5) in ONE IEEE divide so truncation-vs-floor
+    * dialect differences on negative balances cannot diverge. Scale
+    * shape: one map-side-combined shuffle onto the QI grid, then
+    * band aggs over the group-sized table and a 1-row total
+    * broadcast — the corpus is touched once. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    val groups = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(cents / lit(100000.0)).cast("long").as("bal_bucket"))
+      .groupBy(col("nation"), col("segment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"))
+    val total = groups.agg(sum(col("k")).as("n_total"))
+    groups
+      .withColumn("band_lo",
+        when(col("k") === 1, 1L).when(col("k") <= 4, 2L)
+          .when(col("k") <= 9, 5L).when(col("k") <= 19, 10L).otherwise(20L))
+      .groupBy(col("band_lo"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("band_lo"),
+        when(col("band_lo") === 1L, "1").when(col("band_lo") === 2L, "2-4")
+          .when(col("band_lo") === 5L, "5-9").when(col("band_lo") === 10L, "10-19")
+          .otherwise("20+").as("k_band"),
+        col("n_groups"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total").cast("double"), 6)
+          .as("rows_share"))
+  }
 }

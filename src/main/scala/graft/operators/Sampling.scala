@@ -89,6 +89,46 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("sample_weight"))
   }
 
+  /** TEMPERATURE-SCALED source sampling weights (α = 1/2) — the
+    * multilingual-pretraining mixture rule (Conneau & Lample 2019:
+    * p_s ∝ n_s^α) that up-weights small sources without flattening
+    * the mix entirely; the planning table a pipeline reads before
+    * materializing an epoch, the α-scaled counterpart of domain_mix's
+    * explicit target shares. Per source: raw share, temperature
+    * weight, temperature share, the boost ratio, and the expected doc
+    * count at a half-corpus budget.
+    *
+    * Exactness: n_s^(1/2) is ONE correctly-rounded IEEE sqrt (both
+    * engines land on the identical double — this is why α is 1/2 and
+    * not an arbitrary exponent through pow/ln), quantized to an exact
+    * long weight via floor(·10⁶); every share/boost is exact-long
+    * operands into fixed-order divides, and expected_docs is a
+    * decimal(38,0) integer floor-divide (the domain_mix widening —
+    * w·budget passes 2^63 around 10^12 docs). Scale shape: one
+    * map-side-combined source agg; everything after is
+    * source-cardinality-sized with two 1-row broadcasts. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(total))
+      .withColumn("temp_w",
+        floor(sqrt(col("n_src").cast("double")) * lit(1000000.0)).cast("long"))
+    val sumW = bySrc.agg(sum(col("temp_w")).as("sum_w"))
+    bySrc.crossJoin(broadcast(sumW))
+      .withColumn("t_budget", expr("n_total div 2"))
+      .select(col("source"), col("n_src"), col("temp_w"),
+        round(col("n_src").cast("double") / col("n_total").cast("double"), 6)
+          .as("raw_share"),
+        round(col("temp_w").cast("double") / col("sum_w").cast("double"), 6)
+          .as("temp_share"),
+        expr("CAST((CAST(temp_w AS DECIMAL(38,0)) * t_budget) div sum_w AS BIGINT)")
+          .as("expected_docs"),
+        round((col("temp_w").cast("double") / col("sum_w").cast("double"))
+          / (col("n_src").cast("double") / col("n_total").cast("double")), 6)
+          .as("boost"))
+  }
+
   /** Reservoir size for sampleGroup. */
   val ReservoirK = 25
 

@@ -33,7 +33,11 @@ object Search {
 
   private def distinctTerms: Seq[String] = bm25Queries.flatMap(_._2).distinct
 
-  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The full scored (query, doc) corpus with score > 0 — shared by
+    * bm25_rank (bounded top-k) and negative_mining (truth anti-join
+    * then bounded top-k); package-visible so specs can replay the
+    * selection stages against it. */
+  private[graft] def scoredCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(filter(col("toks"), t => t =!= "")).cast("long"))
@@ -62,9 +66,12 @@ object Search {
       .select(col("doc_id"), explode(array(perQuery: _*)).as("qs"))
       .select(col("qs.query_id").as("query_id"), col("doc_id"), col("qs.score").as("score"))
       .filter(col("score") > 0)
+  }
+
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame =
+    scoredCorpus(spark, sfDir)
       .transform(graft.plans.TopK.perGroup(
         Seq("query_id"), Seq("score" -> false, "doc_id" -> true), TopN))
-  }
 
   /** Relevance truth: every query term must appear at least this many
     * times. tf ≥ 1 and tf ≥ 2 are DEGENERATE on this corpus (common
@@ -89,8 +96,10 @@ object Search {
     * explicit rows. Scale shape: the truth side is one row-local
     * containment pass; everything after bm25's own bounded top-k is
     * k×|queries| rows. */
-  def searchEval(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The conjunctive tf ≥ EvalMinTf relevance truth — one row-local
+    * containment pass; shared by search_eval (grades the ranking) and
+    * negative_mining (anti-joins it away). */
+  private def truthPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val truthBranches = bm25Queries.map { case (qid, terms) =>
@@ -98,9 +107,14 @@ object Search {
         terms.map(t => size(filter(col("toks"), x => x === t)) >= EvalMinTf)
           .reduce(_ && _).as("relv"))
     }
-    val truth = docs.select(col("doc_id"), explode(array(truthBranches: _*)).as("r"))
+    docs.select(col("doc_id"), explode(array(truthBranches: _*)).as("r"))
       .filter(col("r.relv"))
       .select(col("r.query_id").as("query_id"), col("doc_id"))
+  }
+
+  def searchEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val truth = truthPairs(spark, sfDir)
     val nRel = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
     val wQ = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -134,5 +148,34 @@ object Search {
         when(least(col("n_relevant"), lit(TopN.toLong)) === 0L, lit(0.0))
           .otherwise(round(coalesce(col("ap_num"), lit(0.0))
             / least(col("n_relevant"), lit(TopN.toLong)), 6)).as("ap_at_k"))
+  }
+
+  /** Hard negatives mined per query. */
+  final val HardK = 10
+
+  /** HARD-NEGATIVE MINING for retrieval-model training: per query,
+    * the top-HardK BM25-scored documents that are NOT relevant under
+    * the conjunctive truth — exactly the "BM25 negatives" recipe used
+    * to build contrastive training pairs (DPR, Karpukhin et al. 2020):
+    * lexically close enough to score high, semantically wrong by the
+    * label. Deeper than bm25_rank's window by construction (a truth
+    * doc in the top-k pushes a negative in from below), so it reuses
+    * the full scored corpus, anti-joins the broadcast truth, and only
+    * then takes the bounded-heap top-HardK — the corpus never
+    * shuffles beyond K×|queries| rows; the rank decorates the
+    * K×|queries| result, not the corpus. */
+  def negativeMining(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val truth = truthPairs(spark, sfDir)
+    scoredCorpus(spark, sfDir)
+      .join(broadcast(truth.withColumn("relv", lit(true))),
+        Seq("query_id", "doc_id"), "left")
+      .filter(col("relv").isNull)
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq("query_id"), Seq("score" -> false, "doc_id" -> true), HardK))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 }

@@ -82,6 +82,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k_anonymity bands replay from a literal QI grouping") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        (r.getLong(0), r.getString(1), math.floor(cents.toLong / 100000.0).toLong)
+      }
+    val ks = cust.groupBy(identity).values.map(_.size.toLong).toSeq
+    def band(k: Long): Long =
+      if (k == 1) 1L else if (k <= 4) 2L else if (k <= 9) 5L else if (k <= 19) 10L else 20L
+    val expGroups = ks.groupBy(band).view.mapValues(_.size.toLong).toMap
+    val expRows = ks.groupBy(band).view.mapValues(_.sum).toMap
+    val rows = Profile.kAnonymity(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expGroups.keySet)
+    var share = 0.0
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(2) == expGroups(b), s"band $b group count")
+      assert(r.getLong(3) == expRows(b), s"band $b row mass")
+      share += r.getDouble(4)
+    }
+    assert(math.abs(share - 1.0) < 1e-4, "row shares partition the table")
+    assert(rows.map(_.getLong(3)).sum == cust.length.toLong)
+  }
+
   test("approx profile ndv within HLL tolerance of exact") {
     val exact = Profile.colProfile(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap

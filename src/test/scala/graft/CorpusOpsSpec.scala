@@ -51,6 +51,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     kept.collect().foreach(r => assert(r.getDouble(2) >= 1.0)) // HT weight
   }
 
+  test("temperature_mix replays the exact sqrt-weight table") {
+    val bySrc = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = bySrc.values.sum
+    val w = bySrc.view.mapValues(c => math.floor(math.sqrt(c.toDouble) * 1000000.0).toLong).toMap
+    val sumW = w.values.sum
+    val rows = Sampling.temperatureMix(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == bySrc.keySet)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) == bySrc(s), s"$s count")
+      assert(r.getLong(2) == w(s), s"$s weight")
+      assert(math.abs(r.getDouble(3) - bySrc(s).toDouble / n) < 1e-6)
+      assert(math.abs(r.getDouble(4) - w(s).toDouble / sumW) < 1e-6)
+      assert(r.getLong(5) == (BigInt(w(s)) * (n / 2) / sumW).toLong, s"$s expected docs")
+      val boost = (w(s).toDouble / sumW) / (bySrc(s).toDouble / n)
+      assert(math.abs(r.getDouble(6) - boost) < 1e-6)
+      // temperature flattens: small sources boosted above 1, large below
+      if (bySrc(s).toDouble / n < w(s).toDouble / sumW) assert(boost > 1.0 - 1e-9)
+    }
+    // the α = 1/2 mix sits between raw and uniform: strictly flatter
+    // when the raw mix is skewed, identical when already uniform
+    val maxRaw = bySrc.values.max.toDouble / n
+    val maxTemp = rows.map(_.getDouble(4)).max
+    assert(maxTemp <= maxRaw + 1e-9, "temperature sharpened the mix")
+    if (bySrc.values.max > bySrc.values.min * 11 / 10)
+      assert(maxTemp < maxRaw, "temperature failed to flatten a skewed mix")
+  }
+
   test("seq_pack two-phase offsets equal the naive single-window prefix sum") {
     val naive = {
       val t = graft.sources.Tables.documents(spark, sf)

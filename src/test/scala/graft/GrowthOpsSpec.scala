@@ -616,6 +616,37 @@ class GrowthOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pr_curve confusion counts replay exactly at every threshold") {
+    val docs = TextMetrics.qualityClassifier(spark, sf)
+      .filter(col("score").isNotNull)
+      .select(col("doc_id"), col("margin_raw"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val en = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(x => x.getLong(0) -> (x.getString(1) == "en")).toMap
+    val rows = graft.operators.Learn.prCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == graft.operators.Learn.PrThresholdsMilli.toSet)
+    graft.operators.Learn.PrThresholdsMilli.foreach { t =>
+      val (tp, fp, fn, tn) = docs.foldLeft((0L, 0L, 0L, 0L)) {
+        case ((a, b, c, d), (id, m, n)) =>
+          val pred = m > t * n
+          val y = en(id)
+          (a + (if (pred && y) 1 else 0), b + (if (pred && !y) 1 else 0),
+            c + (if (!pred && y) 1 else 0), d + (if (!pred && !y) 1 else 0))
+      }
+      val r = rows(t)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((tp, fp, fn, tn)), s"t=$t")
+      if (tp + fp > 0)
+        assert(math.abs(r.getDouble(5) - tp.toDouble / (tp + fp)) < 1e-6, s"precision t=$t")
+      if (tp + fn > 0)
+        assert(math.abs(r.getDouble(6) - tp.toDouble / (tp + fn)) < 1e-6, s"recall t=$t")
+    }
+    // the sweep must actually sweep: recall strictly drops across the grid
+    val recalls = graft.operators.Learn.PrThresholdsMilli.sorted.map(t => rows(t).getLong(1))
+    assert(recalls.head > recalls.last, "degenerate threshold grid")
+  }
+
   test("gini_concentration matches a local Lorenz computation") {
     val r = graft.queries.Stats.giniConcentration(spark, sf).collect().head
     val spend = spark.read.parquet(s"$sf/orders.parquet")
@@ -977,6 +1008,31 @@ class GrowthOpsSpec extends AnyFunSuite {
       val ap = if (rel.isEmpty) 0.0 else apNum / math.min(rel.size, Search.TopN)
       assert(math.abs(r.getDouble(6) - ap) < 1e-6, s"$qid ap")
     }
+  }
+
+  test("negative_mining excludes every relevant doc and picks top-K of the rest") {
+    import graft.operators.Search
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val scored = Search.scoredCorpus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = Search.negativeMining(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Search.bm25Queries.foreach { case (qid, terms) =>
+      val rel = docs.collect { case (id, toks)
+        if terms.forall(t => toks.count(_ == t) >= Search.EvalMinTf) => id }.toSet
+      val expect = scored.filter(s => s._1 == qid && !rel(s._2))
+        .sortBy { case (_, id, sc) => (-sc, id) }.take(Search.HardK)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(x => (x._3, x._4)).toSeq == expect.map(x => (x._2, x._3)).toSeq, qid)
+      assert(mine.map(_._2).toSeq == (1L to mine.length.toLong).toSeq, s"$qid ranks contiguous")
+      mine.foreach(x => assert(!rel(x._3), s"$qid leaked a relevant doc"))
+    }
+    // the anti-join must matter: some negative sits below the plain top-k
+    val topk = Search.bm25Rank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.exists(x => !topk((x._1, x._3))), "negatives identical to top-k")
   }
 
   test("funnel_significance replays a local windowed funnel and 2x2 chi-square") {

@@ -561,4 +561,60 @@ class WarehouseOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(5) - exp) < 1e-9, s"pair ($a,$b) jaccard")
     }
   }
+
+  private def copurchaseEdges(): Set[(Long, Long)] = {
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    items.groupBy(_._1).values.flatMap { order =>
+      val pks = order.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.toSet
+  }
+
+  test("graph_community equals a literal synchronous label-propagation replay") {
+    val canon = copurchaseEdges()
+    val nbrs = canon.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to Graph.LpcIters) {
+      lbl = nbrs.map { case (v, ns) =>
+        v -> ns.groupBy(lbl).view.mapValues(_.size).toSeq
+          .maxBy { case (l, c) => (c.toLong, -l) }._1
+      }
+    }
+    val got = Graph.graphCommunity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl)
+    // informative partition: neither one giant community nor all-singleton
+    val k = got.values.toSet.size
+    assert(k > 1 && k < got.size, s"degenerate community count $k of ${got.size}")
+  }
+
+  test("graph_modularity terms recompute from the assignment") {
+    val canon = copurchaseEdges()
+    val lbl = Graph.graphCommunity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = canon.size.toLong
+    val deg = canon.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Graph.graphModularity(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == lbl.size, "vertex partition covers the graph")
+    var q = 0.0
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      val members = lbl.collect { case (v, l) if l == c => v }.toSet
+      assert(r.getLong(1) == members.size, s"community $c size")
+      val eIn = canon.count { case (a, b) => members(a) && members(b) }.toLong
+      assert(r.getLong(2) == eIn, s"community $c internal edges")
+      val dSum = members.toSeq.map(deg).sum
+      assert(r.getLong(3) == dSum, s"community $c degree mass")
+      val exp = BigDecimal(eIn.toDouble / m - (dSum.toDouble / (2.0 * m)) * (dSum.toDouble / (2.0 * m)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - exp) < 2e-6, s"community $c contribution")
+      q += r.getDouble(4)
+    }
+    assert(q > 0.0 && q <= 1.0, s"modularity $q out of range for a detected partition")
+  }
 }
