@@ -79,6 +79,10 @@ object SparkEntry {
     "pr_curve" -> (Learn.prCurve _),
     "negative_mining" -> (Search.negativeMining _),
     "temperature_mix" -> (Sampling.temperatureMix _),
+    "dup_survivor" -> (Dedup.dupSurvivor _),
+    "woe_binning" -> (Learn.woeBinning _),
+    "vocab_growth" -> (Zipf.vocabGrowth _),
+    "zipf_fit" -> (Zipf.zipfFit _),
     "graph_clustering" -> (Graph.graphClustering _),
     "graph_linkpred" -> (Graph.graphLinkpred _),
     "graph_kcore" -> (Graph.graphKcore _),
@@ -1117,6 +1121,37 @@ object SparkEntry {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
          |SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size
          |FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "dup_survivor" ->
+      s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+         |  UNION ALL SELECT doc_b, doc_a FROM mh),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.lab FROM reach r JOIN e ON e.a = r.id),
+         |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id),
+         |qt AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |qm AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nw,
+         |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+         |    / len(toks) AS sr
+         |  FROM qt),
+         |q AS (SELECT doc_id,
+         |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS qs
+         |  FROM qm),
+         |sc AS (SELECT cc.id AS doc_id, cc.cluster_id,
+         |    CAST(sz.cluster_size AS BIGINT) AS cluster_size, q.qs
+         |  FROM cc JOIN sz USING (cluster_id) JOIN q ON q.doc_id = cc.id),
+         |best AS (SELECT cluster_id, max(qs) AS best_q FROM sc GROUP BY 1),
+         |canon AS (SELECT sc.cluster_id, min(sc.doc_id) AS canonical_id FROM sc
+         |  JOIN best ON best.cluster_id = sc.cluster_id AND sc.qs = best.best_q
+         |  GROUP BY 1)
+         |SELECT sc.doc_id, sc.cluster_id, sc.cluster_size,
+         |  sc.qs AS quality_score, canon.canonical_id,
+         |  CASE WHEN sc.doc_id = canon.canonical_id THEN 'keep' ELSE 'drop' END AS action
+         |FROM sc JOIN canon USING (cluster_id) ORDER BY sc.doc_id""".stripMargin,
     "split_holdout" ->
       s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql)),
          |e AS (SELECT doc_a AS a, doc_b AS b FROM mh
@@ -2956,6 +2991,104 @@ object SparkEntry {
         |  round(CAST(cn.cn AS DOUBLE) / CAST(da.d + db.d - 2 - cn.cn AS DOUBLE), 6) AS jaccard
         |FROM cn JOIN deg da ON da.p = cn.a JOIN deg db ON db.p = cn.b
         |ORDER BY cn.a, cn.b""".stripMargin,
+    "woe_binning" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, n_chars, CAST(len(toks) AS DOUBLE) AS nw,
+         |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+         |    / len(toks) AS sr
+         |  FROM t),
+         |q AS (SELECT doc_id, n_chars, sr,
+         |  CASE WHEN least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3
+         |    + least(awl / 8.0, 1.0) * 0.3 < ${operators.Learn.WoeQualityCut}
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM m),
+         |f AS (
+         |  SELECT y, 'chars' AS feature, least(n_chars // 100, 5) AS bin FROM q
+         |  UNION ALL SELECT y, 'stopword', least(CAST(floor(sr * 20) AS BIGINT), 4) FROM q
+         |  UNION ALL SELECT y, 'hash_noise',
+         |    md5_number_lower('woe-' || doc_id) % 2305843009213693951 % 4 FROM q),
+         |tot AS (SELECT sum(y) AS p_tot, sum(1 - y) AS n_tot FROM q),
+         |g AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(y) AS BIGINT) AS n_pos, CAST(sum(1 - y) AS BIGINT) AS n_neg
+         |  FROM f GROUP BY 1, 2)
+         |SELECT feature, CAST(bin AS BIGINT) AS bin, n_docs, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE round(ln((CAST(n_pos AS DOUBLE) / p_tot) / (CAST(n_neg AS DOUBLE) / n_tot)), 6)
+         |  END AS woe,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE round((CAST(n_pos AS DOUBLE) / p_tot - CAST(n_neg AS DOUBLE) / n_tot)
+         |      * ln((CAST(n_pos AS DOUBLE) / p_tot) / (CAST(n_neg AS DOUBLE) / n_tot)), 6)
+         |  END AS iv_term
+         |FROM g CROSS JOIN tot ORDER BY feature, bin""".stripMargin,
+    "vocab_growth" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |  i -> array_to_string(toks[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |gh AS (SELECT DISTINCT doc_id,
+        |  CAST(md5_number_lower(gram) % 2305843009213693951 AS BIGINT) AS h FROM g0),
+        |pd AS (SELECT doc_id,
+        |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_tokens FROM t),
+        |ft AS (SELECT h, min(doc_id) AS first_doc FROM gh GROUP BY h),
+        |nt AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS new_terms
+        |  FROM ft GROUP BY 1),
+        |ds AS (SELECT pd.doc_id, pd.n_tokens, coalesce(nt.new_terms, 0) AS new_terms,
+        |    row_number() OVER (ORDER BY pd.doc_id) - 1 AS rk
+        |  FROM pd LEFT JOIN nt USING (doc_id)),
+        |tt AS (SELECT count(*) AS n_total FROM ds),
+        |d AS (SELECT (rk * 10) // n_total AS decile, n_tokens, new_terms
+        |  FROM ds CROSS JOIN tt),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok, CAST(sum(new_terms) AS BIGINT) AS nv
+        |  FROM d GROUP BY decile),
+        |cw AS (SELECT decile, n_docs,
+        |    CAST(sum(n_docs) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |    CAST(sum(tok) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |    CAST(sum(nv) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |  FROM g),
+        |cl AS (SELECT *, lag(cum_tokens) OVER (ORDER BY decile) AS prev_tokens,
+        |    lag(cum_vocab) OVER (ORDER BY decile) AS prev_vocab FROM cw)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, cum_docs,
+        |  cum_tokens AS cum_grams, cum_vocab,
+        |  CASE WHEN prev_tokens IS NULL OR cum_tokens = prev_tokens THEN NULL
+        |    ELSE round(ln(CAST(cum_vocab AS DOUBLE) / CAST(prev_vocab AS DOUBLE))
+        |      / ln(CAST(cum_tokens AS DOUBLE) / CAST(prev_tokens AS DOUBLE)), 6)
+        |  END AS heaps_beta
+        |FROM cl ORDER BY decile""".stripMargin,
+    "zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok WHERE t <> '' GROUP BY t),
+         |g AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab_size FROM c),
+         |r AS (SELECT t, f, row_number() OVER (ORDER BY f DESC, t) AS rank FROM c),
+         |top AS (SELECT f, ln(CAST(rank AS DOUBLE)) AS lx, ln(CAST(f AS DOUBLE)) AS ly
+         |  FROM r WHERE rank <= ${operators.Zipf.ZipfTopN}),
+         |l AS (SELECT CAST(count(*) AS BIGINT) AS n_fit, CAST(max(f) AS BIGINT) AS top_tf,
+         |    list(lx ORDER BY lx) AS xs, list(ly ORDER BY ly) AS ys,
+         |    list(lx * lx ORDER BY lx * lx) AS xxs,
+         |    list(lx * ly ORDER BY lx * ly) AS xys,
+         |    list(ly * ly ORDER BY ly * ly) AS yys
+         |  FROM top),
+         |s AS (SELECT n_fit, top_tf, CAST(n_fit AS DOUBLE) AS nn,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), xs), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), ys), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), xxs), (a, b) -> a + b) AS sxx,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), xys), (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), yys), (a, b) -> a + b) AS syy
+         |  FROM l),
+         |f2 AS (SELECT n_fit, top_tf, nn, sx, sy,
+         |    nn * sxy - sx * sy AS dxy, nn * sxx - sx * sx AS dxx,
+         |    nn * syy - sy * sy AS dyy
+         |  FROM s)
+         |SELECT n_fit, vocab_size, total_tokens, top_tf,
+         |  round(dxy / dxx, 6) AS zipf_slope,
+         |  round((sy - (dxy / dxx) * sx) / nn, 6) AS intercept,
+         |  round((dxy * dxy) / (dxx * dyy), 6) AS r2
+         |FROM f2 CROSS JOIN g""".stripMargin,
     "pr_curve" -> {
       val grid = operators.Learn.PrThresholdsMilli.mkString(", ")
       s"""WITH toks AS (SELECT doc_id, t FROM (

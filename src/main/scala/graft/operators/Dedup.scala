@@ -377,6 +377,43 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"), col("cluster_size"))
   }
 
+  /** SURVIVORSHIP selection per near-dup cluster — the decision step
+    * that turns dup_clusters' components into an executable keep/drop
+    * list: within each cluster the highest-quality document (rule
+    * score; min doc_id on exact ties) survives as canonical, every
+    * other member is marked drop with its canonical pointer — the
+    * "which copy do we keep" rule every dedup deployment needs and
+    * pairwise output alone cannot answer.
+    *
+    * Exactness: the quality scores are quality_score's own
+    * gate-proven doubles (bit-identical cross-engine), so the
+    * per-cluster float max and the equality-then-min-id tie-break
+    * replay exactly in SQL. Scale shape: the cluster table
+    * (pair-graph sized, tiny next to the corpus) broadcasts onto the
+    * quality scan to prune it; the argmax is two cluster-sized aggs,
+    * never a window over corpus rows. */
+  def dupSurvivor(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = dupClusters(spark, sfDir)
+    val scored = TextMetrics.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(broadcast(clusters), Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(col("quality_score")).as("best_q"))
+    val canon = scored.join(broadcast(best), Seq("cluster_id"))
+      .filter(col("quality_score") === col("best_q"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("canonical_id"))
+    // quality_score stays the UNROUNDED gate-proven double: a
+    // round(·, 6) hit a .xxxxxx5 half-way double at sf0.001 where the
+    // two engines' rounding modes disagree (the quality_score gate row
+    // avoids rounding for the same reason)
+    scored.join(broadcast(canon), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"),
+        col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), lit("keep"))
+          .otherwise(lit("drop")).as("action"))
+  }
+
   /** Holdout fraction: test iff the group draw < P / SplitTestInv. */
   final val SplitTestInv = 10L
 

@@ -126,6 +126,54 @@ object Learn {
           .as("pos_rate"))
   }
 
+  /** woe_binning label cut: quality_score < 0.67 splits the corpus
+    * ~50/50 at sf0.01 (probed median 0.672). */
+  final val WoeQualityCut = 0.67
+
+  /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE feature profiling against
+    * the low-quality label — the credit-scoring-style screen that
+    * ranks candidate filter features BEFORE anyone trains on them.
+    * Three features by construction: 'chars' and 'stopword' really
+    * drive the label (quality_score is built from length and stopword
+    * terms — their IV must come out large) and 'hash_noise' is an
+    * md5-parity null control (IV ≈ 0) — the output table demonstrates
+    * the discriminative-vs-noise ranking IV exists to make.
+    *
+    * WOE_bin = ln((pos_share)/(neg_share)) with typed nulls for
+    * one-class bins; IV terms from the same fixed-order expression.
+    * Scale shape: one corpus pass fans each row into 3 (feature, bin)
+    * cells; the map-side-combined shuffle carries the tiny cell grid,
+    * totals broadcast from one row. */
+  def woeBinning(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+      .join(TextMetrics.qualityScore(spark, sfDir)
+        .select(col("doc_id"), col("quality_score"), col("stopword_ratio")),
+        Seq("doc_id"))
+      .withColumn("y", (col("quality_score") < WoeQualityCut).cast("long"))
+    val feats = base.select(col("y"), explode(array(
+        struct(lit("chars").as("feature"),
+          least(expr("n_chars div 100"), lit(5L)).as("bin")),
+        struct(lit("stopword").as("feature"),
+          least(floor(col("stopword_ratio") * 20).cast("long"), lit(4L)).as("bin")),
+        struct(lit("hash_noise").as("feature"),
+          pmod(graft.functions.Similarity.md5Mod(concat(lit("woe-"), col("doc_id"))),
+            lit(4L)).as("bin")))).as("fb"))
+      .select(col("y"), col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+    val tot = base.agg(sum(col("y")).as("p_tot"), sum(lit(1L) - col("y")).as("n_tot"))
+    val a = col("n_pos").cast("double") / col("p_tot").cast("double")
+    val b = col("n_neg").cast("double") / col("n_tot").cast("double")
+    val oneClass = col("n_pos") === 0L || col("n_neg") === 0L
+    feats.groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(lit(1L) - col("y")).as("n_neg"))
+      .crossJoin(broadcast(tot))
+      .select(col("feature"), col("bin"), col("n_docs"), col("n_pos"), col("n_neg"),
+        when(oneClass, lit(null).cast("double"))
+          .otherwise(round(log(a / b), 6)).as("woe"),
+        when(oneClass, lit(null).cast("double"))
+          .otherwise(round((a - b) * log(a / b), 6)).as("iv_term"))
+  }
+
   /** pr_curve threshold grid in PER-MILL score units, covering the
     * observed score mass (sf0.01: p5 ≈ −0.43, median ≈ −0.28,
     * p95 ≈ −0.14 — probed before fixing the grid so the sweep is not

@@ -159,6 +159,91 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_survivor keeps exactly the best-quality min-id doc per cluster") {
+    val clusters = graft.operators.Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val q = TextMetrics.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = graft.operators.Dedup.dupSurvivor(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == clusters.keySet, "one row per clustered doc")
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, ms) =>
+      val ids = ms.map(_.getLong(0))
+      val bestQ = ids.map(q).max
+      val canon = ids.filter(id => q(id) == bestQ).min
+      ms.foreach { r =>
+        assert(r.getLong(4) == canon, s"cluster $cid canonical")
+        assert(r.getString(5) == (if (r.getLong(0) == canon) "keep" else "drop"))
+        assert(r.getDouble(3) == q(r.getLong(0)))
+        assert(r.getLong(2) == clusters(r.getLong(0))._2)
+      }
+      assert(ms.count(_.getString(5) == "keep") == 1, s"cluster $cid keep count")
+    }
+  }
+
+  test("vocab_growth is a genuine Heaps curve: cumulative trigram vocab replays") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .sortBy(_._1)
+    def grams(toks: Seq[String]): Seq[String] =
+      if (toks.length < 3) Seq.empty
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+    val n = docs.length
+    val seen = scala.collection.mutable.Set.empty[String]
+    var cumG = 0L
+    var cumV = 0L
+    val perDecile = Array.fill(10)((0L, 0L, 0L)) // docs, grams, newv at decile end
+    docs.zipWithIndex.foreach { case ((_, toks), i) =>
+      val gs = grams(toks)
+      cumG += gs.length
+      gs.distinct.foreach(g => if (seen.add(g)) cumV += 1)
+      val d = (i * 10) / n
+      val (a, _, _) = perDecile(d)
+      perDecile(d) = (a + 1, cumG, cumV)
+    }
+    val rows = graft.operators.Zipf.vocabGrowth(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == (0L to 9L).toSet)
+    (0 to 9).foreach { d =>
+      val r = rows(d.toLong)
+      assert(r.getLong(1) == perDecile(d)._1, s"decile $d docs")
+      assert(r.getLong(3) == perDecile(d)._2, s"decile $d cum grams")
+      assert(r.getLong(4) == perDecile(d)._3, s"decile $d cum vocab")
+    }
+    // the curve must actually grow (the unigram version measured flat)
+    assert(rows(9L).getLong(4) > 2 * rows(0L).getLong(4), "vocab saturated: degenerate curve")
+    val betas = (1 to 9).map(d => rows(d.toLong).getDouble(5))
+    betas.foreach(b => assert(b > 0.0 && b < 1.0, s"heaps beta $b out of range"))
+  }
+
+  test("zipf_fit OLS replays over the exact top-rank frequencies") {
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val top = counts.sortBy { case (t, f) => (-f, t) }.take(graft.operators.Zipf.ZipfTopN)
+    val xs = top.indices.map(i => math.log((i + 1).toDouble))
+    val ys = top.map(t => math.log(t._2.toDouble))
+    val nn = top.length.toDouble
+    def s(v: Seq[Double]) = v.sorted.sum
+    val (sx, sy) = (s(xs), s(ys))
+    val (sxx, sxy, syy) =
+      (s(xs.map(x => x * x)), s(xs.zip(ys).map { case (x, y) => x * y }), s(ys.map(y => y * y)))
+    val dxy = nn * sxy - sx * sy
+    val dxx = nn * sxx - sx * sx
+    val dyy = nn * syy - sy * sy
+    val r = graft.operators.Zipf.zipfFit(spark, sf).collect().head
+    assert(r.getLong(0) == top.length)
+    assert(r.getLong(1) == counts.length)
+    assert(r.getLong(2) == counts.map(_._2).sum)
+    assert(math.abs(r.getDouble(4) - dxy / dxx) < 1e-6, "slope")
+    assert(math.abs(r.getDouble(6) - dxy * dxy / (dxx * dyy)) < 1e-6, "r2")
+    // the synthetic corpus is measurably NOT Zipfian — that finding is
+    // the screen's purpose (benford_check's FAIL discipline)
+    assert(r.getDouble(4) > -0.5, "slope should be far from a natural-language -1")
+  }
+
   test("doc_keywords: at most 5 per doc, led by the doc's max term frequency") {
     val kw = TextMetrics.docKeywords(spark, sf).collect()
     val byDoc = kw.groupBy(_.getAs[Long]("doc_id"))

@@ -647,6 +647,45 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(recalls.head > recalls.last, "degenerate threshold grid")
   }
 
+  test("woe_binning replays locally and IV ranks signal above the noise control") {
+    val q = TextMetrics.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score"), col("stopword_ratio")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = graft.operators.Learn.WoeQualityCut
+    val labeled = q.map { case (id, qs, sr) => (id, if (qs < cut) 1L else 0L, sr) }
+    val p = labeled.count(_._2 == 1L).toLong
+    val nTot = labeled.length - p
+    def cells(f: ((Long, Long, Double)) => Long): Map[Long, (Long, Long)] =
+      labeled.groupBy(f).view.mapValues(g =>
+        (g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)).toMap
+    val byFeature = Map(
+      "chars" -> cells { case (id, _, _) => math.min(chars(id) / 100, 5L) },
+      "stopword" -> cells { case (_, _, sr) => math.min(math.floor(sr * 20).toLong, 4L) },
+      "hash_noise" -> cells { case (id, _, _) =>
+        graft.expressions.CrossHash.md5Mod(s"woe-$id") % 4 })
+    val rows = graft.operators.Learn.woeBinning(spark, sf).collect()
+    val iv = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    rows.foreach { r =>
+      val (f, b) = (r.getString(0), r.getLong(1))
+      val (np, nn) = byFeature(f)(b)
+      assert((r.getLong(3), r.getLong(4)) == ((np, nn)), s"$f/$b counts")
+      if (np == 0 || nn == 0) assert(r.isNullAt(5) && r.isNullAt(6), s"$f/$b null guard")
+      else {
+        val woe = math.log((np.toDouble / p) / (nn.toDouble / nTot))
+        assert(math.abs(r.getDouble(5) - woe) < 1e-6, s"$f/$b woe")
+        iv(f) += r.getDouble(6)
+      }
+    }
+    // the constructed-signal features must out-rank the md5 null
+    // control: chars carries the dominant 0.4 quality weight (≫),
+    // stopword the 0.3 weight over a narrow range (>)
+    assert(iv("chars") > 10 * iv("hash_noise"), s"iv ranking: $iv")
+    assert(iv("stopword") > iv("hash_noise"), s"iv ranking: $iv")
+  }
+
   test("gini_concentration matches a local Lorenz computation") {
     val r = graft.queries.Stats.giniConcentration(spark, sf).collect().head
     val spend = spark.read.parquet(s"$sf/orders.parquet")
