@@ -57,8 +57,16 @@ object Zipf {
     val ds = perDoc.join(newGrams, Seq("doc_id"), "left")
       .na.fill(0L, Seq("new_terms"))
     val n = spark.sessionState.conf.numShufflePartitions
+    // PERSIST + eager count before fanning out: the local-rank branch
+    // and the offset branch both consume this range exchange, and
+    // RangePartitioning samples its boundaries per EXECUTION — at the
+    // 10× probe the two un-persisted evaluations landed on different
+    // boundaries, so poff and lrank disagreed and an 11th decile
+    // appeared. One materialized evaluation pins the pids.
     val parted = ds.repartitionByRange(n, col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count()
     val local = parted.withColumn("lrank", row_number().over(
       Window.partitionBy(col("pid")).orderBy(col("doc_id"))).cast("long"))
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
@@ -72,6 +80,8 @@ object Zipf {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"),
         sum(col("new_terms")).as("nv"))
+      .localCheckpoint()
+    parted.unpersist()
     // decile-sized (10 rows): the unpartitioned windows are safe
     val wc = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
     val wl = Window.orderBy(col("decile"))
