@@ -80,6 +80,9 @@ object SparkEntry {
     "negative_mining" -> (Search.negativeMining _),
     "temperature_mix" -> (Sampling.temperatureMix _),
     "dup_survivor" -> (Dedup.dupSurvivor _),
+    "cluster_stability" -> (Cluster.clusterStability _),
+    "events_residual_anomaly" -> (Events.eventsResidualAnomaly _),
+    "search_ndcg" -> (Search.searchNdcg _),
     "woe_binning" -> (Learn.woeBinning _),
     "vocab_growth" -> (Zipf.vocabGrowth _),
     "zipf_fit" -> (Zipf.zipfFit _),
@@ -1969,6 +1972,66 @@ object SparkEntry {
          |    AS split_rate,
          |  CAST(max(n_seqs) AS BIGINT) AS max_doc_span
          |FROM sp GROUP BY lang ORDER BY lang""".stripMargin,
+    "cluster_stability" -> {
+      // one k-means chain (init → assign → Lloyd step → assign) per
+      // prefix; generated so the two inits cannot drift structurally.
+      // Prefixes x/y (not a/b): DuckDB identifiers are
+      // case-insensitive, so aA/aB would collide.
+      def chain(p: String): String =
+        s"""c${p}0 AS (SELECT qv.vec_id AS c_id, d, qd FROM qv
+           |  JOIN pick$p ON pick$p.vec_id = qv.vec_id),
+           |c${p}0n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c${p}0 GROUP BY c_id),
+           |dots${p}0 AS (SELECT qv.vec_id, c.c_id, CAST(sum(qv.qd * c.qd) AS BIGINT) AS dot
+           |  FROM qv JOIN c${p}0 c USING (d) GROUP BY qv.vec_id, c.c_id),
+           |s${p}0 AS (SELECT vec_id, c_id,
+           |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+           |  FROM dots${p}0 JOIN norms USING (vec_id) JOIN c${p}0n USING (c_id)),
+           |a${p}0 AS (SELECT vec_id, c_id FROM (
+           |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+           |  FROM s${p}0) WHERE rk = 1),
+           |sums$p AS (SELECT a.c_id, d, CAST(sum(qd) AS BIGINT) AS sq, count(*) AS cnt
+           |  FROM a${p}0 a JOIN qv USING (vec_id) GROUP BY a.c_id, d),
+           |c${p}1 AS (SELECT c0.c_id, c0.d,
+           |  coalesce((sq - (((sq % cnt) + cnt) % cnt)) // cnt, c0.qd) AS qd
+           |  FROM c${p}0 c0 LEFT JOIN sums$p s ON s.c_id = c0.c_id AND s.d = c0.d),
+           |c${p}1n AS (SELECT c_id, CAST(sum(qd * qd) AS BIGINT) AS cnorm FROM c${p}1 GROUP BY c_id),
+           |dots${p}1 AS (SELECT qv.vec_id, c.c_id, CAST(sum(qv.qd * c.qd) AS BIGINT) AS dot
+           |  FROM qv JOIN c${p}1 c USING (d) GROUP BY qv.vec_id, c.c_id),
+           |s${p}1 AS (SELECT vec_id, c_id,
+           |  CAST(dot AS DOUBLE) / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS cos
+           |  FROM dots${p}1 JOIN norms USING (vec_id) JOIN c${p}1n USING (c_id)),
+           |a$p AS (SELECT vec_id, c_id FROM (
+           |  SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rk
+           |  FROM s${p}1) WHERE rk = 1)""".stripMargin
+      s"""WITH qv AS (SELECT vec_id, d,
+         |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
+         |  FROM embeddings CROSS JOIN range(64) dd(d)),
+         |norms AS (SELECT vec_id, CAST(sum(qd * qd) AS BIGINT) AS qnorm FROM qv GROUP BY vec_id),
+         |pickx AS (SELECT vec_id FROM embeddings WHERE vec_id < ${operators.Cluster.SeedK}),
+         |picky AS (SELECT vec_id FROM (
+         |  SELECT vec_id, md5_number_lower('sd2-' || vec_id) % 2305843009213693951 AS dr
+         |  FROM embeddings) ORDER BY dr, vec_id LIMIT ${operators.Cluster.SeedK}),
+         |${chain("x")},
+         |${chain("y")},
+         |ct AS (SELECT ax.c_id AS ca, ay.c_id AS cb, CAST(count(*) AS BIGINT) AS nij
+         |  FROM ax JOIN ay USING (vec_id) GROUP BY 1, 2),
+         |cell AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS s,
+         |  CAST(sum(nij) AS BIGINT) AS n FROM ct),
+         |rm AS (SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS a,
+         |  CAST(count(*) AS BIGINT) AS k_a FROM (SELECT ca, sum(nij) AS ai FROM ct GROUP BY ca)),
+         |cm AS (SELECT CAST(sum((bi * (bi - 1)) // 2) AS BIGINT) AS b,
+         |  CAST(count(*) AS BIGINT) AS k_b FROM (SELECT cb, sum(nij) AS bi FROM ct GROUP BY cb)),
+         |f AS (SELECT n, k_a, k_b, s, a, b,
+         |  CAST((n * (n - 1)) // 2 AS DOUBLE) AS td, CAST(s AS DOUBLE) AS sd,
+         |  CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd
+         |  FROM cell, rm, cm),
+         |f2 AS (SELECT *, ad * bd / td AS exp_idx FROM f)
+         |SELECT n AS n_vectors, k_a, k_b, s AS pairs_both, a AS pairs_a, b AS pairs_b,
+         |  round((td + 2.0 * sd - ad - bd) / td, 6) AS rand_index,
+         |  CASE WHEN (ad + bd) / 2.0 - exp_idx = 0.0 THEN NULL
+         |    ELSE round((sd - exp_idx) / ((ad + bd) / 2.0 - exp_idx), 6) END AS ari
+         |FROM f2""".stripMargin
+    },
     "cluster_assign" ->
       """WITH qv AS (SELECT vec_id, d,
         |  CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qd
@@ -2612,6 +2675,51 @@ object SparkEntry {
          |ORDER BY lang, doc_id""".stripMargin,
     "bm25_rank" -> bm25RankSql,
     "negative_mining" -> negativeMiningSql,
+    "search_ndcg" -> {
+      import graft.operators.Search
+      val truthBranches = Search.bm25Queries.map { case (qid, qterms) =>
+        val minExpr = "least(" + qterms
+          .map(t => s"len(list_filter(toks, x -> x = '${sq(t)}'))").mkString(", ") + ")"
+        s"""SELECT '${sq(qid)}' AS query_id, doc_id,
+           |  CASE WHEN $minExpr >= 5 THEN 3 WHEN $minExpr = 4 THEN 2
+           |    WHEN $minExpr = 3 THEN 1 ELSE 0 END AS grade FROM dd""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bm25ScoredCtes,
+         |ret AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         |  FROM scored WHERE score > 0) WHERE rk <= ${Search.TopN}),
+         |truth0 AS ($truthBranches),
+         |truth AS (SELECT query_id, doc_id, CAST(grade AS BIGINT) AS grade
+         |  FROM truth0 WHERE grade > 0),
+         |dterms AS (SELECT ret.query_id, coalesce(t.grade, 0) AS grade,
+         |    CAST(coalesce(t.grade, 0) AS DOUBLE) / ln(CAST(rk AS DOUBLE) + 1.0) AS term
+         |  FROM ret LEFT JOIN truth t ON t.query_id = ret.query_id AND t.doc_id = ret.doc_id),
+         |dg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+         |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_retrieved,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY term)),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM dterms GROUP BY query_id),
+         |it AS (SELECT query_id, grade,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS irk
+         |  FROM truth),
+         |iterms AS (SELECT query_id,
+         |    CAST(grade AS DOUBLE) / ln(CAST(irk AS DOUBLE) + 1.0) AS term
+         |  FROM it WHERE irk <= ${Search.TopN}),
+         |ideal AS (SELECT query_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY term)),
+         |      (a, b) -> a + b) AS idcg
+         |  FROM iterms GROUP BY query_id),
+         |qs AS (SELECT unnest([${Search.bm25Queries.map(q => s"'${sq(q._1)}'").mkString(", ")}]) AS query_id)
+         |SELECT qs.query_id,
+         |  coalesce(dg.n_retrieved, 0) AS n_retrieved,
+         |  coalesce(dg.n_rel_retrieved, 0) AS n_rel_retrieved,
+         |  round(coalesce(dg.dcg, 0.0), 6) AS dcg,
+         |  round(coalesce(ideal.idcg, 0.0), 6) AS idcg,
+         |  CASE WHEN ideal.idcg IS NULL THEN NULL
+         |    ELSE round(dg.dcg / ideal.idcg, 6) END AS ndcg
+         |FROM qs LEFT JOIN dg USING (query_id) LEFT JOIN ideal USING (query_id)
+         |ORDER BY qs.query_id""".stripMargin
+    },
     "search_eval" -> {
       import graft.operators.Search
       val branches = Search.bm25Queries.map { case (qid, qterms) =>
@@ -4151,6 +4259,24 @@ object SparkEntry {
         |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END AS novelty
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "events_residual_anomaly" ->
+      """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |hourly AS (SELECT event_type, (us // 3600000000) * 3600000000 AS hr_us,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |h2 AS (SELECT *, (hr_us % 86400000000) // 3600000000 AS hod FROM hourly),
+        |cs AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS sc, CAST(sum(cnt * cnt) AS BIGINT) AS scc
+        |  FROM h2 GROUP BY 1, 2),
+        |cs2 AS (SELECT *, n_hours * scc - sc * sc AS var_num FROM cs),
+        |z0 AS (SELECT h2.event_type, h2.hr_us, h2.hod, h2.cnt,
+        |    CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE) AS cell_mean_raw,
+        |    round((CAST(cnt AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |      / (sqrt(CAST(var_num AS DOUBLE)) / CAST(n_hours AS DOUBLE)), 6) AS z
+        |  FROM h2 JOIN cs2 USING (event_type, hod) WHERE var_num > 0)
+        |SELECT event_type, CAST(hr_us AS BIGINT) AS hr_us,
+        |  CAST(hod AS BIGINT) AS hod, cnt, round(cell_mean_raw, 6) AS cell_mean, z
+        |FROM z0 WHERE abs(z) > 2 ORDER BY event_type, hr_us""".stripMargin,
     "events_cusum" ->
       """WITH daily AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,

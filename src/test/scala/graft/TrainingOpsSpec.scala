@@ -927,4 +927,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(hits4 == (truth & ivf4).size.toLong,
       s"nprobe=4 sweep level diverges from the standalone ann_ivf plan")
   }
+
+  test("cluster_stability ARI replays from the exact pair-count arithmetic") {
+    val pairs = Cluster.stabilityAssignments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = pairs.length.toLong
+    def comb2(x: Long): Long = x * (x - 1) / 2
+    val s = pairs.groupBy(p => (p._2, p._3)).values.map(g => comb2(g.size.toLong)).sum
+    val a = pairs.groupBy(_._2).values.map(g => comb2(g.size.toLong)).sum
+    val b = pairs.groupBy(_._3).values.map(g => comb2(g.size.toLong)).sum
+    val t = comb2(n).toDouble
+    val exp = a.toDouble * b.toDouble / t
+    val ari = (s - exp) / ((a + b) / 2.0 - exp)
+    val ri = (t + 2.0 * s - a - b) / t
+    val r = Cluster.clusterStability(spark, sf).collect().head
+    assert(r.getLong(0) == n)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((s, a, b)))
+    assert(math.abs(r.getDouble(6) - ri) < 1e-6, "rand index")
+    assert(math.abs(r.getDouble(7) - ari) < 1e-6, "ari")
+    // the assignment pair must not be trivially identical or disjoint
+    assert(pairs.exists(p => p._2 != p._3) || ri == 1.0)
+    assert(r.getDouble(7) < r.getDouble(6),
+      "ARI must discount the chance agreement RI reports")
+    // init A's final assignment is cluster_assign's own refined one
+    val ca1 = Cluster.clusterAssign(spark, sf).collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(3)).toMap
+    pairs.foreach(p => assert(ca1(p._1) == p._2, s"vec ${p._1} init-A drift"))
+  }
 }
