@@ -83,6 +83,8 @@ object SparkEntry {
     "cluster_stability" -> (Cluster.clusterStability _),
     "events_residual_anomaly" -> (Events.eventsResidualAnomaly _),
     "search_ndcg" -> (Search.searchNdcg _),
+    "snapshot_diff" -> (Scd.snapshotDiff _),
+    "q_range_frame" -> (Relational.qRangeFrame _),
     "woe_binning" -> (Learn.woeBinning _),
     "vocab_growth" -> (Zipf.vocabGrowth _),
     "zipf_fit" -> (Zipf.zipfFit _),
@@ -4259,6 +4261,48 @@ object SparkEntry {
         |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END AS novelty
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS key,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT * FROM v1
+        |  WHERE md5_number_lower('del-' || key) % 2305843009213693951
+        |    >= 2305843009213693951 // 20),
+        |mutated AS (SELECT key,
+        |    CASE WHEN md5_number_lower('upd-' || key) % 2305843009213693951
+        |        < 2305843009213693951 // 10
+        |      THEN cents + cents // 20 ELSE cents END AS cents
+        |  FROM kept),
+        |ins AS (SELECT key + 1000000000000 AS key, cents FROM kept
+        |  WHERE md5_number_lower('ins-' || key) % 2305843009213693951
+        |    < 2305843009213693951 // 20),
+        |v2 AS (SELECT * FROM mutated UNION ALL SELECT * FROM ins),
+        |j AS (SELECT coalesce(v1.key, v2.key) AS key, v1.cents AS old_cents,
+        |    v2.cents AS new_cents
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+        |SELECT key,
+        |  CASE WHEN old_cents IS NULL THEN 'insert'
+        |    WHEN new_cents IS NULL THEN 'delete'
+        |    WHEN old_cents <> new_cents THEN 'update' END AS action,
+        |  CAST(old_cents AS DOUBLE) / 100.0 AS old_total,
+        |  CAST(new_cents AS DOUBLE) / 100.0 AS new_total
+        |FROM j WHERE (CASE WHEN old_cents IS NULL THEN 'insert'
+        |    WHEN new_cents IS NULL THEN 'delete'
+        |    WHEN old_cents <> new_cents THEN 'update' END) IS NOT NULL
+        |ORDER BY key""".stripMargin,
+    "q_range_frame" ->
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, CAST(day AS BIGINT) AS day,
+        |  CAST(cents AS DOUBLE) / 100.0 AS day_total,
+        |  CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS trail7_total,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_days_in_window
+        |FROM d
+        |WINDOW w AS (PARTITION BY priority ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY priority, day""".stripMargin,
     "events_residual_anomaly" ->
       """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |hourly AS (SELECT event_type, (us // 3600000000) * 3600000000 AS hr_us,

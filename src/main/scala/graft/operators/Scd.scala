@@ -228,4 +228,46 @@ object Scd {
       .select(col("orderkey"), col("custkey"), col("d").as("orderdate"),
         col("v_at").as("dim_version"), col("s_at").as("dim_status"))
   }
+
+  /** SNAPSHOT DIFF — derive the changelog FROM two table versions
+    * (the inverse of cdc_apply, which applies one): the lakehouse
+    * primitive behind incremental-sync and audit ("what changed
+    * between yesterday's snapshot and today's?") when the upstream
+    * system ships full dumps instead of a change feed. v2 is a
+    * deterministic md5 mutation of the orders snapshot (~5% deletes,
+    * ~10% cents updates, ~5% inserts under fresh keys), and the diff
+    * emits one row per changed key with the action and both payloads.
+    *
+    * Scale shape: ONE full-outer hash join on the key; the mutation
+    * and the payload compare are row-local; unchanged keys (the vast
+    * majority) are filtered before anything else moves. Cents ride
+    * the exact decimal(18,2)·100 longs. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Similarity.md5Mod
+    val p20 = graft.expressions.CrossHash.P / 20
+    val p10 = graft.expressions.CrossHash.P / 10
+    val v1 = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("key"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // v2: drop ~5%, bump ~10% of cents by exactly +5% (integer div),
+    // insert ~5% fresh keys derived from survivors
+    val kept = v1.filter(md5Mod(concat(lit("del-"), col("key"))) >= p20)
+    val mutated = kept.select(col("key"),
+      when(md5Mod(concat(lit("upd-"), col("key"))) < p10,
+        col("cents") + expr("cents div 20")).otherwise(col("cents")).as("cents"))
+    val inserts = kept
+      .filter(md5Mod(concat(lit("ins-"), col("key"))) < p20)
+      .select((col("key") + 1000000000000L).as("key"), col("cents"))
+    val v2 = mutated.unionByName(inserts)
+    v1.select(col("key"), col("cents").as("old_cents"))
+      .join(v2.select(col("key"), col("cents").as("new_cents")), Seq("key"), "full_outer")
+      .withColumn("action",
+        when(col("old_cents").isNull, lit("insert"))
+          .when(col("new_cents").isNull, lit("delete"))
+          .when(col("old_cents") =!= col("new_cents"), lit("update")))
+      .filter(col("action").isNotNull)
+      .select(col("key"), col("action"),
+        (col("old_cents").cast("double") / 100.0).as("old_total"),
+        (col("new_cents").cast("double") / 100.0).as("new_total"))
+  }
 }

@@ -210,6 +210,33 @@ object Relational {
         (col("min_cents").cast("double") / 100.0).as("min_spend"))
   }
 
+  /** RANGE-frame windowed aggregation — trailing-7-day revenue per
+    * order priority over the daily series: the frame is defined by
+    * VALUE distance (rangeBetween −6..0 on the epoch day), not row
+    * offsets, so a gap day SHORTENS the window instead of silently
+    * letting the frame reach further back — the semantics a
+    * rows-frame (q_window) cannot express, and the n_days_in_window
+    * column makes the distinction visible in the output. Exact cents
+    * throughout; the per-priority daily series is calendar-scale, so
+    * the partitioned window never touches corpus-sized data. */
+  def qRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        dec2(col("o_totalprice")).as("p"))
+      .groupBy(col("priority"), col("day"))
+      .agg((sum(col("p")).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("trail7_cents", sum(col("cents")).over(w))
+      .withColumn("n_days_in_window", count(lit(1)).over(w))
+      .select(col("priority"), col("day"),
+        (col("cents").cast("double") / 100.0).as("day_total"),
+        (col("trail7_cents").cast("double") / 100.0).as("trail7_total"),
+        col("n_days_in_window"))
+  }
+
   /** Arbitrary GROUPING SETS — the general form rollup and cube are
     * special cases of: the two 1-D marginals plus the 2-D cells of
     * (status, priority), but NOT the grand total (the set a dashboard

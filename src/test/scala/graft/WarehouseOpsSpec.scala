@@ -562,6 +562,59 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot_diff replays the md5 mutation and emits a complete changelog") {
+    import graft.expressions.CrossHash
+    val p20 = CrossHash.P / 20
+    val p10 = CrossHash.P / 10
+    val v1 = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = v1.filter { case (k, _) => CrossHash.md5Mod(s"del-$k") >= p20 }
+    val v2 = kept.map { case (k, c) =>
+      k -> (if (CrossHash.md5Mod(s"upd-$k") < p10) c + c / 20 else c)
+    } ++ kept.collect { case (k, c) if CrossHash.md5Mod(s"ins-$k") < p20 =>
+      (k + 1000000000000L) -> c
+    }
+    val expected = (v1.keySet ++ v2.keySet).flatMap { k =>
+      (v1.get(k), v2.get(k)) match {
+        case (None, Some(_)) => Some(k -> "insert")
+        case (Some(_), None) => Some(k -> "delete")
+        case (Some(a), Some(b)) if a != b => Some(k -> "update")
+        case _ => None
+      }
+    }.toMap
+    val got = Scd.snapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // all three actions must occur, and round-trip holds: v1 + diff = v2
+    assert(Set("insert", "delete", "update").subsetOf(got.values.toSet))
+    val rebuilt = (v1 -- got.collect { case (k, "delete") => k }) ++
+      v2.view.filterKeys(k => got.get(k).exists(a => a == "insert" || a == "update"))
+    assert(rebuilt == v2, "applying the derived changelog must reproduce v2")
+  }
+
+  test("q_range_frame trailing window follows value distance, not row count") {
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("p", "day").agg(sum(col("c")).as("cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = Relational.qRangeFrame(spark, sf).collect()
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val (p, day) = (r.getString(0), r.getLong(1))
+      val win = daily.collect { case ((`p`, d), c) if d >= day - 6 && d <= day => c }
+      assert(math.abs(r.getDouble(3) - win.sum.toDouble / 100.0) < 1e-6, s"$p/$day trail")
+      assert(r.getLong(4) == win.size.toLong, s"$p/$day window days")
+    }
+    // the value-distance semantics must be visible: some window spans
+    // fewer than 7 days even deep into the series (a gap day shrank it)
+    val deep = rows.filter(_.getLong(1) > rows.map(_.getLong(1)).min + 10)
+    assert(deep.exists(_.getLong(4) < 7), "no gap-shrunk window: rows-frame would suffice")
+  }
+
   private def copurchaseEdges(): Set[(Long, Long)] = {
     val items = graft.sources.Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 25)
