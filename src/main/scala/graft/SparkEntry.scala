@@ -85,6 +85,9 @@ object SparkEntry {
     "search_ndcg" -> (Search.searchNdcg _),
     "snapshot_diff" -> (Scd.snapshotDiff _),
     "q_range_frame" -> (Relational.qRangeFrame _),
+    "session_gap_tune" -> (Events.sessionGapTune _),
+    "sample_quantile_eval" -> (Stats.sampleQuantileEval _),
+    "filter_sweep" -> (Sampling.filterSweep _),
     "woe_binning" -> (Learn.woeBinning _),
     "vocab_growth" -> (Zipf.vocabGrowth _),
     "zipf_fit" -> (Zipf.zipfFit _),
@@ -4261,6 +4264,65 @@ object SparkEntry {
         |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END AS novelty
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "session_gap_tune" -> {
+      val grid = graft.queries.Events.SessionGapGrid.mkString(", ")
+      s"""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+         |d AS (SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS delta_us FROM ev),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+         |g AS (SELECT unnest([$grid]) AS gap_minutes),
+         |b AS (SELECT gap_minutes,
+         |    CAST(sum(CASE WHEN delta_us > CAST(gap_minutes AS BIGINT) * 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS brk
+         |  FROM d CROSS JOIN g GROUP BY gap_minutes)
+         |SELECT CAST(b.gap_minutes AS BIGINT) AS gap_minutes,
+         |  n_users + brk AS n_sessions,
+         |  round(CAST(n_events AS DOUBLE) / CAST(n_users + brk AS DOUBLE), 6) AS events_per_session
+         |FROM b CROSS JOIN t ORDER BY gap_minutes""".stripMargin
+    },
+    "sample_quantile_eval" -> {
+      val fCols = graft.queries.Stats.SqProbes
+        .map { case (l, p) => s"quantile_cont(cents, $p) AS f_$l" }.mkString(", ")
+      val sCols = graft.queries.Stats.SqProbes
+        .map { case (l, p) => s"quantile_cont(cents, $p) AS s_$l" }.mkString(", ")
+      val branches = graft.queries.Stats.SqProbes.map { case (l, _) =>
+        s"SELECT '$l' AS probe, n_full, n_sample, f_$l / 100.0 AS ev, s_$l / 100.0 AS sv FROM f CROSS JOIN s"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_full, $fCols FROM c),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_sample, $sCols FROM c
+         |  WHERE md5_number_lower('sq-' || o_orderkey) % 2305843009213693951
+         |    < 2305843009213693951 // 16),
+         |p AS ($branches)
+         |SELECT probe, n_full, n_sample,
+         |  round(ev, 6) AS exact_value, round(sv, 6) AS sample_value,
+         |  round(abs(sv - ev), 6) AS abs_err, round(abs(sv - ev) / ev, 6) AS rel_err
+         |FROM p ORDER BY probe""".stripMargin
+    },
+    "filter_sweep" -> {
+      val grid = Sampling.FilterGrid.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(toks) AS DOUBLE) AS nw,
+         |  CAST(length(text) - (CAST(len(toks) AS DOUBLE) - 1) AS DOUBLE) / len(toks) AS awl,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+         |    / len(toks) AS sr
+         |  FROM t),
+         |q AS (SELECT n_words,
+         |  least(nw / 100.0, 1.0) * 0.4 + (1.0 - sr) * 0.3 + least(awl / 8.0, 1.0) * 0.3 AS qs
+         |  FROM m),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(n_words) AS BIGINT) AS tok_total FROM q),
+         |g AS (SELECT unnest([$grid]) AS threshold),
+         |k AS (SELECT threshold,
+         |    CAST(sum(CASE WHEN qs >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN qs >= threshold THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept
+         |  FROM q CROSS JOIN g GROUP BY threshold)
+         |SELECT CAST(threshold AS DOUBLE) AS threshold, n_kept, tokens_kept,
+         |  round(CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS doc_share,
+         |  round(CAST(tokens_kept AS DOUBLE) / CAST(tok_total AS DOUBLE), 6) AS token_share
+         |FROM k CROSS JOIN tot ORDER BY threshold""".stripMargin
+    },
     "snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS key,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents

@@ -129,6 +129,36 @@ object Sampling {
           .as("boost"))
   }
 
+  /** filter_sweep quality-threshold grid. */
+  val FilterGrid: Seq[Double] = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8)
+
+  /** QUALITY-FILTER SWEEP: documents and TOKENS surviving each
+    * candidate quality threshold — the budget-planning table a corpus
+    * build reads before committing a filter cut (pr_curve picks the
+    * cut for classifier accuracy; this prices it in token volume,
+    * which is what the training budget is denominated in). The
+    * quality scores are gate-proven identical doubles, so the literal
+    * threshold compares identically on both engines; one scoring pass
+    * fans into |grid| conditional cells, map-side combined. */
+  def filterSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextMetrics.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val tot = q.agg(count(lit(1)).as("n_total"), sum(col("n_words")).as("tok_total"))
+    val grid = spark.range(1).select(explode(typedLit(FilterGrid)).as("threshold"))
+    q.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("quality_score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("quality_score") >= col("threshold"), col("n_words"))
+          .otherwise(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_kept"), col("tokens_kept"),
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 6)
+          .as("doc_share"),
+        round(col("tokens_kept").cast("double") / col("tok_total").cast("double"), 6)
+          .as("token_share"))
+  }
+
   /** Reservoir size for sampleGroup. */
   val ReservoirK = 25
 

@@ -366,6 +366,43 @@ object Events {
         round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
   }
 
+  /** Session-gap sweep grid (minutes) — extends to day-scale gaps
+    * because this corpus's users emit ~daily events (probed: the
+    * 5..60-minute band moved session counts only 9919 → 9147 at
+    * sf0.01; the day-scale band is where the elbow lives). */
+  val SessionGapGrid: Seq[Long] = Seq(5L, 15L, 30L, 60L, 240L, 1440L, 4320L)
+
+  /** SESSION-GAP TUNING: session count and events-per-session under
+    * each candidate inactivity gap — the pre-run measurement that
+    * picks events_sessionize's 30-minute constant instead of
+    * inheriting it (the minhash_band_tune / ann_tune family, for the
+    * events side). The trick: re-sessionizing per gap is unnecessary —
+    * sessions(g) = users + |{consecutive-event deltas > g}|, so ONE
+    * per-user lag pass (inside the hash(user) layout
+    * events_sessionize needs anyway) feeds every gap as a conditional
+    * count. Exact longs into one terminal divide per gap row. */
+  def sessionGapTune(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val deltas = ev.withColumn("delta_us", col("us") - lag(col("us"), 1).over(w))
+    val totals = ev.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    val gapAggs = SessionGapGrid.map(g =>
+      sum(when(col("delta_us") > g * 60000000L, 1L).otherwise(0L)).as(s"brk_$g"))
+    deltas.agg(gapAggs.head, gapAggs.tail: _*)
+      .crossJoin(broadcast(totals))
+      .select(explode(array(SessionGapGrid.map(g =>
+        struct(lit(g).as("gap_minutes"),
+          (col("n_users") + col(s"brk_$g")).as("n_sessions"))): _*)).as("r"),
+        col("n_events"))
+      .select(col("r.gap_minutes").as("gap_minutes"),
+        col("r.n_sessions").as("n_sessions"),
+        round(col("n_events").cast("double") / col("r.n_sessions").cast("double"), 6)
+          .as("events_per_session"))
+  }
+
   /** SEASONALITY-ADJUSTED anomaly detection: z-scores within each
     * (type, hour-of-day) SEASONAL CELL rather than against the type's
     * global hourly mean — the upgrade that stops the daily-cycle peak

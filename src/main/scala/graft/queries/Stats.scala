@@ -367,4 +367,44 @@ object Stats {
         round(col("sc8").cast("double") / (col("n") * 800L).cast("double"), 6)
           .as("raw_mean"))
   }
+
+  /** sample_quantile_eval probes — BINARY fractions only (the
+    * q_quantiles exactness rule: with integral cents and
+    * binary-fraction probes, both engines' linear-interpolation
+    * blends are IEEE-exact, so even the tail quantiles hash-match). */
+  val SqProbes: Seq[(String, Double)] = Seq(
+    "p50" -> 0.5, "p75" -> 0.75, "p875" -> 0.875,
+    "p9375" -> 0.9375, "p96875" -> 0.96875)
+
+  /** SAMPLED-QUANTILE ACCURACY EVAL: exact order-total quantiles vs
+    * the same quantiles over a deterministic ~6.25% md5 sample — the
+    * measurement behind every sample-based planning decision (ANALYZE
+    * sampling rates, sampled histograms, AQE statistics): how wrong
+    * ARE sample quantiles on this distribution, probe by probe, tail
+    * included? One full aggregate + one sampled aggregate (the filter
+    * is row-local md5), errors as fixed-order expressions, round 6. */
+  def sampleQuantileEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val qs = array(SqProbes.map(p => lit(p._2)): _*)
+    val full = cents.agg(count(lit(1)).as("n_full"),
+      percentile(col("cents"), qs).as("qf"))
+    val samp = cents
+      .filter(graft.functions.Similarity.md5Mod(concat(lit("sq-"), col("o_orderkey")))
+        < lit(graft.expressions.CrossHash.P / 16))
+      .agg(count(lit(1)).as("n_sample"), percentile(col("cents"), qs).as("qs"))
+    full.crossJoin(samp)
+      .select(col("n_full"), col("n_sample"),
+        explode(array(SqProbes.zipWithIndex.map { case ((lbl, _), i) =>
+          struct(lit(lbl).as("probe"),
+            (col("qf")(i) / 100.0).as("ev"),
+            (col("qs")(i) / 100.0).as("sv"))
+        }: _*)).as("r"))
+      .select(col("r.probe").as("probe"), col("n_full"), col("n_sample"),
+        round(col("r.ev"), 6).as("exact_value"),
+        round(col("r.sv"), 6).as("sample_value"),
+        round(abs(col("r.sv") - col("r.ev")), 6).as("abs_err"),
+        round(abs(col("r.sv") - col("r.ev")) / col("r.ev"), 6).as("rel_err"))
+  }
 }

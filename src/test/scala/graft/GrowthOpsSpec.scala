@@ -1074,6 +1074,80 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(got.exists(x => !topk((x._1, x._3))), "negatives identical to top-k")
   }
 
+  test("session_gap_tune equals a literal re-sessionization at every gap") {
+    val byUser = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._2)).toMap
+    val nEvents = byUser.values.map(_.size).sum
+    val rows = Events.sessionGapTune(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Events.SessionGapGrid.toSet)
+    Events.SessionGapGrid.foreach { g =>
+      // literal sessionization: a new session starts at every gap breach
+      val sessions = byUser.values.map { ts =>
+        1 + ts.zip(ts.tail).count { case (a, b) => b - a > g * 60000000L }
+      }.sum
+      assert(rows(g)._1 == sessions.toLong, s"gap $g sessions")
+      assert(math.abs(rows(g)._2 - nEvents.toDouble / sessions) < 1e-6, s"gap $g mean")
+    }
+    // the sweep must discriminate across the grid
+    val counts = Events.SessionGapGrid.map(rows(_)._1)
+    assert(counts.head > 2 * counts.last, "grid fails to move session counts")
+  }
+
+  test("sample_quantile_eval: exact side replays a local interpolation, errors bounded") {
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = cents.map(_._2).sorted
+    def q(v: Array[Long], p: Double): Double = {
+      val h = p * (v.length - 1)
+      val lo = h.toInt
+      if (lo + 1 >= v.length) v(lo).toDouble
+      else v(lo) + (h - lo) * (v(lo + 1) - v(lo))
+    }
+    val rows = graft.queries.Stats.sampleQuantileEval(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == graft.queries.Stats.SqProbes.map(_._1).toSet)
+    val p16 = graft.expressions.CrossHash.P / 16
+    val sample = cents.filter { case (k, _) =>
+      graft.expressions.CrossHash.md5Mod(s"sq-$k") < p16 }.map(_._2).sorted
+    graft.queries.Stats.SqProbes.foreach { case (lbl, p) =>
+      val r = rows(lbl)
+      assert(r.getLong(1) == cents.length && r.getLong(2) == sample.length)
+      assert(math.abs(r.getDouble(3) - q(sorted, p) / 100.0) < 1e-4, s"$lbl exact")
+      assert(math.abs(r.getDouble(4) - q(sample, p) / 100.0) < 1e-4, s"$lbl sample")
+      // ~94 sampled rows at sf0.001 → sampling error up to ~20% is
+      // plausible; the bound only guards against a broken sample
+      assert(r.getDouble(6) < 0.3, s"$lbl rel error implausibly large")
+    }
+    // the sample is a real sample, not the table
+    assert(sample.length < cents.length / 8)
+  }
+
+  test("filter_sweep token shares replay and decay monotonically") {
+    val q = TextMetrics.qualityScore(spark, sf)
+      .select(col("n_words"), col("quality_score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val tokTotal = q.map(_._1).sum
+    val rows = Sampling.filterSweep(spark, sf).collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq == Sampling.FilterGrid)
+    rows.foreach { r =>
+      val t = r.getDouble(0)
+      val kept = q.filter(_._2 >= t)
+      assert(r.getLong(1) == kept.length.toLong, s"t=$t docs")
+      assert(r.getLong(2) == kept.map(_._1).sum, s"t=$t tokens")
+      assert(math.abs(r.getDouble(4) - kept.map(_._1).sum.toDouble / tokTotal) < 1e-6)
+    }
+    val docShares = rows.map(_.getDouble(3))
+    assert(docShares.zip(docShares.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // quality favors long docs: token share must sit above doc share
+    rows.foreach(r => assert(r.getDouble(4) >= r.getDouble(3) - 1e-9))
+  }
+
   test("events_residual_anomaly replays hour-of-day cell z-scores") {
     val hours = graft.sources.Tables.events(spark, sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
