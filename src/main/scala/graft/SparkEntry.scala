@@ -86,6 +86,8 @@ object SparkEntry {
     "snapshot_diff" -> (Scd.snapshotDiff _),
     "q_range_frame" -> (Relational.qRangeFrame _),
     "session_gap_tune" -> (Events.sessionGapTune _),
+    "seasonality_strength" -> (Events.seasonalityStrength _),
+    "ab_ratio_delta" -> (Experiment.abRatioDelta _),
     "sample_quantile_eval" -> (Stats.sampleQuantileEval _),
     "filter_sweep" -> (Sampling.filterSweep _),
     "woe_binning" -> (Learn.woeBinning _),
@@ -4264,6 +4266,75 @@ object SparkEntry {
         |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END AS novelty
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "seasonality_strength" ->
+      """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |hourly AS (SELECT event_type, (us // 3600000000) * 3600000000 AS hr_us,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+        |h2 AS (SELECT *, (hr_us % 86400000000) // 3600000000 AS hod FROM hourly),
+        |cells AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cell,
+        |    CAST(sum(cnt) AS BIGINT) AS sc FROM h2 GROUP BY event_type, hod),
+        |ct AS (SELECT event_type,
+        |    CAST(CAST(sc AS HUGEINT) * sc AS DOUBLE) / CAST(n_cell AS DOUBLE) AS cell_term
+        |  FROM cells),
+        |b AS (SELECT event_type, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(cell_term ORDER BY cell_term)), (a, b) -> a + b) AS b_seasonal
+        |  FROM ct GROUP BY event_type),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(cnt) AS BIGINT) AS sc_tot, CAST(sum(cnt * cnt) AS BIGINT) AS a_sq
+        |  FROM h2 GROUP BY event_type),
+        |f AS (SELECT t.event_type, n_hours, a_sq, b_seasonal,
+        |    CAST(CAST(sc_tot AS HUGEINT) * sc_tot AS DOUBLE) / CAST(n_hours AS DOUBLE) AS c_corr
+        |  FROM t JOIN b USING (event_type)),
+        |g AS (SELECT event_type, n_hours,
+        |    (CAST(a_sq AS DOUBLE) - c_corr) / CAST(n_hours AS DOUBLE) AS var_total,
+        |    (CAST(a_sq AS DOUBLE) - b_seasonal) / CAST(n_hours AS DOUBLE) AS var_resid,
+        |    CAST(a_sq AS DOUBLE) AS ad, c_corr
+        |  FROM f)
+        |SELECT event_type, n_hours, round(var_total, 6) AS var_total,
+        |  round(var_resid, 6) AS var_resid,
+        |  CASE WHEN ad = c_corr THEN NULL
+        |    ELSE round(greatest(0.0, 1.0 - var_resid / var_total), 6) END AS strength
+        |FROM g ORDER BY event_type""".stripMargin,
+    "ab_ratio_delta" -> {
+      def cv(s: String, q: String, a: String, b: String) =
+        s"(CAST(CAST(n_$s AS HUGEINT) * ${q}_$s - CAST(${a}_$s AS HUGEINT) * ${b}_$s AS DOUBLE)" +
+          s" / (CAST(n_$s AS DOUBLE) * (CAST(n_$s AS DOUBLE) - 1.0)))"
+      def rr(s: String) = s"(CAST(sx_$s AS DOUBLE) / CAST(sy_$s AS DOUBLE))"
+      def varR(s: String) =
+        s"((${cv(s, "qx", "sx", "sx")} - 2.0 * ${rr(s)} * ${cv(s, "qxy", "sx", "sy")}" +
+          s" + ${rr(s)} * ${rr(s)} * ${cv(s, "qy", "sy", "sy")})" +
+          s" / (CAST(n_$s AS DOUBLE) * (CAST(sy_$s AS DOUBLE) / CAST(n_$s AS DOUBLE))" +
+          s" * (CAST(sy_$s AS DOUBLE) / CAST(n_$s AS DOUBLE))))"
+      def agg(v: Int, s: String) =
+        s"""CAST(sum(CASE WHEN variant = $v THEN 1 ELSE 0 END) AS BIGINT) AS n_$s,
+           |  CAST(sum(CASE WHEN variant = $v THEN x ELSE 0 END) AS BIGINT) AS sx_$s,
+           |  CAST(sum(CASE WHEN variant = $v THEN y ELSE 0 END) AS BIGINT) AS sy_$s,
+           |  sum(CASE WHEN variant = $v THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qx_$s,
+           |  sum(CASE WHEN variant = $v THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qy_$s,
+           |  sum(CASE WHEN variant = $v THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS qxy_$s""".stripMargin
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(count(*) AS BIGINT) AS y,
+         |    md5_number_lower('ab-' || user_id) % 2305843009213693951 % 2 AS variant
+         |  FROM events GROUP BY user_id),
+         |m AS (SELECT
+         |  ${agg(0, "a")},
+         |  ${agg(1, "b")}
+         |  FROM u),
+         |f AS (SELECT *, ${rr("a")} AS ra, ${rr("b")} AS rb,
+         |    ${varR("a")} AS va, ${varR("b")} AS vb,
+         |    (n_a > 1 AND n_b > 1 AND sy_a > 0 AND sy_b > 0) AS ok
+         |  FROM m)
+         |SELECT n_a, n_b,
+         |  CASE WHEN sy_a > 0 THEN round(ra / 100.0, 6) END AS ratio_a,
+         |  CASE WHEN sy_b > 0 THEN round(rb / 100.0, 6) END AS ratio_b,
+         |  CASE WHEN ok THEN round((rb - ra) / 100.0, 6) END AS diff,
+         |  CASE WHEN ok AND (va + vb) > 0.0 THEN round(sqrt(va + vb) / 100.0, 6) END AS se,
+         |  CASE WHEN ok AND (va + vb) > 0.0 THEN round((rb - ra) / sqrt(va + vb), 6) END AS z_score,
+         |  CASE WHEN ok AND (va + vb) > 0.0 THEN abs((rb - ra) / sqrt(va + vb)) > 1.96 END AS significant
+         |FROM f""".stripMargin
+    },
     "session_gap_tune" -> {
       val grid = graft.queries.Events.SessionGapGrid.mkString(", ")
       s"""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),

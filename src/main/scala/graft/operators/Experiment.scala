@@ -592,4 +592,63 @@ object Experiment {
         (col("q")(2) / 1000000.0).as("p50_s"), (col("q")(3) / 1000000.0).as("p75_s"),
         (col("q")(4) / 1000000.0).as("p875_s"))
   }
+
+  /** RATIO-METRIC A/B readout via the DELTA METHOD (Deng et al.) —
+    * revenue per event, the metric shape ab_test's per-user Welch z
+    * cannot grade (a ratio of sums is NOT a mean of per-user values;
+    * treating it as one biases the variance). Per variant the ratio
+    * is R = Σx/Σy over per-user (purchase cents x, event count y),
+    * and Var(R) ≈ (σ_x² − 2Rσ_xy + R²σ_y²)/(n·ȳ²) from the exact
+    * per-variant moment sums (Σx, Σy, Σx², Σy², Σxy in
+    * decimal(38,0)); the null md5 split correctly reads
+    * not-significant. One user-level reduce, one 1-row moment
+    * aggregate, fixed-order float expressions, round 6; degenerate
+    * splits emit typed nulls (the ab_test guard). */
+  def abRatioDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).otherwise(0L))
+        .as("x"),
+        count(lit(1)).as("y"))
+      .withColumn("variant",
+        pmod(Similarity.md5Mod(concat(lit("ab-"), col("user_id"))), lit(2L)))
+    def m(v: Int, c: String) = sum(when(col("variant") === v, col(c)).otherwise(0L))
+    def mq(v: Int, a: String, b: String) =
+      sum(when(col("variant") === v, col(a).cast("decimal(38,0)") * col(b))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    val mo = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      m(0, "x").as("sx_a"), m(0, "y").as("sy_a"),
+      mq(0, "x", "x").as("qx_a"), mq(0, "y", "y").as("qy_a"), mq(0, "x", "y").as("qxy_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      m(1, "x").as("sx_b"), m(1, "y").as("sy_b"),
+      mq(1, "x", "x").as("qx_b"), mq(1, "y", "y").as("qy_b"), mq(1, "x", "y").as("qxy_b"))
+    // per-variant: R, Var(R) — every (co)variance numerator is the
+    // exact decimal n·Σab − Σa·Σb, one cast to double, fixed order
+    def side(s: String) = {
+      val n = col(s"n_$s").cast("double")
+      val r = col(s"sx_$s").cast("double") / col(s"sy_$s").cast("double")
+      def cv(q: String, a: String, b: String) =
+        (col(s"n_$s").cast("decimal(38,0)") * col(s"${q}_$s") -
+          col(s"${a}_$s").cast("decimal(38,0)") * col(s"${b}_$s")).cast("double") /
+          (n * (n - 1.0))
+      val ybar = col(s"sy_$s").cast("double") / n
+      val varR = (cv("qx", "sx", "sx") - lit(2.0) * r * cv("qxy", "sx", "sy") +
+        r * r * cv("qy", "sy", "sy")) / (n * ybar * ybar)
+      (r, varR)
+    }
+    val (ra, va) = side("a")
+    val (rb, vb) = side("b")
+    val ok = col("n_a") > 1 && col("n_b") > 1 && col("sy_a") > 0 && col("sy_b") > 0
+    val z = (rb - ra) / sqrt(va + vb)
+    mo.select(col("n_a"), col("n_b"),
+      when(col("sy_a") > 0, round(ra / 100.0, 6)).as("ratio_a"),
+      when(col("sy_b") > 0, round(rb / 100.0, 6)).as("ratio_b"),
+      when(ok, round((rb - ra) / 100.0, 6)).as("diff"),
+      when(ok && (va + vb) > 0.0, round(sqrt(va + vb) / 100.0, 6)).as("se"),
+      when(ok && (va + vb) > 0.0, round(z, 6)).as("z_score"),
+      when(ok && (va + vb) > 0.0, abs(z) > 1.96)
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
 }

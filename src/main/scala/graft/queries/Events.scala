@@ -366,6 +366,54 @@ object Events {
         round(col("mean_cnt"), 6).as("mean_cnt"), col("z"))
   }
 
+  /** SEASONALITY STRENGTH per event type (the STL F_s statistic over
+    * the hour-of-day component): 1 − Var(residual)/Var(total), where
+    * the seasonal component is the (type, hod) cell mean — the ONE
+    * number that says whether events_residual_anomaly's
+    * seasonal-baseline machinery is buying anything on this stream
+    * (F_s ≈ 0 → the global-z alarm was fine; F_s near 1 → hour-of-day
+    * explains most variance).
+    *
+    * Exactness: Σ(c − cell_mean)² decomposes to Σc² − Σ_cells(sc²/n) —
+    * the only non-integer terms are the 24 per-cell one-divide
+    * rationals, summed through the sorted-fold rule; Var(total)'s
+    * correction (Σc)²/N is one more divide. Fixed-order terminal
+    * expression, round 6, zero-variance typed null. Scale shape: one
+    * hourly reduce, a 24×|types| cell agg, a |types|-row output. */
+  def seasonalityStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("hr_us", expr("(us div 3600000000) * 3600000000"))
+      .groupBy(col("event_type"), col("hr_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hod", expr("(hr_us % 86400000000) div 3600000000"))
+    val cells = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_cell"), sum(col("cnt")).as("sc"))
+      .select(col("event_type"),
+        (col("sc").cast("decimal(38,0)") * col("sc")).cast("double")
+          ./(col("n_cell").cast("double")).as("cell_term"))
+      .groupBy(col("event_type"))
+      .agg(aggregate(sort_array(collect_list(col("cell_term"))), lit(0.0),
+        (a, x) => a + x).as("b_seasonal"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("sc_tot"),
+        sum(col("cnt") * col("cnt")).as("a_sq"))
+    tot.join(cells, Seq("event_type"))
+      .withColumn("c_corr",
+        (col("sc_tot").cast("decimal(38,0)") * col("sc_tot")).cast("double")
+          / col("n_hours").cast("double"))
+      .withColumn("var_total",
+        (col("a_sq").cast("double") - col("c_corr")) / col("n_hours").cast("double"))
+      .withColumn("var_resid",
+        (col("a_sq").cast("double") - col("b_seasonal")) / col("n_hours").cast("double"))
+      .select(col("event_type"), col("n_hours"),
+        round(col("var_total"), 6).as("var_total"),
+        round(col("var_resid"), 6).as("var_resid"),
+        when(col("a_sq").cast("double") === col("c_corr"), lit(null).cast("double"))
+          .otherwise(round(greatest(lit(0.0),
+            lit(1.0) - col("var_resid") / col("var_total")), 6)).as("strength"))
+  }
+
   /** Session-gap sweep grid (minutes) — extends to day-scale gaps
     * because this corpus's users emit ~daily events (probed: the
     * 5..60-minute band moved session counts only 9919 → 9147 at

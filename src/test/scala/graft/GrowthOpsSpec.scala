@@ -1074,6 +1074,69 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(got.exists(x => !topk((x._1, x._3))), "negatives identical to top-k")
   }
 
+  test("seasonality_strength replays the variance decomposition") {
+    val hours = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L * 3600000000L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = Events.seasonalityStrength(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = hours.toSeq.groupBy(_._1._1)
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (t, hs) =>
+      val cs = hs.map(_._2).map(_.toDouble)
+      val n = cs.length
+      val mean = cs.sum / n
+      val varTotal = cs.map(c => (c - mean) * (c - mean)).sum / n
+      val cellMeans = hs.groupBy(_._1._2 % 86400000000L / 3600000000L)
+        .view.mapValues(g => g.map(_._2.toDouble).sum / g.size).toMap
+      val varResid = hs.map { case ((_, hr), c) =>
+        val m = cellMeans(hr % 86400000000L / 3600000000L)
+        (c - m) * (c - m)
+      }.sum / n
+      val r = rows(t)
+      assert(r.getLong(1) == n.toLong, s"$t hours")
+      assert(math.abs(r.getDouble(2) - varTotal) < 1e-3, s"$t var_total")
+      assert(math.abs(r.getDouble(3) - varResid) < 1e-3, s"$t var_resid")
+      val exp = math.max(0.0, 1.0 - varResid / varTotal)
+      assert(math.abs(r.getDouble(4) - exp) < 1e-4, s"$t strength")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("ab_ratio_delta replays the delta-method variance from per-user sums") {
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (u, es) =>
+        val x = es.collect { case (_, "purchase", c) => c }.sum
+        (graft.expressions.CrossHash.md5Mod(s"ab-$u") % 2, x.toDouble, es.size.toDouble)
+      }.toSeq
+    def side(v: Long): (Long, Double, Double) = {
+      val g = users.filter(_._1 == v)
+      val n = g.size.toDouble
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val r = sx / sy
+      val mx = sx / n; val my = sy / n
+      val vx = g.map(t => (t._2 - mx) * (t._2 - mx)).sum / (n - 1)
+      val vy = g.map(t => (t._3 - my) * (t._3 - my)).sum / (n - 1)
+      val vxy = g.map(t => (t._2 - mx) * (t._3 - my)).sum / (n - 1)
+      val varR = (vx - 2 * r * vxy + r * r * vy) / (n * my * my)
+      (g.size.toLong, r, varR)
+    }
+    val (na, ra, va) = side(0)
+    val (nb, rb, vb) = side(1)
+    val row = Experiment.abRatioDelta(spark, sf).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(math.abs(row.getDouble(2) - ra / 100.0) < 1e-6)
+    assert(math.abs(row.getDouble(3) - rb / 100.0) < 1e-6)
+    val z = (rb - ra) / math.sqrt(va + vb)
+    assert(math.abs(row.getDouble(6) - z) < 1e-4, "delta-method z")
+    // null md5 split: the honest answer is no significance
+    assert(!row.getBoolean(7), "null split flagged significant")
+  }
+
   test("session_gap_tune equals a literal re-sessionization at every gap") {
     val byUser = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id")).collect()
