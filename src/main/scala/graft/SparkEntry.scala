@@ -88,6 +88,8 @@ object SparkEntry {
     "session_gap_tune" -> (Events.sessionGapTune _),
     "seasonality_strength" -> (Events.seasonalityStrength _),
     "ab_ratio_delta" -> (Experiment.abRatioDelta _),
+    "events_twa" -> (Events.eventsTwa _),
+    "blocking_eval" -> (EntityMatch.blockingEval _),
     "sample_quantile_eval" -> (Stats.sampleQuantileEval _),
     "filter_sweep" -> (Sampling.filterSweep _),
     "woe_binning" -> (Learn.woeBinning _),
@@ -4266,6 +4268,69 @@ object SparkEntry {
         |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) END AS novelty
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "events_twa" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+        |e2 AS (SELECT *, us // 86400000000 AS day FROM ev),
+        |s AS (SELECT event_type, day, cents,
+        |    lead(us) OVER (PARTITION BY event_type, day ORDER BY us, event_id) - us AS dt
+        |  FROM e2),
+        |seg AS (SELECT * FROM s WHERE dt IS NOT NULL),
+        |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(dt) AS BIGINT) AS span_us,
+        |    sum(CAST(cents AS HUGEINT) * dt) AS wsum
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, n_segments, span_us,
+        |  CASE WHEN span_us > 0
+        |    THEN round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0, 6)
+        |  END AS twa_value
+        |FROM g ORDER BY event_type, day""".stripMargin,
+    "blocking_eval" ->
+      s"""WITH gold0 AS (
+         |  SELECT c_custkey, s_suppkey,
+         |    row_number() OVER (PARTITION BY c_custkey
+         |      ORDER BY levenshtein(c_name, s_name), s_suppkey) AS rk
+         |  FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+         |gold AS (SELECT c_custkey, s_suppkey AS match_id FROM gold0 WHERE rk = 1),
+         |gk AS (SELECT g.c_custkey, g.match_id,
+         |    CAST(c.c_nationkey AS BIGINT) AS cn, CAST(s.s_nationkey AS BIGINT) AS sn
+         |  FROM gold g JOIN customer c USING (c_custkey)
+         |  JOIN supplier s ON s.s_suppkey = g.match_id),
+         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+         |fc AS (SELECT CAST((SELECT count(*) FROM customer) AS BIGINT)
+         |  * CAST((SELECT count(*) FROM supplier) AS BIGINT) AS n_cross),
+         |nat AS (SELECT 'nation_block' AS strategy,
+         |  (SELECT CAST(sum(c.c * s.s) AS BIGINT) FROM
+         |    (SELECT CAST(c_nationkey AS BIGINT) AS k, count(*) AS c FROM customer GROUP BY 1) c
+         |    JOIN (SELECT CAST(s_nationkey AS BIGINT) AS k, count(*) AS s FROM supplier GROUP BY 1) s
+         |    USING (k)) AS n_candidates,
+         |  (SELECT CAST(sum(CASE WHEN cn = sn THEN 1 ELSE 0 END) AS BIGINT) FROM gk) AS n_hits),
+         |md AS (SELECT 'mod10_block' AS strategy,
+         |  (SELECT CAST(sum(c.c * s.s) AS BIGINT) FROM
+         |    (SELECT c_custkey % 10 AS k, count(*) AS c FROM customer GROUP BY 1) c
+         |    JOIN (SELECT s_suppkey % 10 AS k, count(*) AS s FROM supplier GROUP BY 1) s
+         |    USING (k)) AS n_candidates,
+         |  (SELECT CAST(sum(CASE WHEN c_custkey % 10 = match_id % 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    FROM gk) AS n_hits),
+         |recs AS (SELECT c_custkey AS rec_id, lower(c_name) AS key FROM customer
+         |  UNION ALL
+         |  SELECT s_suppkey + 1000000000 AS rec_id, lower(s_name) AS key FROM supplier),
+         |r AS (SELECT rec_id, key,
+         |    row_number() OVER (ORDER BY key, rec_id) - 1 AS rank FROM recs),
+         |snp AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b
+         |  FROM r a JOIN r b
+         |  ON b.rank > a.rank AND b.rank <= a.rank + ${operators.EntityMatch.SnWindow}),
+         |snc AS (SELECT CASE WHEN id_a < 1000000000 THEN id_a ELSE id_b END AS c_custkey,
+         |    (CASE WHEN id_a < 1000000000 THEN id_b ELSE id_a END) - 1000000000 AS match_id
+         |  FROM snp WHERE (id_a < 1000000000) <> (id_b < 1000000000)),
+         |snr AS (SELECT 'sorted_neighborhood' AS strategy,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM snc) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM snc JOIN gold USING (c_custkey, match_id)) AS n_hits),
+         |allr AS (SELECT * FROM nat UNION ALL SELECT * FROM md UNION ALL SELECT * FROM snr)
+         |SELECT strategy, n_candidates, n_gold, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / CAST(n_gold AS DOUBLE), 6) AS recall,
+         |  round(1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_cross AS DOUBLE), 6) AS reduction
+         |FROM allr CROSS JOIN ng CROSS JOIN fc ORDER BY strategy""".stripMargin,
     "seasonality_strength" ->
       """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |hourly AS (SELECT event_type, (us // 3600000000) * 3600000000 AS hr_us,

@@ -373,7 +373,9 @@ object EntityMatch {
     * needs a uniform numeric draw). Pairs then join on a rank bucket
     * (each rank pairs with ≤ SnWindow successors), scored by
     * levenshtein. */
-  def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The globally-ranked (key, rec_id) table the sorted-neighborhood
+    * window probes — shared by sortedBlocking and blockingEval. */
+  private def snRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val recs = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("rec_id"), lower(col("c_name")).as("key"))
       .unionByName(Tables.supplier(spark, sfDir)
@@ -388,19 +390,94 @@ object EntityMatch {
       .withColumn("poff", coalesce(sum(col("pn")).over(
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("poff"))
-    val ranked = local.join(offsets, Seq("pid"))
+    local.join(offsets, Seq("pid"))
       .select(col("rec_id"), col("key"), (col("poff") + col("lrank") - 1L).as("rank"))
-    // each record probes its ≤ SnWindow successors by EXACT rank — an
-    // equi-join on the probed rank (a theta range join would plan as a
-    // nested loop); fan-out is the constant window width
+  }
+
+  /** The sorted-neighborhood candidate pairs (pre-verification): each
+    * rank probes its ≤ SnWindow successors by exact rank. */
+  private def snPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = snRanked(spark, sfDir)
     val probes = ranked.select(col("rec_id").as("id_a"), col("key").as("key_a"),
         col("rank").as("rank_a"),
         explode(expr(s"sequence(rank + 1, rank + $SnWindow)")).as("rank_b"))
     probes.join(ranked.select(col("rec_id").as("id_b"), col("key").as("key_b"),
-          col("rank").as("rank_b")), Seq("rank_b"))
+        col("rank").as("rank_b")), Seq("rank_b"))
+  }
+
+  def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame =
+    snPairs(spark, sfDir)
       .select(col("id_a"), col("id_b"),
         (col("rank_b") - col("rank_a")).as("rank_dist"),
         levenshtein(col("key_a"), col("key_b")).cast("long").as("lev"))
       .filter(col("lev") <= 4)
+
+  /** BLOCKING-STRATEGY EVAL: candidate volume, recall against the
+    * gold best-match pairs, and reduction ratio vs the full cross
+    * product, for three blocking strategies side by side — the ER
+    * engineering decision (match_eval grades the MATCHER; this grades
+    * the BLOCKER, where the recall/cost trade is actually made):
+    *
+    *  - `nation_block` — the production equi-block (recall 1.0 by
+    *    construction: the gold derives inside it; its row calibrates
+    *    the others' cost),
+    *  - `mod10_block` — a hash-key block (cheap, recall ≈ 1/10: keys
+    *    are independent — the control),
+    *  - `sorted_neighborhood` — snPairs' rank-window candidates
+    *    restricted to cross-type pairs.
+    *
+    * No strategy MATERIALIZES its candidate set except SN (already
+    * window-bounded): equi-block volumes are Σ per-key count
+    * products — count tables joined, never pairs. Exact longs, two
+    * terminal divides per row. */
+  def blockingEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val gold = bestPacked(spark, sfDir).select(col("c_custkey"), col("match_id"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("cn"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("sn"))
+    val goldKeys = gold
+      .join(cust, Seq("c_custkey"))
+      .join(supp.withColumnRenamed("s_suppkey", "match_id"), Seq("match_id"))
+    val nGold = gold.agg(count(lit(1)).as("n_gold"))
+    val fullCross = cust.agg(count(lit(1)).as("nc"))
+      .crossJoin(supp.agg(count(lit(1)).as("ns")))
+      .select((col("nc") * col("ns")).as("n_cross"))
+
+    def equiBlock(name: String, ck: Column, sk: Column,
+        hitCond: Column): DataFrame = {
+      val cand = cust.groupBy(ck.as("k")).agg(count(lit(1)).as("c"))
+        .join(supp.groupBy(sk.as("k")).agg(count(lit(1)).as("s")), Seq("k"))
+        .agg(sum(col("c") * col("s")).as("n_candidates"))
+      val hits = goldKeys.agg(sum(hitCond.cast("long")).as("n_hits"))
+      cand.crossJoin(hits).select(lit(name).as("strategy"),
+        col("n_candidates"), col("n_hits"))
+    }
+    val nation = equiBlock("nation_block", col("cn"), col("sn"),
+      col("cn") === col("sn"))
+    val mod10 = equiBlock("mod10_block", pmod(col("c_custkey"), lit(10L)),
+      pmod(col("s_suppkey"), lit(10L)),
+      pmod(col("c_custkey"), lit(10L)) === pmod(col("match_id"), lit(10L)))
+    val snCand = snPairs(spark, sfDir)
+      .select(when(col("id_a") < 1000000000L, col("id_a"))
+          .otherwise(col("id_b")).as("c_custkey"),
+        when(col("id_a") < 1000000000L, col("id_b"))
+          .otherwise(col("id_a")).as("sid"),
+        ((col("id_a") < 1000000000L) =!= (col("id_b") < 1000000000L)).as("cross"))
+      .filter(col("cross"))
+      .select(col("c_custkey"), (col("sid") - 1000000000L).as("match_id"))
+    val snRow = snCand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(snCand.join(gold, Seq("c_custkey", "match_id"))
+        .agg(count(lit(1)).as("n_hits")))
+      .select(lit("sorted_neighborhood").as("strategy"),
+        col("n_candidates"), col("n_hits"))
+    nation.unionByName(mod10).unionByName(snRow)
+      .crossJoin(broadcast(nGold))
+      .crossJoin(broadcast(fullCross))
+      .select(col("strategy"), col("n_candidates"), col("n_gold"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_gold").cast("double"), 6)
+          .as("recall"),
+        round(lit(1.0) - col("n_candidates").cast("double")
+          / col("n_cross").cast("double"), 6).as("reduction"))
   }
 }

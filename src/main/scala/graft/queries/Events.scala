@@ -414,6 +414,43 @@ object Events {
             lit(1.0) - col("var_resid") / col("var_total")), 6)).as("strength"))
   }
 
+  /** TIME-WEIGHTED AVERAGE value per (type, day) — the
+    * irregular-sampling aggregation a plain AVG silently gets wrong:
+    * each event's value HOLDS until the next event of that type in
+    * the same day, so sparse readings weigh by their duration
+    * (TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ over consecutive-event segments; the
+    * trailing observation has no duration and drops; days with one
+    * event emit no row — there is no honest average of zero
+    * segments). The telemetry/metering aggregate (sensor gauges,
+    * account balances, price feeds).
+    *
+    * Exactness: Δt is exact µs, Σ v·Δt rides decimal(38,0), ONE
+    * terminal divide. One windowed lead inside hash(type, day), then
+    * a map-side-combined reduce. A hot (type, day) partition at
+    * 100 TB splits by sub-windows whose boundary segments stitch in a
+    * second pass — the library form; the gate form is the plain
+    * window. */
+  def eventsTwa(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    ev.withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - col("us"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt")).as("span_us"),
+        sum(col("cents").cast("decimal(38,0)") * col("dt")).as("wsum"))
+      .select(col("event_type"), col("day"), col("n_segments"), col("span_us"),
+        when(col("span_us") > 0,
+          round(col("wsum").cast("double") / col("span_us").cast("double") / 100.0, 6))
+          .as("twa_value"))
+  }
+
   /** Session-gap sweep grid (minutes) — extends to day-scale gaps
     * because this corpus's users emit ~daily events (probed: the
     * 5..60-minute band moved session counts only 9919 → 9147 at

@@ -1074,6 +1074,73 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(got.exists(x => !topk((x._1, x._3))), "negatives identical to top-k")
   }
 
+  test("events_twa replays duration-weighted segment averages") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(e => (e._1, e._3 / 86400000000L)).flatMap { case (k, es) =>
+      val s = es.sortBy(e => (e._3, e._2))
+      val segs = s.zip(s.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      if (segs.isEmpty) None
+      else {
+        val span = segs.map(_._2).sum
+        val wsum = segs.map(t => BigInt(t._1) * t._2).sum
+        Some(k -> (segs.size.toLong, span,
+          if (span > 0) Some(wsum.toDouble / span / 100.0) else None))
+      }
+    }
+    val got = Events.eventsTwa(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (n, span, twa)) =>
+      val r = got(k)
+      assert(r.getLong(2) == n && r.getLong(3) == span, s"$k segments/span")
+      twa.foreach(t => assert(math.abs(r.getDouble(4) - t) < 1e-5, s"$k twa"))
+    }
+  }
+
+  test("blocking_eval counts replay and the strategy table is instructive") {
+    import graft.operators.EntityMatch
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey").cast("long"), lower(col("c_name")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long"), lower(col("s_name")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val gold = EntityMatch.entityMatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val goldNation = cust.map(c => c._1 -> c._2).toMap
+    val suppNation = supp.map(s => s._1 -> s._2).toMap
+    val rows = EntityMatch.blockingEval(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("nation_block", "mod10_block", "sorted_neighborhood"))
+    // nation block: candidate volume = sum of per-nation count products,
+    // recall 1.0 by construction
+    val natCand = cust.groupBy(_._2).map { case (n, cs) =>
+      cs.size.toLong * supp.count(_._2 == n) }.sum
+    assert(rows("nation_block").getLong(1) == natCand)
+    assert(rows("nation_block").getDouble(4) == 1.0)
+    // mod10: replay both counts
+    val modCand = cust.groupBy(_._1 % 10).map { case (k, cs) =>
+      cs.size.toLong * supp.count(_._1 % 10 == k) }.sum
+    val modHits = gold.count { case (c, s) => c % 10 == s % 10 }
+    assert(rows("mod10_block").getLong(1) == modCand)
+    assert(rows("mod10_block").getLong(3) == modHits.toLong)
+    // sorted neighborhood: replay the rank-window cross-type candidates
+    val ranked = (cust.map(c => (c._1, c._3)) ++ supp.map(s => (s._1 + 1000000000L, s._3)))
+      .sortBy(r => (r._2, r._1)).map(_._1)
+    val snCand = ranked.zipWithIndex.flatMap { case (a, i) =>
+      (i + 1 to math.min(i + EntityMatch.SnWindow, ranked.length - 1)).map(j => (a, ranked(j)))
+    }.filter { case (a, b) => (a < 1000000000L) != (b < 1000000000L) }
+    assert(rows("sorted_neighborhood").getLong(1) == snCand.length.toLong)
+    // every n_gold agrees; recall/reduction are consistent ratios
+    rows.values.foreach { r =>
+      assert(r.getLong(2) == gold.size.toLong)
+      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble / r.getLong(2)) < 1e-6)
+    }
+  }
+
   test("seasonality_strength replays the variance decomposition") {
     val hours = graft.sources.Tables.events(spark, sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
