@@ -3671,11 +3671,11 @@ object SparkEntry {
         |    sum(n_chars) OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents)
-        |SELECT source, (cum - n_chars) // 16384 AS bin,
+        |SELECT source, CAST((cum - n_chars) // 16384 AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  max(n_chars) AS largest_file, min(n_chars) AS smallest_file,
-        |  (sum(n_chars) * 1000000) // 16384 AS fill_ppm
+        |  CAST((sum(n_chars) * 1000000) // 16384 AS BIGINT) AS fill_ppm
         |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "events_ltv" ->
       """WITH ev AS (SELECT user_id,

@@ -48,6 +48,24 @@ def canon(rows, cols):
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
+        # Type audit: the driver's hasher goes through pandas, where a
+        # DuckDB HUGEINT / DECIMAL column converts to float64 and renders
+        # "485168.0" where Spark's BIGINT renders "485168" — values that
+        # compare equal through fetchall() hash-mismatch on the driver
+        # (this was compact_plan's red row in rounds 7-8). Flag any
+        # oracle DECIMAL column whose Spark twin is an integer type.
+        osch = con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").fetch_arrow_table().schema
+        ssch = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet' LIMIT 0").fetch_arrow_table().schema
+        stypes = {f.name: str(f.type) for f in ssch}
+        bad_types = [f.name for f in osch
+                     if str(f.type).startswith('decimal')
+                     and stypes.get(f.name, '').startswith('int')]
+        if bad_types:
+            print(f"FAIL {name}: oracle columns {bad_types} are HUGEINT/DECIMAL vs "
+                  f"integer on the Spark side (pandas renders them as floats — "
+                  f"CAST to BIGINT in the SQL)")
+            n_fail += 1
+            continue
         got_rel = con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
         got_cols = [d[0] for d in got_rel.description]
         got = got_rel.fetchall()
