@@ -118,6 +118,24 @@ object Bench {
         s""""passes":$nPasses,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""queries":${qjson(results)},$passJson,"sf_dir":"$sfDir"}""" + "\n")
 
+    // BENCH_HISTORY.jsonl: one append per run with the COMPLETE per-query
+    // map (full precision), so per-query regressions across rounds are
+    // diffable from a single committed file. The stdout artifact cannot
+    // carry all of them: the driver keeps a 2000-char tail and 225 keys
+    // need ≥3.9k chars even at zero decimals, so the stdout map sheds
+    // its fastest entries ("queries_omitted") while this file never does.
+    val seq = {
+      val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p).size + 1 else 1
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      s"""{"seq":$seq,"total":$total,"cpus":$cpus,"passes":$nPasses,""" +
+        s""""loadavg_before":"$loadBefore","sf_dir":"$sfDir",""" +
+        s""""queries":${qjson(results)}}""" + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
     // stdout line: 2-decimal per-query timings keep the whole line
     // inside the driver's 2000-char tail window (full-precision record
     // is in BENCH_LOCAL.json regardless)
@@ -141,7 +159,8 @@ object Bench {
         s"\"" + k + "\":" + (if (v < 0) "-1" else fmt(s"%.${prec}f", v))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt("%.3f", total)},"unit":"sec",""" +
-        s""""queries":$qs,"queries_omitted":${results.length - kept.length},"sf":"$sfShort"}"""
+        s""""queries":$qs,"queries_omitted":${results.length - kept.length},""" +
+        s""""queries_full":"BENCH_HISTORY.jsonl","sf":"$sfShort"}"""
     }
     val line = (3 to 1 by -1).map(lineAt).find(_.length <= 1950).getOrElse(lineAt(1))
     val guarded =

@@ -104,6 +104,8 @@ object SparkEntry {
     "events_wow" -> (Events.eventsWow _),
     // A. reference-pipeline operators
     "tei_extract" -> (TeiXml.teiExtract _),
+    "tei_tojson" -> (TeiXml.teiToJson _),
+    "stage_resume" -> (Restart.stageResume _),
     "name_normalize" -> (ReferenceOps.nameNormalize _),
     "abbrev_expand" -> (ReferenceOps.abbrevExpand _),
     "name_classify" -> (ReferenceOps.nameClassify _),
@@ -643,6 +645,26 @@ object SparkEntry {
       """SELECT doc_id, 'CAT_' || CAST(doc_id AS VARCHAR) AS xml_id, source AS name,
         |  substr(text, 1, 40) AS trait, 'author' AS name_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tei_tojson" ->
+      """SELECT doc_id,
+        |  '{"head":{"vars":["nom","occ"]},"results":{"bindings":[{"nom":{"type":"literal","value":"'
+        |  || source || '"}'
+        |  || CASE WHEN doc_id % 4 = 0 THEN ''
+        |       ELSE ',"occ":{"type":"uri","value":"http://example.org/Q' || CAST(doc_id % 100 AS VARCHAR) || '"}' END
+        |  || '},{"nom":{"type":"literal","value":"doc ' || CAST(doc_id AS VARCHAR)
+        |  || '"},"occ":{"type":"uri","value":"http://example.org/Q' || CAST(doc_id % 100 AS VARCHAR)
+        |  || '"}}]}}' AS json
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stage_resume" ->
+      """WITH scored AS (
+        |  SELECT c_custkey, c_name, s_suppkey, s_name,
+        |    levenshtein(c_name, s_name) AS distance,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY levenshtein(c_name, s_name), s_suppkey) AS rk
+        |  FROM customer JOIN supplier ON c_nationkey = s_nationkey)
+        |SELECT c_custkey, c_name, s_suppkey AS match_id, s_name AS match_name, distance,
+        |  c_custkey % 5 >= 3 AS resumed
+        |FROM scored WHERE rk = 1 ORDER BY c_custkey""".stripMargin,
     "name_normalize" ->
       """WITH t AS (SELECT c_custkey,
         |  c_name || ' (nr ' || CAST(c_custkey AS VARCHAR) || ')' AS cat_name FROM customer),

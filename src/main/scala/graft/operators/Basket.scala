@@ -35,7 +35,16 @@ object Basket {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .repartition(n, col("ok"))
       .dropDuplicates("ok", "pk")
-    val pairCounts = items.as("a").join(items.as("b"),
+    // SHUFFLE_HASH pin (r9→r10): the dedup'd fact side sits right at
+    // the 10 MB AQE broadcast threshold at sf0.1, so the self-join
+    // flipped between BroadcastHashJoin and the reused-exchange plan
+    // run-to-run (the r9 bench's 7.4s-vs-3.4s anomaly class). Measured
+    // identical warm cost on both paths (~1.5-2.5s), and at scale the
+    // fact side must never broadcast — pin the partitioned hash join so
+    // the plan is the same one the 100 TB run would execute. Both sides
+    // still come from the ONE hash(ok) exchange (ReusedExchange).
+    val pairCounts = items.as("a").hint("shuffle_hash")
+      .join(items.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))

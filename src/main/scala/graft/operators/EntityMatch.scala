@@ -93,6 +93,30 @@ object EntityMatch {
         col("match_name"), col("distance"))
   }
 
+  /** The entity stage over an EXPLICIT item subset — the resume path's
+    * unit of work (see Restart.stageResume): the same blocked
+    * levenshtein argmin as entityMatch, but over whatever slice of the
+    * item table the caller hands in. Matching is per-customer
+    * independent, so match(subset) ≡ full-run restricted to the subset
+    * — the property the stage_resume gate asserts. */
+  def entityMatchFor(spark: SparkSession, sfDir: String, cust: DataFrame): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val best = cust
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .transform(Partitioning.spread)
+      .join(supp, col("c_nationkey") === col("s_nationkey"))
+      .withColumn("distance", levenshtein(col("c_name"), col("s_name")))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(min(packed).as("p"))
+      .withColumn("match_id", unpackKey(col("p")))
+      .withColumn("distance", shiftright(col("p"), 48).cast("long"))
+    best.join(supp.select(col("s_suppkey").as("match_id"),
+        col("s_name").as("match_name")), Seq("match_id"))
+      .select(col("c_custkey"), col("c_name"), col("match_id"),
+        col("match_name"), col("distance"))
+  }
+
   /** Certitude scoring: count matched "parameters" exactly like the
     * reference counts query parameters present in a successful search
     * (itemtoid.py:91-113), then threshold. */

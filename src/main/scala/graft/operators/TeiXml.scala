@@ -18,6 +18,68 @@ import graft.sources.Tables
   */
 object TeiXml {
 
+  /** XML → nested-JSON conversion — the Spark form of the reference's
+    * `Converters.xmltojson` (script/utils/classes.py:121), which turns a
+    * SPARQL result document into the sparql-like JSON
+    * `{"head":{"vars":[...]},"results":{"bindings":[{var:{type,value}},…]}}`
+    * that `result_tojson` consumes downstream.
+    *
+    * Spark-first shape: the XML column parses ONCE per row with
+    * `from_xml` (distributed, no driver DOM), the bindings reshape with
+    * codegen'd collection expressions (`filter`/`transform`), and the
+    * nested document serializes with `to_json` — whose omit-null-fields
+    * behavior reproduces the reference's IndexError→absent-key path for
+    * a missing binding exactly. The XML here is synthesized
+    * deterministically from the documents table (the harness ships
+    * parquet, not XML responses); a real ingest would map the same parse
+    * over `spark.read.text` payloads. */
+  def teiToJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // two <result> rows per document; the first drops its `occ` binding
+    // every 4th doc — the reference's partial-result case
+    val withXml = docs.select(
+      col("doc_id"),
+      format_string(
+        "<sparql><head><variable name=\"nom\"/><variable name=\"occ\"/></head><results>" +
+          "<result><binding name=\"nom\"><literal>%s</literal></binding>%s</result>" +
+          "<result><binding name=\"nom\"><literal>doc %d</literal></binding>" +
+          "<binding name=\"occ\"><uri>http://example.org/Q%d</uri></binding></result>" +
+          "</results></sparql>",
+        col("source"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(""))
+          .otherwise(format_string(
+            "<binding name=\"occ\"><uri>http://example.org/Q%d</uri></binding>",
+            pmod(col("doc_id"), lit(100)))),
+        col("doc_id"), pmod(col("doc_id"), lit(100))).as("xml"))
+    val parsed = withXml.select(col("doc_id"), from_xml(col("xml"), lit(
+      "struct<head:struct<variable:array<struct<_name:string>>>," +
+        "results:struct<result:array<struct<" +
+        "binding:array<struct<_name:string,literal:string,uri:string>>>>>>"),
+      java.util.Map.of("ignoreSurroundingSpaces", "false")).as("doc"))
+    // one binding object per (result, var): {type: literal|uri, value: text};
+    // a var with no binding in a result stays NULL and to_json omits it —
+    // the reference's IndexError→absent-key behavior
+    parsed.select(
+      col("doc_id"),
+      to_json(struct(
+        struct(expr("transform(doc.head.variable, v -> v._name)").as("vars")).as("head"),
+        struct(expr(
+          """transform(doc.results.result, r -> named_struct(
+            |  'nom', CASE WHEN size(filter(r.binding, b -> b._name = 'nom')) = 0 THEN NULL
+            |    ELSE named_struct(
+            |      'type', CASE WHEN element_at(filter(r.binding, b -> b._name = 'nom'), 1).literal IS NOT NULL
+            |                   THEN 'literal' ELSE 'uri' END,
+            |      'value', coalesce(element_at(filter(r.binding, b -> b._name = 'nom'), 1).literal,
+            |                        element_at(filter(r.binding, b -> b._name = 'nom'), 1).uri)) END,
+            |  'occ', CASE WHEN size(filter(r.binding, b -> b._name = 'occ')) = 0 THEN NULL
+            |    ELSE named_struct(
+            |      'type', CASE WHEN element_at(filter(r.binding, b -> b._name = 'occ'), 1).literal IS NOT NULL
+            |                   THEN 'literal' ELSE 'uri' END,
+            |      'value', coalesce(element_at(filter(r.binding, b -> b._name = 'occ'), 1).literal,
+            |                        element_at(filter(r.binding, b -> b._name = 'occ'), 1).uri)) END))"""
+            .stripMargin).as("bindings")).as("results"))).as("json"))
+  }
+
   /** Build a TEI-ish <item> per document, then xpath the fields out. */
   def teiExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

@@ -18,6 +18,38 @@ class ReferenceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tei_tojson converts SPARQL XML to the reference's nested JSON shape") {
+    val rows = TeiXml.teiToJson(spark, sf).limit(8).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val js = r.getAs[String]("json")
+      assert(js.startsWith("""{"head":{"vars":["nom","occ"]},"results":{"bindings":["""))
+      // second result always carries both bindings
+      assert(js.contains(s""""value":"doc $id""""))
+      assert(js.contains(""""type":"uri""""))
+      // absent binding = absent key (classes.py:121's IndexError -> pass);
+      // examine only the bindings segment — head.vars always names occ
+      val firstBinding = js.split(""""bindings":\[""")(1).split("""\},\{"nom"""")(0)
+      if (id % 4 == 0) assert(!firstBinding.contains(""""occ""""),
+        s"doc $id first result must omit occ: $firstBinding")
+      else assert(firstBinding.contains(""""occ":{"type":"uri""""))
+    }
+  }
+
+  test("stage_resume: resumed ∪ done ≡ straight-through run") {
+    val resumedRun = Restart.stageResume(spark, sf)
+    val fullRun = EntityMatch.entityMatchFor(spark, sf,
+      graft.sources.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+    assert(resumedRun.drop("resumed").exceptAll(fullRun).isEmpty
+      && fullRun.exceptAll(resumedRun.drop("resumed")).isEmpty,
+      "resume must reproduce the full run exactly")
+    // the done-log split is what the gate claims: key mod 5
+    resumedRun.select(col("c_custkey"), col("resumed")).collect().foreach { r =>
+      assert(r.getBoolean(1) == (r.getLong(0) % 5 >= 3))
+    }
+  }
+
   test("name_normalize lowercases and strips punctuation") {
     val r = ReferenceOps.nameNormalize(spark, sf)
       .select(col("name_norm")).limit(20).collect()
