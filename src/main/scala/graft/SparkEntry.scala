@@ -173,6 +173,8 @@ object SparkEntry {
     "shard_assign" -> (Composition.shardAssign _),
     "epoch_mix" -> (Composition.epochMix _),
     "train_order" -> (Composition.trainOrder _),
+    "order_autocorr" -> (Composition.orderAutocorr _),
+    "dedup_url" -> (Web.dedupUrl _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -1942,6 +1944,81 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id, copy) - 1 AS BIGINT) AS pos
          |FROM i ORDER BY doc_id, copy""".stripMargin
     },
+    "order_autocorr" -> {
+      val tCase = "CASE source " + graft.operators.Composition.epochTenths
+        .map { case (s, t) => s"WHEN '${sq(s)}' THEN $t" }.mkString(" ") + " END"
+      val P = "2305843009213693951"
+      val lags = graft.operators.Composition.AutocorrLags.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, $tCase AS tenths FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    tenths // 10 + CASE WHEN md5_number_lower('epoch-' || doc_id) % $P
+         |      < ($P // 10) * (tenths % 10) THEN 1 ELSE 0 END AS n_copies FROM t),
+         |i AS (SELECT doc_id, source, CAST(cp AS BIGINT) AS copy,
+         |    CAST(md5_number_lower('tshard-' || doc_id || '#' || cp) % $P
+         |      % ${graft.operators.Composition.NumShards} AS BIGINT) AS shard,
+         |    md5_number_lower('tord-' || doc_id || '#' || cp) % $P AS ord
+         |  FROM c, LATERAL (SELECT unnest(range(n_copies)) AS cp) r
+         |  WHERE n_copies >= 1),
+         |ord AS (SELECT source, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id, copy) - 1 AS BIGINT) AS pos
+         |  FROM i),
+         |mix AS (SELECT CAST(sum(n * n) AS BIGINT) AS sum_nsq, CAST(sum(n) AS BIGINT) AS n_inst
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM ord GROUP BY source)),
+         |lagt AS (SELECT unnest([$lags]) AS lag),
+         |pair AS (SELECT l.lag, a.source AS sa, b.source AS sb
+         |  FROM ord a CROSS JOIN lagt l
+         |  JOIN ord b ON b.shard = a.shard AND b.pos = a.pos - l.lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  round(CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |    / CAST(count(*) AS BIGINT)::DOUBLE, 6) AS match_rate,
+         |  round((SELECT sum_nsq FROM mix)::DOUBLE
+         |    / ((SELECT n_inst FROM mix)::DOUBLE * (SELECT n_inst FROM mix)::DOUBLE), 6) AS expected_rate
+         |FROM pair GROUP BY lag ORDER BY lag""".stripMargin
+    },
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' WHEN doc_id % 7 <= 3 THEN 'HTTP' ELSE 'http' END
+        |    || '://'
+        |    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+        |         ELSE source || '.example.com' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ':80' WHEN doc_id % 11 = 1 THEN ':443'
+        |         WHEN doc_id % 11 = 2 THEN ':8080' ELSE '' END
+        |    || '/Docs/' || CAST(doc_id % 13 AS VARCHAR)
+        |    || CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 17 < 8 THEN '?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR) || '&a=1'
+        |         ELSE '?a=1&b=' || CAST(doc_id % 4 AS VARCHAR) END
+        |    || CASE WHEN doc_id % 9 = 1 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    split_part(split_part(url, '#', 1), '?', 1) AS prefix,
+        |    CASE WHEN contains(split_part(url, '#', 1), '?')
+        |      THEN split_part(split_part(url, '#', 1), '?', 2) ELSE '' END AS qs
+        |  FROM u),
+        |q AS (SELECT doc_id, url,
+        |    lower(split_part(prefix, '://', 1)) AS scheme,
+        |    split_part(split_part(prefix, '://', 2), '/', 1) AS hostport,
+        |    substr(split_part(prefix, '://', 2),
+        |      length(split_part(split_part(prefix, '://', 2), '/', 1)) + 1) AS path,
+        |    list_sort(list_filter(string_split(qs, '&'),
+        |      p -> p != '' AND NOT starts_with(p, 'utm_'))) AS params
+        |  FROM p),
+        |c AS (SELECT doc_id, url, scheme,
+        |    regexp_replace(lower(split_part(hostport, ':', 1)), '^www\.', '') AS host,
+        |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+        |    regexp_replace(path, '/$', '') AS cpath,
+        |    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS cquery
+        |  FROM q),
+        |canon AS (SELECT doc_id, url,
+        |    scheme || '://' || host
+        |    || CASE WHEN port != '' AND NOT ((scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443')) THEN ':' || port ELSE '' END
+        |    || cpath || cquery AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS rep_doc
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "kfold_split" ->
       s"""WITH f AS (SELECT lang,
          |    CAST(md5_number_lower('fold-' || doc_id) % 2305843009213693951

@@ -143,6 +143,50 @@ object Composition {
       .select(col("doc_id"), col("source"), col("copy"), col("shard"), col("pos"))
   }
 
+  /** Lags (in replay positions) probed by orderAutocorr. */
+  final val AutocorrLags: Seq[Long] = Seq(1L, 2L, 4L, 8L)
+
+  /** Shuffle-quality audit of the training order — the check a
+    * dataloader team runs before a job burns GPU-months on a bad
+    * shuffle: if consecutive replay positions within a shard come from
+    * the same source far more often than chance, the order is
+    * clustered and the optimizer sees correlated batches. For each lag
+    * k, measures P(source[pos] = source[pos−k]) within a shard against
+    * the ideal-shuffle expectation Σ_s p_s² (the collision probability
+    * of two independent draws from the instance mix).
+    *
+    * Scale shape: NO per-shard sort — the lagged neighbor is found by
+    * an equi-join on (shard, pos−k) against (shard, pos), i.e. one
+    * hash shuffle of the order table per side with the |lags| fan-out
+    * row-local on the probe side; the expected rate is a two-level
+    * aggregate (per-source counts → Σ n², both map-side combined).
+    * The order table is persisted: it feeds the probe side, the build
+    * side, and the mix aggregate, and its own two-phase rank must not
+    * be recomputed per consumer (see the range-rank resample trap).
+    * All metrics end in one IEEE divide from exact integer counts. */
+  def orderAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = trainOrder(spark, sfDir)
+      .select(col("shard"), col("pos"), col("source"))
+      .persist()
+    val mix = ord.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("sum_nsq"), sum(col("n")).as("n_inst"))
+    val probe = ord.withColumn("lag",
+      explode(array(AutocorrLags.map(lit(_)): _*)))
+    probe.as("a").join(ord.as("b"),
+        col("a.shard") === col("b.shard") &&
+          col("b.pos") === col("a.pos") - col("a.lag"))
+      .groupBy(col("a.lag").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a.source") === col("b.source"), 1L).otherwise(0L)).as("n_match"))
+      .crossJoin(broadcast(mix))
+      .select(col("lag"), col("n_pairs"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("match_rate"),
+        round(col("sum_nsq").cast("double") /
+          (col("n_inst").cast("double") * col("n_inst").cast("double")), 6)
+          .as("expected_rate"))
+  }
+
   /** Number of cross-validation folds. */
   final val NumFolds = 5
 

@@ -27,6 +27,56 @@ class CompositionOpsSpec extends AnyFunSuite {
       out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("order_autocorr: md5 order scores near the ideal-shuffle collision rate") {
+    val out = Composition.orderAutocorr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Composition.AutocorrLags)
+    // independent model of the expectation: Σ_s p_s² over instances
+    val inst = Composition.trainOrder(spark, sf).groupBy(col("source")).count()
+      .collect().map(_.getLong(1))
+    val n = inst.sum.toDouble
+    val expModel = inst.map(c => (c / n) * (c / n)).sum
+    out.foreach { case (lag, nPairs, nMatch, rate, exp) =>
+      assert(math.abs(exp - expModel) < 1e-4, s"lag $lag expected_rate")
+      assert(nPairs > 0 && nMatch <= nPairs)
+      assert(math.abs(rate - nMatch.toDouble / nPairs) < 1e-6)
+      // the md5 replay order IS a good shuffle: observed within 3σ of
+      // the binomial null around the collision expectation
+      val sigma = math.sqrt(expModel * (1 - expModel) / nPairs)
+      assert(math.abs(rate - expModel) < 3.5 * sigma,
+        s"lag $lag: rate $rate vs exp $expModel (σ=$sigma) — order is clustered")
+    }
+    // larger lags have fewer in-shard pairs (positions run out)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("dedup_url canonicalization rules, each on a literal") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + www + default port + utm + param order + fragment
+      ("HTTP://WWW.Site.COM:80/a/b?utm_source=x&z=2&a=1#frag",
+        "http://site.com/a/b?a=1&z=2"),
+      // https default port stripped; non-default kept
+      ("https://site.com:443/a", "http" + "s://site.com/a"),
+      ("http://site.com:8080/a", "http://site.com:8080/a"),
+      // :443 on http is NOT a default port
+      ("http://site.com:443/a", "http://site.com:443/a"),
+      // trailing slash + empty query survives as no query
+      ("http://site.com/a/?utm_x=1", "http://site.com/a"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.Web.canonicalUrl(col("url"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("dedup_url families cover every doc and merge genuinely distinct raws") {
+    val out = graft.operators.Web.dedupUrl(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getLong(1)).sum == total, "every doc lands in exactly one family")
+    assert(out.exists(_.getLong(2) >= 2),
+      "at least one family must merge two DISTINCT raw variants, else the canonicalizer is untested")
+  }
+
   test("epoch_mix copies are floor/ceil of the target and average toward it") {
     val rows = Composition.epochMix(spark, sf)
       .select(col("source"), col("target_epochs"), col("n_copies")).collect()
