@@ -175,6 +175,7 @@ object SparkEntry {
     "train_order" -> (Composition.trainOrder _),
     "order_autocorr" -> (Composition.orderAutocorr _),
     "dedup_url" -> (Web.dedupUrl _),
+    "chat_turns" -> (Chat.chatTurns _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -2019,6 +2020,41 @@ object SparkEntry {
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
         |  CAST(min(doc_id) AS BIGINT) AS rep_doc
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "chat_turns" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS tlen
+        |  FROM documents),
+        |n AS (SELECT doc_id, words, nw, tlen, (nw + tlen - 1) // tlen AS nt FROM w),
+        |r AS (SELECT doc_id,
+        |    array_to_string(list_transform(range(nt), i ->
+        |      CASE
+        |        WHEN doc_id % 13 = 0 AND i = 1 THEN
+        |          CASE WHEN doc_id % 5 = 0 THEN 'assistant' ELSE 'user' END
+        |        WHEN doc_id % 5 = 0 THEN
+        |          CASE WHEN i = 0 THEN 'system'
+        |               WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END
+        |        ELSE CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+        |      END || ': '
+        |      || array_to_string(list_slice(words, CAST(i * tlen + 1 AS BIGINT),
+        |           least((i + 1) * tlen, nw)), ' ')), chr(10)) AS transcript
+        |  FROM n),
+        |p AS (SELECT doc_id, string_split(transcript, chr(10)) AS turns FROM r),
+        |q AS (SELECT doc_id, turns,
+        |    list_transform(turns, t -> split_part(t, ': ', 1)) AS roles,
+        |    list_transform(turns, t -> substr(t, length(split_part(t, ': ', 1)) + 3)) AS contents
+        |  FROM p)
+        |SELECT doc_id, CAST(len(turns) AS BIGINT) AS n_turns,
+        |  roles[1] = 'system' AS has_system,
+        |  (roles = list_transform(range(len(roles)), i ->
+        |     CASE WHEN i = 0 THEN 'system'
+        |          WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END)
+        |   OR roles = list_transform(range(len(roles)), i ->
+        |     CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END)) AS alternation_ok,
+        |  roles[-1] = 'assistant' AS ends_with_assistant,
+        |  round(CAST(list_sum(list_transform(contents, c -> length(c))) AS BIGINT)::DOUBLE
+        |    / CAST(len(turns) AS BIGINT)::DOUBLE, 6) AS avg_turn_chars
+        |FROM q ORDER BY doc_id""".stripMargin,
     "kfold_split" ->
       s"""WITH f AS (SELECT lang,
          |    CAST(md5_number_lower('fold-' || doc_id) % 2305843009213693951

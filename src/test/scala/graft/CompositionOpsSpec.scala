@@ -77,6 +77,23 @@ class CompositionOpsSpec extends AnyFunSuite {
       "at least one family must merge two DISTINCT raw variants, else the canonicalizer is untested")
   }
 
+  test("chat_turns: validator catches exactly the injected role-flips") {
+    val out = graft.operators.Chat.chatTurns(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == total)
+    out.foreach { r =>
+      val id = r.getLong(0); val nt = r.getLong(1)
+      // the flip lands at turn index 1, so it only exists when nt >= 2
+      val corrupted = id % 13 == 0 && nt >= 2
+      assert(r.getBoolean(3) == !corrupted, s"doc $id alternation_ok")
+      assert(r.getBoolean(2) == (id % 5 == 0), s"doc $id has_system")
+      assert(r.getDouble(5) > 0, s"doc $id avg_turn_chars")
+    }
+    // the three QA verdicts must all occur (no degenerate column)
+    assert(out.exists(!_.getBoolean(3)) && out.exists(_.getBoolean(3)))
+    assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)))
+  }
+
   test("epoch_mix copies are floor/ceil of the target and average toward it") {
     val rows = Composition.epochMix(spark, sf)
       .select(col("source"), col("target_epochs"), col("n_copies")).collect()
