@@ -176,6 +176,7 @@ object SparkEntry {
     "order_autocorr" -> (Composition.orderAutocorr _),
     "dedup_url" -> (Web.dedupUrl _),
     "chat_turns" -> (Chat.chatTurns _),
+    "multimodal_resize" -> (Multimodal.multimodalResize _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -2020,6 +2021,7 @@ object SparkEntry {
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
         |  CAST(min(doc_id) AS BIGINT) AS rep_doc
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "multimodal_resize" -> Multimodal.resizeOracleSql,
     "chat_turns" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,

@@ -227,6 +227,109 @@ object Multimodal {
       entRounded, nFrames.toLong, frames)
   }
 
+  /** Resized-image record: original and output geometry plus a
+    * content digest of the COMPLETE resized file, so the oracle must
+    * reproduce every output byte (header fields, pixel choice, row
+    * padding) to match. */
+  case class ResizedMedia(doc_id: Long, in_w: Long, in_h: Long,
+      out_w: Long, out_h: Long, out_len: Long, out_sha256: String)
+
+  private def putU32le(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** REAL nearest-neighbor 2× downsample of a BMP payload: read the
+    * source geometry from the header, sample every 2nd pixel of every
+    * 2nd stored row (stored-row parity is identical in both engines, so
+    * bottom-up storage order is immaterial), and emit a VALID BMP —
+    * fresh size fields, fresh 4-byte row alignment. Output dims are
+    * ceil(in/2). */
+  def resizeBmpHalf(b: Array[Byte]): Array[Byte] = {
+    val w = s32le(b, 18).toInt; val h = s32le(b, 22).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    val ostride = ((ow * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + ostride * oh)
+    System.arraycopy(b, 0, out, 0, 54)
+    putU32le(out, 2, 54L + ostride * oh)      // bfSize
+    putU32le(out, 18, ow.toLong)              // biWidth
+    putU32le(out, 22, oh.toLong)              // biHeight
+    putU32le(out, 34, (ostride * oh).toLong)  // biSizeImage
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val src = 54 + (2 * y) * stride + (2 * x) * 3
+        val dst = 54 + y * ostride + x * 3
+        out(dst) = b(src); out(dst + 1) = b(src + 1); out(dst + 2) = b(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The resize stage of the media pipeline, partition-wise like the
+    * decode (the mapInPandas shape: iterator of records per partition,
+    * batched into the native kernel). Runs on the BMP third of the
+    * corpus; the digest is over the uppercase-hex rendering (the
+    * decodeMeta convention — the oracle's digest is VARCHAR-only). */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val b = r.payload
+          val o = resizeBmpHalf(b)
+          val sb = new java.lang.StringBuilder(o.length * 2)
+          var i = 0
+          while (i < o.length) { sb.append(String.format("%02X", Integer.valueOf(o(i) & 0xff))); i += 1 }
+          digest.reset()
+          val sha = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map("%02x".format(_)).mkString
+          ResizedMedia(r.doc_id, s32le(b, 18), s32le(b, 22),
+            s32le(o, 18), s32le(o, 22), o.length.toLong, sha)
+        }
+      }.toDF()
+  }
+
+  /** DuckDB oracle for multimodalResize: regenerates the source BMP
+    * hex (the shared generator), then rebuilds the RESIZED file hex —
+    * header constants, patched size fields, every sampled pixel, row
+    * padding — entirely in SQL, and digests it. Any divergence in the
+    * resize rule fails the hash compare. */
+  val resizeOracleSql: String = {
+    val w = bmpW; val h = bmpH
+    val stride = s"((($w)*3 + 3) // 4 * 4)"
+    val ow = s"((($w) + 1) // 2)"; val oh = s"((($h) + 1) // 2)"
+    val ostride = s"((($ow)*3 + 3) // 4 * 4)"
+    val opx = s"(($ostride) * ($oh))"
+    // one output row y: ow sampled pixels (6 hex chars each) + padding
+    val rowHex =
+      s"""concat(array_to_string(list_transform(range($ow), x ->
+         |    substr(src, 2*(54 + (2*y)*($stride) + (2*x)*3) + 1, 6)), ''),
+         |  repeat('00', ($ostride) - ($ow)*3))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $bmpHex AS src, $w AS w, $h AS h FROM documents
+       |  WHERE doc_id % 3 = 0),
+       |d AS (SELECT doc_id, w, h,
+       |    array_to_string(list_transform(range($oh), y -> $rowHex), '') AS datahex
+       |  FROM b),
+       |f AS (SELECT doc_id, w, h,
+       |    '424D' || ${u32hex(s"$opx + 54")} || '00000000' || '36000000' || '28000000' ||
+       |    ${u32hex(ow)} || ${u32hex(oh)} || '0100' || '1800' || '00000000' ||
+       |    ${u32hex(opx)} || '130B0000' || '130B0000' || '00000000' || '00000000' || datahex AS filehex
+       |  FROM d)
+       |SELECT doc_id, CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+       |  CAST(($ow) AS BIGINT) AS out_w, CAST(($oh) AS BIGINT) AS out_h,
+       |  CAST(length(filehex) // 2 AS BIGINT) AS out_len,
+       |  sha256(filehex) AS out_sha256
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** FRAME-FINGERPRINT DEDUP — the media analog of shingle dedup:
     * whole-file hashes never collide here (every container embeds
     * doc-derived dims), so duplication lives at the CONTENT level —

@@ -274,6 +274,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(w.getAs[String]("content_sha256").length == 64)
   }
 
+  test("multimodal_resize halves a literal BMP with exact pixel choice and padding") {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // 3x2 24bpp: stride 12 (9 pixel bytes + 3 pad); pixel (x,row) byte
+    // values encode their coordinates so sampling mistakes are visible
+    val px = (0 until 2).flatMap { row =>
+      (0 until 3).flatMap(x => Seq[Byte]((10 * row + x).toByte,
+        (10 * row + x + 100).toByte, (10 * row + x + 50).toByte)) ++
+        Seq[Byte](0, 0, 0)
+    }.toArray
+    val bmp = Array[Byte]('B', 'M') ++ le32(54 + 24) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(24) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ px
+    val out = Multimodal.resizeBmpHalf(bmp)
+    // out dims ceil(3/2)=2 x ceil(2/2)=1; stride 8; file 54+8
+    assert(out.length == 62)
+    assert((out(18) & 0xff) == 2 && (out(22) & 0xff) == 1)
+    // sampled pixels: stored row 0, x=0 and x=2
+    assert(out.slice(54, 57).toSeq == Seq[Byte](0, 100, 50).toSeq)
+    assert(out.slice(57, 60).toSeq == Seq[Byte](2, 102, 52).toSeq)
+    // fresh row padding zeroed
+    assert(out(60) == 0 && out(61) == 0)
+    // the resized file must itself decode as a valid BMP
+    import spark.implicits._
+    val meta = Multimodal.decodeMeta(Seq(MediaRecord(9L, out)).toDS()).head()
+    assert(meta.getAs[String]("media_type") == "bmp")
+    assert(meta.getAs[Long]("width") == 2 && meta.getAs[Long]("height") == 1)
+    assert(meta.getAs[Long]("data_bytes") == 8)
+    // gate-level: every output is ceil-half of its input geometry
+    Multimodal.multimodalResize(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("out_w") == (r.getAs[Long]("in_w") + 1) / 2)
+      assert(r.getAs[Long]("out_h") == (r.getAs[Long]("in_h") + 1) / 2)
+      assert(r.getAs[String]("out_sha256").length == 64)
+    }
+  }
+
   test("multimodal generator emits well-formed files the decoder accepts") {
     val m = Multimodal.multimodalMeta(spark, sf).limit(200).collect()
     assert(m.nonEmpty)
