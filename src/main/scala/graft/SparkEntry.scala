@@ -215,6 +215,7 @@ object SparkEntry {
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_props" -> (Events.eventsProps _),
     "events_asof" -> (AsOfJoin.eventsAsof _),
+    "events_asof_nearest" -> (AsOfJoin.eventsAsofNearest _),
     "events_range" -> (RangeJoin.eventsRange _),
     "events_funnel" -> (Events.eventsFunnel _),
     "events_retention" -> (Events.eventsRetention _),
@@ -2371,6 +2372,31 @@ object SparkEntry {
         |FROM ev a JOIN ev b
         |  ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 300000000
         |ORDER BY a_id, b_id""".stripMargin,
+    "events_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s AS (SELECT user_id, ts, max(event_id) AS signup_id FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id, ts),
+        |b AS (SELECT ev.event_id, s.signup_id AS prev_id, s.ts AS prev_ts
+        |  FROM ev ASOF LEFT JOIN s ON ev.user_id = s.user_id AND ev.ts >= s.ts),
+        |f AS (SELECT ev.event_id, s.signup_id AS next_id, s.ts AS next_ts
+        |  FROM ev ASOF LEFT JOIN s ON ev.user_id = s.user_id AND ev.ts <= s.ts),
+        |j AS (SELECT ev.event_id, ev.user_id, ev.ts, ev.event_type,
+        |    b.prev_id, b.prev_ts, f.next_id, f.next_ts,
+        |    CASE WHEN b.prev_id IS NULL THEN f.next_ts
+        |         WHEN f.next_id IS NULL THEN b.prev_ts
+        |         WHEN epoch_us(ev.ts) - epoch_us(b.prev_ts)
+        |              <= epoch_us(f.next_ts) - epoch_us(ev.ts) THEN b.prev_ts
+        |         ELSE f.next_ts END AS pick_ts,
+        |    CASE WHEN b.prev_id IS NULL THEN f.next_id
+        |         WHEN f.next_id IS NULL THEN b.prev_id
+        |         WHEN epoch_us(ev.ts) - epoch_us(b.prev_ts)
+        |              <= epoch_us(f.next_ts) - epoch_us(ev.ts) THEN b.prev_id
+        |         ELSE f.next_id END AS pick_id
+        |  FROM ev JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts, event_type,
+        |  pick_id AS signup_event_id,
+        |  epoch_us(ts) - epoch_us(pick_ts) AS dt_us
+        |FROM j ORDER BY event_id""".stripMargin,
     "events_asof" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |s AS (SELECT user_id, ts, max(event_id) AS signup_id FROM ev

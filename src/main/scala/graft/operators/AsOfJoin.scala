@@ -55,6 +55,75 @@ object AsOfJoin {
     }.drop("_src", "_asof_payload")
   }
 
+  /** Nearest-as-of (pandas merge_asof direction='nearest'): for each
+    * left row, the right row minimizing |Δts| per key — before OR
+    * after — with ties going to the earlier (backward) row, the
+    * merge_asof rule. Same union-and-fill machinery as asOf, but BOTH
+    * directions fill from ONE partition sort: the backward candidate
+    * via `last(ignoreNulls)` over an unbounded-preceding frame and the
+    * forward candidate via `first(ignoreNulls)` over an
+    * unbounded-following frame share the window's (key, ts) sort, so
+    * the operator still costs one shuffle + one sort — the per-key
+    * candidate blow-up of a |Δt| range join never materializes. The
+    * right ts rides inside the payload struct; the pick is a row-local
+    * integer-micros comparison. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val reserved = "_src" +: "_prev" +: "_next" +: "_pick" +:
+      s"asof_$tsCol" +: payloadCols.map(c => s"asof_$c")
+    reserved.foreach(r => require(!left.columns.contains(r),
+      s"asOfNearest reserves column name '$r'; rename it on the left side first"))
+
+    val payloadStruct = struct((tsCol +: payloadCols).map(col): _*)
+    val leftTagged = left
+      .withColumn("_src", lit(1))
+      .withColumn("_prev",
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType))
+    val rightTagged = right
+      .select(col(keyCol), col(tsCol), payloadStruct.as("_prev"))
+      .withColumn("_src", lit(0))
+    val unioned = leftTagged
+      .unionByName(rightTagged, allowMissingColumns = true)
+    val order = Seq(col(tsCol), col("_src"), xxhash64(col("_prev")))
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("_next", first(col("_prev"), ignoreNulls = true).over(wFwd))
+      .withColumn("_prev", last(col("_prev"), ignoreNulls = true).over(wBack))
+      .filter(col("_src") === 1)
+    // nearest pick in exact integer micros; tie → backward (merge_asof)
+    val dPrev = unix_micros(col(tsCol)) - unix_micros(col(s"_prev.$tsCol"))
+    val dNext = unix_micros(col(s"_next.$tsCol")) - unix_micros(col(tsCol))
+    val picked = filled.withColumn("_pick",
+      when(col("_prev").isNull, col("_next"))
+        .when(col("_next").isNull, col("_prev"))
+        .when(dPrev <= dNext, col("_prev"))
+        .otherwise(col("_next")))
+    (tsCol +: payloadCols).foldLeft(picked) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_pick.$c"))
+    }.drop("_src", "_prev", "_next", "_pick")
+  }
+
+  /** Query binding: every event joined to the same user's NEAREST
+    * 'signup' event in time, before or after — the enrichment shape
+    * when attribution may precede the reference event (a purchase
+    * logged moments before its signup record lands). dt_us is signed:
+    * positive = the signup preceded the event. */
+  def eventsAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("signup_id"))
+    asOfNearest(
+      events.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+      signups, "user_id", "ts", Seq("signup_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("asof_signup_id").as("signup_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("dt_us"))
+  }
+
   /** Query binding: every event joined to the same user's most recent
     * prior (or simultaneous) 'signup' event — the attribution shape
     * (which signup does this action trace back to?). The right side is

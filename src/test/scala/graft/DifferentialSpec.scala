@@ -37,6 +37,32 @@ class DifferentialSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asOfNearest equals the brute-force min-|dt| (tie -> backward) over random data") {
+    val leftRows = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val rightRows = Seq.fill(150)((rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextLong()))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts)
+    val left = leftRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("lid", "k", "tsn").withColumn("ts", timestamp_micros(col("tsn") * 1000000))
+      .drop("tsn")
+    val right = rightRows.toDF("k", "tsn", "payload")
+      .withColumn("ts", timestamp_micros(col("tsn") * 1000000)).drop("tsn")
+
+    val got = AsOfJoin.asOfNearest(left, right, "k", "ts", Seq("payload"))
+      .select("lid", "asof_payload").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.zipWithIndex.map { case ((k, t), i) =>
+      val cands = byKey.getOrElse(k, Seq.empty)
+      i.toLong -> (if (cands.isEmpty) None else {
+        // min |dt|; tie -> the backward (earlier-ts) candidate
+        val best = cands.minBy(r => (math.abs(r._2 - t), r._2))
+        Some(best._3)
+      })
+    }.toMap
+    assert(got == expected)
+  }
+
   test("bandJoin equals the brute-force range predicate over random data") {
     val rows = Seq.tabulate(400)(i =>
       (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(5000).toLong))
