@@ -76,6 +76,7 @@ object SparkEntry {
     "graph_community" -> (Graph.graphCommunity _),
     "graph_modularity" -> (Graph.graphModularity _),
     "k_anonymity" -> (Profile.kAnonymity _),
+    "l_diversity" -> (Profile.lDiversity _),
     "pr_curve" -> (Learn.prCurve _),
     "negative_mining" -> (Search.negativeMining _),
     "temperature_mix" -> (Sampling.temperatureMix _),
@@ -213,6 +214,7 @@ object SparkEntry {
     "events_rolling" -> (Events.eventsRolling _),
     "events_dedup" -> (Events.eventsDedup _),
     "events_sessionize" -> (Events.eventsSessionize _),
+    "interval_merge" -> (Events.intervalMerge _),
     "events_props" -> (Events.eventsProps _),
     "events_asof" -> (AsOfJoin.eventsAsof _),
     "events_asof_nearest" -> (AsOfJoin.eventsAsofNearest _),
@@ -3414,6 +3416,40 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows,
         |  round(CAST(sum(k) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS rows_share
         |FROM b CROSS JOIN t GROUP BY band_lo, n_total ORDER BY band_lo""".stripMargin,
+    "l_diversity" ->
+      """WITH qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      / 10000.0) AS BIGINT) AS bal_bucket
+        |  FROM customer),
+        |g AS (SELECT nation, bal_bucket, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT segment) AS BIGINT) AS l
+        |  FROM qi GROUP BY 1, 2),
+        |t AS (SELECT sum(k) AS n_total FROM g)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(k) AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS rows_share
+        |FROM g CROSS JOIN t GROUP BY l, n_total ORDER BY l""".stripMargin,
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + (5 + event_id % 55) * 60000000 AS e
+        |  FROM events),
+        |m1 AS (SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |m2 AS (SELECT user_id, event_id, s, e,
+        |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS brk
+        |  FROM m1),
+        |m3 AS (SELECT user_id, s, e,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |  FROM m2)
+        |SELECT user_id, grp AS interval_no,
+        |  CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us,
+        |  CAST(max(e) - min(s) AS BIGINT) AS span_us,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM m3 GROUP BY user_id, grp ORDER BY user_id, grp""".stripMargin,
     "graph_community" ->
       s"""WITH $lpLabelCtes
          |SELECT lv AS partkey, lbl AS community

@@ -207,6 +207,36 @@ object Profile {
     * shape: one map-side-combined shuffle onto the QI grid, then
     * band aggs over the group-sized table and a 1-row total
     * broadcast — the corpus is touched once. */
+  /** l-diversity — k_anonymity's sensitive-attribute companion: a
+    * quasi-identifier group can satisfy k and still leak when every
+    * member shares one sensitive value (the homogeneity attack), so
+    * the release test is l = DISTINCT sensitive values per QI group.
+    * Here QI = (nation, balance bucket), sensitive = market segment
+    * (deliberately NOT in the QI, unlike kAnonymity's grouping).
+    * Output is the l-histogram with row shares — the l=1 row counts
+    * exactly the records a homogeneous group would expose. Two
+    * aggregations (QI census with distinct-sensitive, then the tiny
+    * l rollup) — the census shuffles once on the QI key. */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    // $100 buckets (vs kAnonymity's $1000): groups must stay small
+    // enough that l varies at every SF, or the histogram degenerates
+    // to one all-diverse row
+    val groups = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(cents / lit(10000.0)).cast("long").as("bal_bucket"))
+      .groupBy(col("nation"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"), count_distinct(col("segment")).as("l"))
+    val total = groups.agg(sum(col("k")).as("n_total"))
+    groups.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("l"), col("n_groups"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total").cast("double"), 6)
+          .as("rows_share"))
+  }
+
   def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
     val groups = Tables.customer(spark, sfDir)

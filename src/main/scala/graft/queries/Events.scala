@@ -268,6 +268,38 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("total_value"))
   }
 
+  /** Overlapping-interval union (interval merge) per user — the
+    * coverage operator sessionization doesn't express: each event
+    * opens a DURATION (here 5 + event_id mod 55 minutes,
+    * deterministic), and overlapping/touching-by-overlap intervals
+    * coalesce into their union so total covered time counts each
+    * instant once (device-connected time, lock leases, on-call
+    * coverage). Classic sweep as windows: running max(end) over
+    * preceding rows → break flag when a gap opens → prefix-sum group
+    * number → per-group min/max. ONE shuffle on user_id; both windows
+    * and the final agg reuse the same sort. All arithmetic in exact
+    * epoch micros. */
+  def intervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = Tables.events(spark, sfDir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        (lit(5L) + pmod(col("event_id"), lit(55))) * 60000000L).as("e"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    iv.withColumn("maxe",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_merged"))
+      .select(col("user_id"), col("grp").as("interval_no"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("span_us"), col("n_merged"))
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag → new-session flag → running session number → per-session agg.
     * One shuffle on user_id, reused by both windows and the final agg. */

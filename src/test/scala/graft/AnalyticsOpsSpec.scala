@@ -108,6 +108,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == cust.length.toLong)
   }
 
+  test("l_diversity histogram replays from a literal per-group distinct count") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        ((r.getLong(0), math.floor(cents.toLong / 10000.0).toLong), r.getString(1))
+      }
+    val groups = cust.groupBy(_._1).values
+      .map(g => (g.map(_._2).distinct.size.toLong, g.size.toLong)).toSeq
+    val expGroups = groups.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expRows = groups.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = Profile.lDiversity(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == expGroups.keySet)
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) == expGroups(l), s"l=$l group count")
+      assert(r.getLong(2) == expRows(l), s"l=$l row mass")
+    }
+    assert(rows.map(_.getLong(2)).sum == cust.length.toLong)
+    // the audit must see real diversity variation, not a constant column
+    assert(rows.length >= 2, "degenerate: every QI group has identical l")
+  }
+
   test("approx profile ndv within HLL tolerance of exact") {
     val exact = Profile.colProfile(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap

