@@ -18,6 +18,16 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
 /** One event routed into the streaming funnel. */
 case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
 
+/** One interval routed into the streaming interval-union. */
+case class IvEvent(user_id: Long, s_us: Long, e_us: Long)
+
+/** Open merged-interval state carried between micro-batches per user. */
+case class OpenIv(startUs: Long, endUs: Long, n: Long)
+
+/** A closed merged interval emitted downstream. */
+case class ClosedIv(user_id: Long, start_us: Long, end_us: Long,
+    span_us: Long, n_merged: Long)
+
 /** One event routed into the streaming rolling window. */
 case class RollEvent(user_id: Long, event_id: Long, ts_us: Long,
     value_c: java.math.BigDecimal)
@@ -522,6 +532,52 @@ object EventStreams {
     * mid-session triggers). The final open session per user stays in
     * state awaiting more data — correct streaming semantics for an
     * unbounded source. */
+  /** Streaming twin of Events.intervalMerge: per-user open merged
+    * interval in flatMapGroupsWithState; an arriving interval that
+    * starts at or before the open union's end extends it, one that
+    * starts past the end CLOSES the union (emits it) and opens a new
+    * one. The final open union per user stays in state awaiting more
+    * data — the same open-tail semantics as sessionizedCustomState,
+    * and exactly the live form of coverage tracking (device-connected
+    * time, lease windows). Contract: exact under per-key in-order
+    * delivery (the Kafka key-partition guarantee); the interval
+    * duration rule is the batch operator's own (5 + event_id mod 55
+    * minutes), applied before routing. */
+  def intervalUnion(spark: SparkSession, events: DataFrame): Dataset[ClosedIv] = {
+    import spark.implicits._
+
+    def step(userId: Long, rows: Iterator[IvEvent],
+        state: GroupState[OpenIv]): Iterator[ClosedIv] = {
+      val sorted = rows.toSeq.sortBy(e => (e.s_us, e.e_us))
+      var open = state.getOption
+      val closed = Seq.newBuilder[ClosedIv]
+      for (e <- sorted) {
+        open match {
+          case Some(s) if e.s_us <= s.endUs =>
+            open = Some(OpenIv(math.min(s.startUs, e.s_us),
+              math.max(s.endUs, e.e_us), s.n + 1))
+          case Some(s) =>
+            closed += ClosedIv(userId, s.startUs, s.endUs,
+              s.endUs - s.startUs, s.n)
+            open = Some(OpenIv(e.s_us, e.e_us, 1))
+          case None =>
+            open = Some(OpenIv(e.s_us, e.e_us, 1))
+        }
+      }
+      open.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (lit(5L) + pmod(col("event_id"), lit(55))) * 60000000L).as("e_us"))
+      .as[IvEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+
   def sessionizedCustomState(spark: SparkSession, events: DataFrame): Dataset[ClosedSession] = {
     import spark.implicits._
 

@@ -105,6 +105,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming interval union emits every closed merged interval, single and sliced") {
+    import org.apache.spark.sql.expressions.Window
+    // batch truth minus each user's final interval (still open in state)
+    val w = Window.partitionBy(col("user_id"))
+    val truth = Events.intervalMerge(spark, sf)
+      .withColumn("last_iv", max(col("interval_no")).over(w))
+      .filter(col("interval_no") =!= col("last_iv"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("span_us"), col("n_merged"))
+      .collect().map(_.mkString("|")).toSet
+    val single = runToSetAppendRaw(
+      EventStreams.intervalUnion(spark,
+        EventStreams.readEvents(spark, streamDir)).toDF(), "iv_single")
+    assert(single == truth)
+    val src = chronologicalSource("ivu", Seq("2024-01-10", "2024-01-20"))
+    val sliced = runToSetAppendRaw(
+      EventStreams.intervalUnion(spark, src).toDF(), "iv_sliced")
+    assert(sliced == truth)
+  }
+
   test("streaming dropDuplicates gives exactly-once over a re-delivering source") {
     // a source that re-delivers: the same events parquet written twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft_dup").toString
