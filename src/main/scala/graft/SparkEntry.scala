@@ -178,6 +178,8 @@ object SparkEntry {
     "dedup_url" -> (Web.dedupUrl _),
     "chat_turns" -> (Chat.chatTurns _),
     "multimodal_resize" -> (Multimodal.multimodalResize _),
+    "json_shred" -> (Shred.jsonShred _),
+    "span_corruption" -> (Chunk.spanCorruption _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -2025,6 +2027,34 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS rep_doc
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "multimodal_resize" -> Multimodal.resizeOracleSql,
+    "json_shred" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    't' || CAST(doc_id % 5 AS VARCHAR) AS tag_a,
+        |    'u' || CAST(doc_id % 7 AS VARCHAR) AS tag_b,
+        |    doc_id % 3 + doc_id % 11 + doc_id % 13 AS score_sum
+        |  FROM documents),
+        |e AS (SELECT doc_id, lang, n_chars, score_sum, tag_a AS tag FROM d
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, score_sum, tag_b AS tag FROM d)
+        |SELECT tag, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score_sum) AS BIGINT) AS scores_total,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+        |FROM e GROUP BY tag, lang ORDER BY tag, lang""".stripMargin,
+    "span_corruption" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_tokens,
+        |    CAST(len(list_filter(range(n_tokens), i -> (i + doc_id) % 7 < 2)) AS BIGINT) AS n_masked,
+        |    CAST(len(list_filter(range(n_tokens),
+        |      i -> (i + doc_id) % 7 < 2 AND (i = 0 OR (i - 1 + doc_id) % 7 >= 2))) AS BIGINT) AS n_spans
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        |  round(n_masked::DOUBLE / n_tokens::DOUBLE, 6) AS mask_frac,
+        |  CASE WHEN n_spans = 0 THEN NULL
+        |    ELSE round(n_masked::DOUBLE / n_spans::DOUBLE, 6) END AS mean_span_len
+        |FROM m ORDER BY doc_id""".stripMargin,
     "chat_turns" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,

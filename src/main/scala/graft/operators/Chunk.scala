@@ -95,4 +95,32 @@ object Chunk {
         round(col("shared_chars").cast("double") / col("total_chars"), 6)
           .as("dedup_ratio"))
   }
+
+  /** Span-corruption preview — the audit a T5/UL2-style denoising
+    * pipeline runs before committing a masking configuration: apply
+    * the deterministic span mask to each document's token stream and
+    * report what the objective will actually see (token count, masked
+    * count, span count via run-start detection on the mask, mask
+    * fraction, mean span length). Mask rule: token i is masked when
+    * (i + doc_id) mod 7 < 2 — length-2 spans, ~2/7 corruption, phase
+    * varied per doc so spans land differently across the corpus.
+    * Entirely row-local collection expressions; zero shuffles. */
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("n_masked", expr(
+        "size(filter(sequence(0L, n_tokens - 1), i -> (i + doc_id) % 7 < 2))"))
+      .withColumn("n_spans", expr(
+        """size(filter(sequence(0L, n_tokens - 1),
+          |  i -> (i + doc_id) % 7 < 2 AND (i = 0 OR (i - 1 + doc_id) % 7 >= 2)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_masked").cast("long").as("n_masked"),
+        col("n_spans").cast("long").as("n_spans"),
+        round(col("n_masked").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mask_frac"),
+        when(col("n_spans") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_masked").cast("double") / col("n_spans").cast("double"), 6))
+          .as("mean_span_len"))
 }

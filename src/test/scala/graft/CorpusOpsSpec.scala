@@ -10,6 +10,44 @@ import graft.operators.{Cluster, Sampling, TextMetrics}
 class CorpusOpsSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("json_shred aggregates equal the arithmetic model (parse round-trip)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val model = docs.flatMap { case (id, lang, n) =>
+      val score = id % 3 + id % 11 + id % 13
+      Seq((s"t${id % 5}", lang, id, score, n), (s"u${id % 7}", lang, id, score, n))
+    }.groupBy(r => (r._1, r._2)).map { case ((tag, lang), rs) =>
+      (tag, lang, rs.length.toLong, rs.map(_._4).sum, rs.map(_._5).sum,
+        rs.map(_._3).distinct.length.toLong)
+    }.toSet
+    val got = graft.operators.Shred.jsonShred(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == model)
+    // every doc contributes exactly its two tag rows
+    assert(got.toSeq.map(_._3).sum == 2L * docs.length)
+  }
+
+  test("span_corruption stats replay from a literal mask walk") {
+    val out = graft.operators.Chunk.spanCorruption(spark, sf).collect()
+    val nTok = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val n = nTok(id)
+      val mask = (0L until n).map(i => (i + id) % 7 < 2)
+      val masked = mask.count(identity).toLong
+      val spans = mask.zipWithIndex.count { case (m, i) => m && (i == 0 || !mask(i - 1)) }.toLong
+      assert(r.getLong(1) == n && r.getLong(2) == masked && r.getLong(3) == spans, s"doc $id")
+      // spans are length <= 2 by construction: mean in (1, 2]
+      if (spans > 0) {
+        val mean = r.getDouble(5)
+        assert(mean > 0.99 && mean <= 2.0, s"doc $id mean span $mean")
+      }
+    }
+  }
+
   test("sample_stratified keeps ~rate per language with exact HT weights") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val perLang = docs.groupBy("lang").count().collect()
