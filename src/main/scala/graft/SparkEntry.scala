@@ -180,6 +180,8 @@ object SparkEntry {
     "multimodal_resize" -> (Multimodal.multimodalResize _),
     "json_shred" -> (Shred.jsonShred _),
     "span_corruption" -> (Chunk.spanCorruption _),
+    "prefix_boilerplate" -> (Boilerplate.prefixBoilerplate _),
+    "ab_sprt" -> (Experiment.abSprt _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -2041,6 +2043,52 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
         |FROM e GROUP BY tag, lang ORDER BY tag, lang""".stripMargin,
+    "prefix_boilerplate" ->
+      """WITH t AS (SELECT source,
+        |    'archive of ' || source || ' :: volume ' || CAST(doc_id % 3 AS VARCHAR)
+        |      || ' :: ' || text AS t
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    min(t) AS mn, max(t) AS mx, CAST(sum(length(t)) AS BIGINT) AS total_chars
+        |  FROM t GROUP BY source),
+        |p AS (SELECT source, n_docs, mn, mx, total_chars,
+        |    list_position(list_transform(range(least(length(mn), length(mx))),
+        |      i -> substr(mn, CAST(i + 1 AS BIGINT), 1) = substr(mx, CAST(i + 1 AS BIGINT), 1)),
+        |      false) AS fp
+        |  FROM g),
+        |l AS (SELECT source, n_docs, mn, total_chars,
+        |    CAST(CASE WHEN fp IS NULL THEN least(length(mn), length(mx))
+        |      ELSE fp - 1 END AS BIGINT) AS lcp_len
+        |  FROM p)
+        |SELECT source, n_docs, lcp_len,
+        |  substr(mn, 1, CAST(least(24, lcp_len) AS INT)) AS lcp_head,
+        |  round(lcp_len::DOUBLE * n_docs::DOUBLE / total_chars::DOUBLE, 6) AS boiler_frac
+        |FROM l ORDER BY source""".stripMargin,
+    "ab_sprt" ->
+      """WITH ud AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT day, purchased,
+        |    CAST(md5_number_lower('ab-' || user_id) % 2305843009213693951 % 2 AS BIGINT) AS variant
+        |  FROM ud),
+        |d AS (SELECT variant, day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(purchased) AS BIGINT) AS conv
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT variant, day,
+        |    CAST(sum(n) OVER (PARTITION BY variant ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |    CAST(sum(conv) OVER (PARTITION BY variant ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_conv
+        |  FROM d),
+        |l AS (SELECT variant, day, cum_n, cum_conv,
+        |    round(cum_conv::DOUBLE * ln(0.15 / 0.10)
+        |      + (cum_n - cum_conv)::DOUBLE * ln((1.0 - 0.15) / (1.0 - 0.10)), 6) AS llr
+        |  FROM c)
+        |SELECT variant, day, cum_n, cum_conv, llr,
+        |  CASE WHEN llr >= 2.772589 THEN 'accept_h1'
+        |       WHEN llr <= -1.558145 THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM l ORDER BY variant, day""".stripMargin,
     "span_corruption" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -292,6 +292,52 @@ object Experiment {
           .as("z_score"))
   }
 
+  /** SPRT boundary/likelihood constants: H0 p=0.10 vs H1 p=0.15,
+    * α=0.05, β=0.20. Decision thresholds are the round-6 literals of
+    * ln((1−β)/α)=ln(16) and ln(β/(1−α))=ln(4/19), hardcoded so both
+    * engines compare the rounded LLR to bit-identical bounds. */
+  final val SprtHi = 2.772589
+  final val SprtLo = -1.558145
+
+  /** SEQUENTIAL probability ratio test (Wald) on daily conversion — the
+    * always-valid monitor an experimentation platform runs while an
+    * A/B test is live, instead of peeking at a fixed-horizon z-test:
+    * per variant, the cumulative log-likelihood ratio of H1 (p=0.15)
+    * vs H0 (p=0.10) over daily (active users, converting users)
+    * counts, with accept/continue decisions at Wald's α/β bounds.
+    *
+    * Determinism: trials and conversions are exact ints; the LLR is
+    * cum_conv·ln(p1/p0) + (cum_n−cum_conv)·ln((1−p1)/(1−p0)) — two ln
+    * calls whose ≤1-ulp cross-engine wobble scales to ~1e-12 at these
+    * counts, far inside the round-6 contract. One (user, day) rollup
+    * shuffle, one (variant, day) rollup, one cumulative window over
+    * |days| rows per variant. */
+  def abSprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("p"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(col("p")).as("purchased"))
+      .withColumn("variant",
+        pmod(Similarity.md5Mod(concat(lit("ab-"), col("user_id"))), lit(2L)))
+      .groupBy(col("variant"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("purchased")).cast("long").as("conv"))
+    val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lr1 = log(lit(0.15) / lit(0.10))
+    val lr0 = log((lit(1.0) - lit(0.15)) / (lit(1.0) - lit(0.10)))
+    daily
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_conv", sum(col("conv")).over(w))
+      .withColumn("llr", round(
+        col("cum_conv").cast("double") * lr1 +
+          (col("cum_n") - col("cum_conv")).cast("double") * lr0, 6))
+      .select(col("variant"), col("day"), col("cum_n"), col("cum_conv"), col("llr"),
+        when(col("llr") >= SprtHi, "accept_h1")
+          .when(col("llr") <= SprtLo, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** RFM SEGMENTATION over the purchase stream: per buyer, recency
     * (days since last purchase, against the corpus's last day),
     * frequency (purchase count), monetary (exact cent sum), each

@@ -336,6 +336,47 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(out.exists(_._6 > 0.0), "no shared chunk found in a templated corpus")
   }
 
+  test("ab_sprt: LLR replays from cumulative counts, decisions respect Wald bounds") {
+    val rows = operators.Experiment.abSprt(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    assert(rows.map(_._1).toSet == Set(0L, 1L), "both variants present")
+    val lr1 = math.log(0.15 / 0.10); val lr0 = math.log((1.0 - 0.15) / (1.0 - 0.10))
+    rows.foreach { case (v, day, cumN, cumC, llr, dec) =>
+      assert(cumC <= cumN && cumN > 0, s"$v/$day counts")
+      val expect = BigDecimal(cumC * lr1 + (cumN - cumC) * lr0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(llr - expect) < 1e-9, s"$v/$day llr $llr vs $expect")
+      val expDec = if (llr >= operators.Experiment.SprtHi) "accept_h1"
+        else if (llr <= operators.Experiment.SprtLo) "accept_h0" else "continue"
+      assert(dec == expDec, s"$v/$day decision")
+    }
+    // cumulative counts are monotone within a variant
+    rows.groupBy(_._1).values.foreach { vs =>
+      val sorted = vs.sortBy(_._2).map(_._3)
+      assert(sorted.sameElements(sorted.sorted), "cum_n monotone")
+    }
+  }
+
+  test("prefix_boilerplate finds exactly the injected shared header") {
+    val out = operators.Boilerplate.prefixBoilerplate(spark, sf).collect()
+    out.foreach { r =>
+      val src = r.getString(0)
+      // common prefix = 'archive of <src> :: volume ' — the volume
+      // digit (doc_id % 3) varies within every source
+      val expLcp = ("archive of " + src + " :: volume ").length.toLong
+      assert(r.getLong(2) == expLcp, s"$src lcp_len ${r.getLong(2)} vs $expLcp")
+      assert(r.getString(3) == ("archive of " + src + " :: volume ").take(24), s"$src head")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) < 1, s"$src boiler_frac")
+    }
+    // the library LCP helper on literals, incl. the identical-pair edge
+    import spark.implicits._
+    val lcp = Seq(("abcx", "abcy"), ("same", "same"), ("", "x"))
+      .toDF("a", "b")
+      .select(operators.Boilerplate.lcpLen(col("a"), col("b"))).as[Long].collect()
+    assert(lcp.toSeq == Seq(3L, 4L, 0L))
+  }
+
   test("ab_test moments match a local per-user replay") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id").cast("long"), col("event_type"),
