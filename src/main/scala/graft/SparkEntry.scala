@@ -182,6 +182,8 @@ object SparkEntry {
     "span_corruption" -> (Chunk.spanCorruption _),
     "prefix_boilerplate" -> (Boilerplate.prefixBoilerplate _),
     "ab_sprt" -> (Experiment.abSprt _),
+    "ab_segments" -> (Experiment.abSegments _),
+    "audio_resample" -> (Multimodal.multimodalAudioResample _),
     "kfold_split" -> (Composition.kfoldSplit _),
     "dsir_sample" -> (Sampling.dsirSample _),
     "domain_mix" -> (Sampling.domainMix _),
@@ -2029,6 +2031,34 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS rep_doc
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "multimodal_resize" -> Multimodal.resizeOracleSql,
+    "audio_resample" -> Multimodal.audioResampleOracleSql,
+    "ab_segments" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT conv,
+        |    CAST(md5_number_lower('ab-' || user_id) % 2305843009213693951 % 2 AS BIGINT) AS variant,
+        |    CAST(user_id % 5 AS BIGINT) AS segment
+        |  FROM u),
+        |c AS (SELECT segment,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM v GROUP BY segment)
+        |SELECT segment, n_a, c_a, n_b, c_b,
+        |  CASE WHEN n_a > 0 THEN round(c_a::DOUBLE / n_a::DOUBLE, 6) END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN round(c_b::DOUBLE / n_b::DOUBLE, 6) END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round(c_b::DOUBLE / n_b::DOUBLE - c_a::DOUBLE / n_a::DOUBLE, 6) END AS lift,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |      AND (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE > 0
+        |      AND (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE < 1
+        |    THEN round((c_b::DOUBLE / n_b::DOUBLE - c_a::DOUBLE / n_a::DOUBLE)
+        |      / sqrt((c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE
+        |        * (1.0 - (c_a + c_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |        * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6) END AS z
+        |FROM c ORDER BY segment""".stripMargin,
     "json_shred" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,
         |    't' || CAST(doc_id % 5 AS VARCHAR) AS tag_a,

@@ -292,6 +292,45 @@ object Experiment {
           .as("z_score"))
   }
 
+  /** Segment-level experiment readout (the heterogeneity drill-down a
+    * global ab_test hides): per user cohort (user_id mod 5 — a stand-in
+    * for the platform/geo/tenure segment column a real bus carries),
+    * conversion counts per variant, rates, absolute lift, and the
+    * two-proportion pooled z — flagging segments where the treatment
+    * helps or hurts even when the global readout is flat.
+    *
+    * Exact-integer counts; each rate/z is a fixed-order expression of
+    * those ints ending in round-6 (one sqrt, the ab_test discipline).
+    * Degenerate cells (a variant empty, or pooled p ∈ {0,1}) emit
+    * typed nulls rather than NaN. One user rollup + one segment
+    * rollup. */
+  def abSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("variant",
+        pmod(Similarity.md5Mod(concat(lit("ab-"), col("user_id"))), lit(2L)))
+      .withColumn("segment", pmod(col("user_id"), lit(5L)))
+    val cells = users.groupBy(col("segment"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv").cast("long")).otherwise(0L)).as("c_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv").cast("long")).otherwise(0L)).as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a").cast("double")
+    val pb = col("c_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    cells.select(col("segment"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      when(col("n_a") > 0, round(pa, 6)).as("rate_a"),
+      when(col("n_b") > 0, round(pb, 6)).as("rate_b"),
+      when(ok, round(pb - pa, 6)).as("lift"),
+      when(ok && pool > 0 && pool < 1, round((pb - pa) / se, 6)).as("z"))
+  }
+
   /** SPRT boundary/likelihood constants: H0 p=0.10 vs H1 p=0.15,
     * α=0.05, β=0.20. Decision thresholds are the round-6 literals of
     * ln((1−β)/α)=ln(16) and ln(β/(1−α))=ln(4/19), hardcoded so both

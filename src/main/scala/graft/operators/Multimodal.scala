@@ -297,6 +297,90 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Audio record after 2× decimation: geometry + full-file digest
+    * (the multimodalResize convention). */
+  case class ResampledAudio(doc_id: Long, in_rate: Long, out_rate: Long,
+      in_frames: Long, out_frames: Long, out_len: Long, out_sha256: String)
+
+  /** REAL 2× decimation of a PCM WAV payload: read the format fields
+    * from the header, keep every 2nd sample FRAME (all channels of a
+    * frame move together), emit a VALID WAV at half the sample rate —
+    * patched RIFF size, sample rate, byte rate, and data-chunk size.
+    * Nearest-neighbor in time, the audio analog of resizeBmpHalf. */
+  def resampleWavHalf(b: Array[Byte]): Array[Byte] = {
+    val ch = u16le(b, 22)
+    val sr = u32le(b, 24)
+    val ba = u16le(b, 32)            // block align = bytes per frame
+    val dataLen = u32le(b, 40).toInt
+    val nFrames = dataLen / ba
+    val outFrames = (nFrames + 1) / 2
+    val outData = outFrames * ba
+    val out = new Array[Byte](44 + outData)
+    System.arraycopy(b, 0, out, 0, 44)
+    putU32le(out, 4, 36L + outData)        // RIFF chunk size
+    putU32le(out, 24, sr / 2)              // sample rate
+    putU32le(out, 28, (sr / 2) * ch * (u16le(b, 34) / 8)) // byte rate
+    putU32le(out, 40, outData.toLong)      // data chunk size
+    var f = 0
+    while (f < outFrames) {
+      System.arraycopy(b, 44 + (2 * f) * ba, out, 44 + f * ba, ba)
+      f += 1
+    }
+    out
+  }
+
+  /** The audio-resample stage, partition-wise on the WAV third of the
+    * corpus (doc_id % 3 == 1). Digest over the uppercase-hex rendering
+    * like every media gate row. */
+  def multimodalAudioResample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaPayloads(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1)
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { r =>
+          val b = r.payload
+          val o = resampleWavHalf(b)
+          val sb = new java.lang.StringBuilder(o.length * 2)
+          var i = 0
+          while (i < o.length) { sb.append(String.format("%02X", Integer.valueOf(o(i) & 0xff))); i += 1 }
+          digest.reset()
+          val sha = digest.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .map("%02x".format(_)).mkString
+          val ba = u16le(b, 32)
+          ResampledAudio(r.doc_id, u32le(b, 24), u32le(o, 24),
+            u32le(b, 40) / ba, u32le(o, 40) / ba, o.length.toLong, sha)
+        }
+      }.toDF()
+  }
+
+  /** DuckDB oracle for multimodalAudioResample: regenerates the source
+    * WAV hex, rebuilds the decimated file hex (patched sizes + every
+    * kept frame) in SQL, digests it. */
+  val audioResampleOracleSql: String = {
+    val n = wavN; val ba = wavBa; val sr = wavSr; val ch = wavCh
+    val outN = s"((($n) + 1) // 2)"
+    val outData = s"(($outN) * ($ba))"
+    s"""WITH b AS (SELECT doc_id, $wavHex AS src, $sr AS sr, $n AS nf FROM documents
+       |  WHERE doc_id % 3 = 1),
+       |d AS (SELECT doc_id, sr, nf,
+       |    array_to_string(list_transform(range($outN), f ->
+       |      substr(src, 2*(44 + (2*f)*($ba)) + 1, 2*($ba))), '') AS datahex
+       |  FROM b),
+       |f AS (SELECT doc_id, sr, nf,
+       |    '52494646' || ${u32hex(s"$outData + 36")} || '57415645' || '666D7420' ||
+       |    '10000000' || '0100' || ${u16hex(ch)} || ${u32hex(s"($sr) // 2")} ||
+       |    ${u32hex(s"(($sr) // 2) * ($ba)")} || ${u16hex(ba)} || '1000' ||
+       |    '64617461' || ${u32hex(outData)} || datahex AS filehex
+       |  FROM d)
+       |SELECT doc_id, CAST(sr AS BIGINT) AS in_rate, CAST(sr // 2 AS BIGINT) AS out_rate,
+       |  CAST(nf AS BIGINT) AS in_frames, CAST(($outN) AS BIGINT) AS out_frames,
+       |  CAST(length(filehex) // 2 AS BIGINT) AS out_len,
+       |  sha256(filehex) AS out_sha256
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for multimodalResize: regenerates the source BMP
     * hex (the shared generator), then rebuilds the RESIZED file hex —
     * header constants, patched size fields, every sampled pixel, row

@@ -377,6 +377,29 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(lcp.toSeq == Seq(3L, 4L, 0L))
   }
 
+  test("ab_segments cells partition the user table; z replays from counts") {
+    val rows = operators.Experiment.abSegments(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L to 4L).toSet)
+    val totalUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(3)).sum == totalUsers)
+    rows.foreach { r =>
+      val (na, ca, nb, cb) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ca <= na && cb <= nb)
+      if (na > 0 && nb > 0) {
+        val lift = cb.toDouble / nb - ca.toDouble / na
+        assert(math.abs(r.getDouble(7) - BigDecimal(lift)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+        val p = (ca + cb).toDouble / (na + nb)
+        if (p > 0 && p < 1) {
+          val z = lift / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+          assert(math.abs(r.getDouble(8) - BigDecimal(z)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+        }
+      }
+    }
+  }
+
   test("ab_test moments match a local per-user replay") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id").cast("long"), col("event_type"),

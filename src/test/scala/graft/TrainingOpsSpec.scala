@@ -310,6 +310,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio_resample halves a literal WAV with exact frame choice and patched header") {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // stereo 16-bit, 5 frames (ba=4): frame f carries bytes 4f..4f+3
+    val data = (0 until 5).flatMap(f => Seq[Byte]((4 * f).toByte, (4 * f + 1).toByte,
+      (4 * f + 2).toByte, (4 * f + 3).toByte)).toArray
+    val wav = "RIFF".getBytes ++ le32(36 + 20) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+      le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++ le32(8000 * 4) ++
+      le16(4) ++ le16(16) ++ "data".getBytes ++ le32(20) ++ data
+    val out = Multimodal.resampleWavHalf(wav)
+    // ceil(5/2) = 3 frames kept (0, 2, 4): 12 data bytes, file 56
+    assert(out.length == 56)
+    assert(out.slice(44, 56).toSeq == Seq[Byte](0, 1, 2, 3, 8, 9, 10, 11, 16, 17, 18, 19).toSeq)
+    import spark.implicits._
+    val meta = Multimodal.decodeMeta(Seq(MediaRecord(9L, out)).toDS()).head()
+    assert(meta.getAs[String]("media_type") == "wav")
+    assert(meta.getAs[Long]("sample_rate") == 4000 && meta.getAs[Long]("channels") == 2)
+    assert(meta.getAs[Long]("data_bytes") == 12)
+    Multimodal.multimodalAudioResample(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("out_rate") * 2 == r.getAs[Long]("in_rate"))
+      assert(r.getAs[Long]("out_frames") == (r.getAs[Long]("in_frames") + 1) / 2)
+    }
+  }
+
   test("multimodal generator emits well-formed files the decoder accepts") {
     val m = Multimodal.multimodalMeta(spark, sf).limit(200).collect()
     assert(m.nonEmpty)
