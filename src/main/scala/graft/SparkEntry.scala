@@ -158,6 +158,7 @@ object SparkEntry {
     "lang_id" -> (TextMetrics.langId _),
     "quality_score" -> (TextMetrics.qualityScore _),
     "token_count" -> (TextMetrics.tokenCount _),
+    "tokenizer_fertility" -> (Tokenize.tokenizerFertility _),
     "unigram_score" -> (TextMetrics.unigramScore _),
     "text_redact" -> (TextMetrics.textRedact _),
     "corpus_stats" -> (TextMetrics.corpusStats _),
@@ -1752,6 +1753,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tokenizer_fertility" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+        |    CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(bpe) AS BIGINT)::DOUBLE / CAST(sum(ws) AS BIGINT)::DOUBLE, 6) AS fertility,
+        |  round(CAST(sum(chars) AS BIGINT)::DOUBLE / CAST(sum(bpe) AS BIGINT)::DOUBLE, 6) AS chars_per_token
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "unigram_score" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

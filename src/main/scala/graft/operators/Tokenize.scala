@@ -122,4 +122,30 @@ object Tokenize {
       .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
       .limit(Bpe2TopN)
   }
+
+  /** TOKENIZER FERTILITY by source — the tokenizer-selection table:
+    * fertility (subword tokens per whitespace word) and compression
+    * (chars per subword token) tell you which sources a tokenizer
+    * fragments worst, i.e. where sequence budgets and training cost
+    * blow up. Uses token_count's own two tokenizations (whitespace,
+    * BPE-ish regex) so the two gate rows describe the same streams;
+    * exact integer sums per source, ratios as single fixed divides
+    * rounded to 6. One aggregation shuffle on source. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
 }

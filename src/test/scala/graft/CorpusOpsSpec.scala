@@ -48,6 +48,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer_fertility aggregates token_count's own streams exactly") {
+    val perDoc = TextMetrics.tokenCount(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("chars")),
+        Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("ws_tokens"),
+        r.getAs[Long]("bpe_tokens"), r.getAs[Long]("chars")))
+    val model = perDoc.groupBy(_._1).map { case (s, rs) =>
+      (s, rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+    }
+    val got = graft.operators.Tokenize.tokenizerFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    model.foreach { case (s, n, ws, bpe, chars) =>
+      val r = got(s)
+      assert(r.getLong(1) == n && r.getLong(2) == ws && r.getLong(3) == bpe, s)
+      assert(math.abs(r.getDouble(4) - bpe.toDouble / ws) < 1e-5, s"$s fertility")
+      assert(math.abs(r.getDouble(5) - chars.toDouble / bpe) < 1e-5, s"$s compression")
+      // the BPE-ish tokenizer must fragment more than whitespace
+      assert(r.getDouble(4) > 1.0, s"$s fertility must exceed 1")
+    }
+  }
+
   test("sample_stratified keeps ~rate per language with exact HT weights") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val perLang = docs.groupBy("lang").count().collect()
