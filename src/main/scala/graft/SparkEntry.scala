@@ -159,6 +159,7 @@ object SparkEntry {
     "quality_score" -> (TextMetrics.qualityScore _),
     "token_count" -> (TextMetrics.tokenCount _),
     "tokenizer_fertility" -> (Tokenize.tokenizerFertility _),
+    "graph_hits" -> (Graph.graphHits _),
     "unigram_score" -> (TextMetrics.unigramScore _),
     "text_redact" -> (TextMetrics.textRedact _),
     "corpus_stats" -> (TextMetrics.corpusStats _),
@@ -3571,6 +3572,29 @@ object SparkEntry {
         |  CAST(max(e) - min(s) AS BIGINT) AS span_us,
         |  CAST(count(*) AS BIGINT) AS n_merged
         |FROM m3 GROUP BY user_id, grp ORDER BY user_id, grp""".stripMargin,
+    "graph_hits" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        |  FROM lineitem WHERE l_quantity > 25),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |a1 AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY v),
+        |h1 AS (SELECT e.u, CAST(sum(a1.n) AS BIGINT) AS n
+        |  FROM e JOIN a1 ON e.v = a1.v GROUP BY e.u),
+        |a2 AS (SELECT e.v, CAST(sum(h1.n) AS BIGINT) AS n
+        |  FROM e JOIN h1 ON e.u = h1.u GROUP BY e.v),
+        |h2 AS (SELECT e.u, CAST(sum(a2.n) AS BIGINT) AS n
+        |  FROM e JOIN a2 ON e.v = a2.v GROUP BY e.u),
+        |verts AS (SELECT u AS partkey FROM e UNION SELECT v FROM e),
+        |mx AS (SELECT (SELECT max(n) FROM a2) AS ma, (SELECT max(n) FROM h2) AS mh)
+        |SELECT verts.partkey,
+        |  CAST(coalesce(a2.n, 0) AS BIGINT) AS auth,
+        |  CAST(coalesce(h2.n, 0) AS BIGINT) AS hub,
+        |  round(coalesce(a2.n, 0)::DOUBLE / mx.ma::DOUBLE, 6) AS auth_score,
+        |  round(coalesce(h2.n, 0)::DOUBLE / mx.mh::DOUBLE, 6) AS hub_score
+        |FROM verts LEFT JOIN a2 ON verts.partkey = a2.v
+        |  LEFT JOIN h2 ON verts.partkey = h2.u
+        |  CROSS JOIN mx
+        |ORDER BY verts.partkey""".stripMargin,
     "graph_community" ->
       s"""WITH $lpLabelCtes
          |SELECT lv AS partkey, lbl AS community

@@ -726,4 +726,47 @@ object Graph {
     out
   }
 
+  /** HITS hubs/authorities (Kleinberg) over the canonically-oriented
+    * co-purchase graph (u < v — symmetric adjacency would make hub ≡
+    * authority, a degenerate readout). Two full mutual-reinforcement
+    * iterations run UNNORMALIZED in exact integers: the k-th scores
+    * are directed path counts (auth₂ = paths of length 3 ending at v,
+    * hub₂ = length 4 from u), so every intermediate is a BIGINT both
+    * engines compute identically, and the usual per-round float
+    * normalization — which would compound cross-engine ulps — happens
+    * ONCE at the end as a single divide by the max, round 6.
+    *
+    * Scale shape: four sparse mat-vec steps, each an edges⋈vector
+    * equi-join + sum agg inside the cached hash(u) edge layout —
+    * cost is iterations × one shuffle, the pagerank discipline. */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = directedEdges(spark, sfDir).filter(col("u") < col("v")).persist()
+    e.count()
+    def matvecT(vec: DataFrame): DataFrame = // authᵀ step: mass flows u→v
+      e.join(vec.withColumnRenamed("pk", "u"), Seq("u"))
+        .groupBy(col("v").as("pk")).agg(sum(col("n")).as("n"))
+    def matvec(vec: DataFrame): DataFrame =   // hub step: collect from v
+      e.join(vec.withColumnRenamed("pk", "v"), Seq("v"))
+        .groupBy(col("u").as("pk")).agg(sum(col("n")).as("n"))
+    val auth1 = e.groupBy(col("v").as("pk")).agg(count(lit(1)).as("n"))
+    val hub1 = matvec(auth1).localCheckpoint()
+    val auth2 = matvecT(hub1).localCheckpoint()
+    val hub2 = matvec(auth2).localCheckpoint()
+    val verts = e.select(col("u").as("partkey"))
+      .union(e.select(col("v"))).distinct()
+    val maxes = auth2.agg(max(col("n")).as("ma"))
+      .crossJoin(hub2.agg(max(col("n")).as("mh")))
+    val out = verts
+      .join(auth2.select(col("pk").as("partkey"), col("n").as("auth")), Seq("partkey"), "left")
+      .join(hub2.select(col("pk").as("partkey"), col("n").as("hub")), Seq("partkey"), "left")
+      .na.fill(0L, Seq("auth", "hub"))
+      .crossJoin(broadcast(maxes))
+      .select(col("partkey"), col("auth"), col("hub"),
+        round(col("auth").cast("double") / col("ma").cast("double"), 6).as("auth_score"),
+        round(col("hub").cast("double") / col("mh").cast("double"), 6).as("hub_score"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
 }

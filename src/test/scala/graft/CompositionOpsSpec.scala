@@ -377,6 +377,34 @@ class CompositionOpsSpec extends AnyFunSuite {
     assert(lcp.toSeq == Seq(3L, 4L, 0L))
   }
 
+  test("graph_hits path counts replay from a brute-force in-memory HITS") {
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 25)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      .distinct().collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { g =>
+        val ps: Seq[Long] = g.map(_._2).distinct.sorted
+        ps.flatMap(a => ps.filter(_ > a).map(b => (a, b)))
+      }.toSet
+    // NB: map over Seq, not the grouped Set — equal addends must not collapse
+    val a1 = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val h1 = edges.groupBy(_._1).view
+      .mapValues(_.toSeq.map(e => a1(e._2)).sum).toMap
+    val a2 = edges.groupBy(_._2).view
+      .mapValues(_.toSeq.map(e => h1.getOrElse(e._1, 0L)).sum).toMap
+    val h2 = edges.groupBy(_._1).view
+      .mapValues(_.toSeq.map(e => a2.getOrElse(e._2, 0L)).sum).toMap
+    val got = operators.Graph.graphHits(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    assert(got.keySet == verts)
+    verts.foreach { v =>
+      assert(got(v) == (a2.getOrElse(v, 0L), h2.getOrElse(v, 0L)), s"vertex $v")
+    }
+    // orientation makes the two roles genuinely different
+    assert(got.values.exists(p => p._1 != p._2), "hub == auth everywhere: degenerate")
+  }
+
   test("ab_segments cells partition the user table; z replays from counts") {
     val rows = operators.Experiment.abSegments(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSet == (0L to 4L).toSet)
