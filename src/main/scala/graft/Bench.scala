@@ -124,10 +124,25 @@ object Bench {
     // carry all of them: the driver keeps a 2000-char tail and 225 keys
     // need ≥3.9k chars even at zero decimals, so the stdout map sheds
     // its fastest entries ("queries_omitted") while this file never does.
+    // count newlines with a fixed-size buffer — each history line holds a
+    // full ~240-query map, so materializing the whole file per run would
+    // cost quadratic I/O as rounds accumulate
     val seq = {
       val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readAllLines(p).size + 1 else 1
+      if (!java.nio.file.Files.exists(p)) 1
+      else {
+        val in = java.nio.file.Files.newInputStream(p)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var lines = 0; var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) { if (buf(i) == '\n') lines += 1; i += 1 }
+            n = in.read(buf)
+          }
+          lines + 1
+        } finally in.close()
+      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
       s"""{"seq":$seq,"total":$total,"cpus":$cpus,"passes":$nPasses,""" +

@@ -25,12 +25,16 @@ import graft.sources.Tables
 object Boilerplate {
 
   /** Length of the common prefix of two strings (linear: char arrays
-    * zipped, first mismatch position). */
+    * zipped, first mismatch position). When one string is a strict
+    * prefix of the other, zip_with pads the shorter array with nulls so
+    * x === y is null (never false) past its end — the not-found branch
+    * must therefore return the SHORTER length, not size(eq). */
   def lcpLen(a: Column, b: Column): Column = {
     val eq = zip_with(split(a, ""), split(b, ""),
       (x: Column, y: Column) => x === y)
     val firstFalse = array_position(eq, lit(false))
-    when(firstFalse === 0, size(eq)).otherwise(firstFalse - 1).cast("long")
+    when(firstFalse === 0, least(length(a), length(b)))
+      .otherwise(firstFalse - 1).cast("long")
   }
 
   def prefixBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {

@@ -172,7 +172,7 @@ object Composition {
       .agg(sum(col("n") * col("n")).as("sum_nsq"), sum(col("n")).as("n_inst"))
     val probe = ord.withColumn("lag",
       explode(array(AutocorrLags.map(lit(_)): _*)))
-    probe.as("a").join(ord.as("b"),
+    val out = probe.as("a").join(ord.as("b"),
         col("a.shard") === col("b.shard") &&
           col("b.pos") === col("a.pos") - col("a.lag"))
       .groupBy(col("a.lag").as("lag"))
@@ -185,6 +185,12 @@ object Composition {
         round(col("sum_nsq").cast("double") /
           (col("n_inst").cast("double") * col("n_inst").cast("double")), 6)
           .as("expected_rate"))
+      // |lags|-row result: materialize it eagerly so the big cached
+      // order table can be released NOW instead of leaking for the
+      // session lifetime (the graphHits pattern)
+      .localCheckpoint()
+    ord.unpersist()
+    out
   }
 
   /** Number of cross-validation folds. */

@@ -246,6 +246,15 @@ object Multimodal {
     * fresh size fields, fresh 4-byte row alignment. Output dims are
     * ceil(in/2). */
   def resizeBmpHalf(b: Array[Byte]): Array[Byte] = {
+    // the kernel assumes the canonical layout the corpus writes: 54-byte
+    // headers (bfOffBits=54), bottom-up 24bpp, no palette. A foreign BMP
+    // (palette, top-down, other bfOffBits) must fail loudly here instead
+    // of silently emitting corrupt pixels.
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      "resizeBmpHalf: not a BMP payload")
+    require(u32le(b, 10) == 54L, s"resizeBmpHalf: unsupported bfOffBits ${u32le(b, 10)} (expected 54)")
+    require(u16le(b, 28) == 24, s"resizeBmpHalf: unsupported biBitCount ${u16le(b, 28)} (expected 24)")
+    require(s32le(b, 22) > 0, "resizeBmpHalf: top-down (negative biHeight) BMP unsupported")
     val w = s32le(b, 18).toInt; val h = s32le(b, 22).toInt
     val stride = ((w * 3 + 3) / 4) * 4
     val ow = (w + 1) / 2; val oh = (h + 1) / 2
@@ -308,6 +317,17 @@ object Multimodal {
     * patched RIFF size, sample rate, byte rate, and data-chunk size.
     * Nearest-neighbor in time, the audio analog of resizeBmpHalf. */
   def resampleWavHalf(b: Array[Byte]): Array[Byte] = {
+    // canonical 44-byte PCM WAV only: RIFF/WAVE magic, fmt chunk at 12,
+    // the data chunk id at 36. A WAV with extra chunks before 'data'
+    // (LIST/INFO etc.) must fail loudly, not be decimated mid-chunk.
+    require(b.length >= 44 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+      b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte,
+      "resampleWavHalf: not a RIFF/WAVE payload")
+    require(u16le(b, 20) == 1, s"resampleWavHalf: non-PCM format ${u16le(b, 20)}")
+    require(b(36) == 'd'.toByte && b(37) == 'a'.toByte &&
+      b(38) == 't'.toByte && b(39) == 'a'.toByte,
+      "resampleWavHalf: data chunk not at offset 36 (extra chunks unsupported)")
     val ch = u16le(b, 22)
     val sr = u32le(b, 24)
     val ba = u16le(b, 32)            // block align = bytes per frame

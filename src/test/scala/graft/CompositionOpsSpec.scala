@@ -371,10 +371,13 @@ class CompositionOpsSpec extends AnyFunSuite {
     }
     // the library LCP helper on literals, incl. the identical-pair edge
     import spark.implicits._
-    val lcp = Seq(("abcx", "abcy"), ("same", "same"), ("", "x"))
+    val lcp = Seq(("abcx", "abcy"), ("same", "same"), ("", "x"),
+      ("ab", "abc"), ("abc", "ab"))
       .toDF("a", "b")
       .select(operators.Boilerplate.lcpLen(col("a"), col("b"))).as[Long].collect()
-    assert(lcp.toSeq == Seq(3L, 4L, 0L))
+    // strict-prefix pairs must return the SHORTER length (zip_with pads
+    // the short side with nulls, so the mismatch is never a false)
+    assert(lcp.toSeq == Seq(3L, 4L, 0L, 2L, 2L))
   }
 
   test("graph_hits path counts replay from a brute-force in-memory HITS") {
