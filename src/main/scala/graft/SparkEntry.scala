@@ -121,6 +121,7 @@ object SparkEntry {
     "match_certitude" -> (EntityMatch.matchCertitude _),
     "id_dedup" -> (EntityMatch.idDedup _),
     "match_eval" -> (EntityMatch.matchEval _),
+    "count_empty" -> (EntityMatch.countEmpty _),
     "sorted_blocking" -> (EntityMatch.sortedBlocking _),
     "enrich_join" -> (EnrichJoin.enrichJoin _),
     "enrich_wide" -> (EnrichJoin.enrichWide _),
@@ -817,6 +818,24 @@ object SparkEntry {
         |  coalesce(m.certitude, 0) AS certitude
         |FROM customer c LEFT JOIN matched m ON c.c_custkey = m.c_custkey
         |ORDER BY c.c_custkey""".stripMargin,
+    "count_empty" ->
+      // independent derivation: under the cascade, a customer ends with
+      // no id iff its nation has no supplier at all (the fuzzy pass
+      // matches any same-nation candidate) — the oracle states that
+      // directly instead of replaying the cascade
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
+        |      THEN 0 ELSE 1 END AS is_empty
+        |  FROM customer),
+        |tagged AS (
+        |  SELECT 'real' AS dataset, is_empty FROM base
+        |  UNION ALL
+        |  SELECT 'test' AS dataset, is_empty FROM base WHERE c_custkey % 7 < 3)
+        |SELECT dataset, CAST(sum(is_empty) AS BIGINT) AS empty_rows,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  round(CAST(sum(is_empty) AS DOUBLE) * 100.0 / count(*), 2) AS pct_empty
+        |FROM tagged GROUP BY dataset ORDER BY dataset""".stripMargin,
     "match_certitude" ->
       """WITH scored AS (
         |  SELECT c_custkey, c_acctbal, s_suppkey, s_acctbal,

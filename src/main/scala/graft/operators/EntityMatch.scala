@@ -374,6 +374,33 @@ object EntityMatch {
       Seq("entity_cascade", "match_certitude"))
   }
 
+  /** Silence audit over the cascade output — the reference's
+    * count_empty (script/itemtoid_test.py:299): after the run, how
+    * many items still carry NO id, counted over the labeled test
+    * subset AND the full table, as the representativeness check that
+    * the test sample reflects the whole corpus. Empty = no candidate
+    * at any cascade level (entityCascade certitude 0 / null match_id);
+    * the test subset is match_eval's ~3/7 sampling rule, so this row
+    * pair audits exactly the population match_eval scores.
+    *
+    * Shape: one scan of the cascade output; each row contributes to
+    * 'real' and, when sampled, to 'test' via a row-local 1-or-2-element
+    * explode — a single 2-group hash aggregate (map-side combined), no
+    * second corpus pass. Percentages follow the reference's
+    * round(empty/total*100, 2). */
+  def countEmpty(spark: SparkSession, sfDir: String): DataFrame = {
+    entityCascade(spark, sfDir)
+      .select(col("match_id").isNull.cast("long").as("is_empty"),
+        explode(when(col("c_custkey") % 7 < 3,
+          array(lit("test"), lit("real"))).otherwise(array(lit("real"))))
+          .as("dataset"))
+      .groupBy(col("dataset"))
+      .agg(sum(col("is_empty")).as("empty_rows"), count(lit(1)).as("total_rows"))
+      .select(col("dataset"), col("empty_rows"), col("total_rows"),
+        round(col("empty_rows").cast("double") * 100.0 /
+          col("total_rows").cast("double"), 2).as("pct_empty"))
+  }
+
   /** Sorted-neighborhood window width (pairs up to this rank apart). */
   final val SnWindow = 3
 

@@ -181,6 +181,31 @@ class ReferenceOpsSpec extends AnyFunSuite {
     assert(c.groupBy("c_custkey").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("count_empty replays from a local scan of the cascade output") {
+    val casc = EntityMatch.entityCascade(spark, sf)
+      .select(col("c_custkey"), col("match_id")).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1)))
+    def stats(rows: Array[(Long, Boolean)]) = {
+      val empty = rows.count(_._2); val total = rows.length
+      (empty.toLong, total.toLong,
+        BigDecimal(empty.toDouble * 100.0 / total)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = Map(
+      "real" -> stats(casc),
+      "test" -> stats(casc.filter(_._1 % 7 < 3)))
+    val got = EntityMatch.countEmpty(spark, sf).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (e, t, p) = expect(r.getAs[String]("dataset"))
+      assert(r.getAs[Long]("empty_rows") == e && r.getAs[Long]("total_rows") == t
+        && r.getAs[Double]("pct_empty") == p,
+        s"${r.getAs[String]("dataset")}: got $r expected ($e,$t,$p)")
+    }
+    // the test subset must be a strict, non-empty sample
+    assert(expect("test")._2 > 0 && expect("test")._2 < expect("real")._2)
+  }
+
   test("entity_lattice equals a literal sequential retry replay") {
     // replay the reference's retry order literally (try each lattice
     // level in sequence, stop at the first non-empty candidate set,
