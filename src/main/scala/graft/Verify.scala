@@ -21,6 +21,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pay every shared warehouse build up front (full-suite runs touch
+    // all of them anyway; skipped for filtered dev loops, where building
+    // all warehouses could dwarf the one query under test)
+    if (only.isEmpty) Warehouses.prebuild(spark, sfDir).foreach { case (n, s) =>
+      System.err.println(f"[verify] warehouse $n built in $s%.1fs")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -117,6 +117,11 @@ object Dedup {
   private val mhMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Force the verified minhash-pair warehouse build — see
+    * graft.Warehouses.prebuild. */
+  private[graft] def prebuild(spark: SparkSession, sfDir: String): Unit =
+    minhashPairs(spark, sfDir)
+
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = mhMemo.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$sfDir",
@@ -626,6 +631,10 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
         .filter(col("lab") =!= col("prev")).count()
+      // the superseded round's checkpoint blocks are freed NOW, not at
+      // some future GC — a long loop otherwise stacks one vertex-sized
+      // block set per round in the block manager
+      graft.plans.Checkpoints.free(labels)
       labels = next
       rounds += 1
     }

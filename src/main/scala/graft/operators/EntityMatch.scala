@@ -60,6 +60,11 @@ object EntityMatch {
   private val bestMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Force the best-match warehouse build — see
+    * graft.Warehouses.prebuild. */
+  private[graft] def prebuild(spark: SparkSession, sfDir: String): Unit =
+    bestPacked(spark, sfDir)
+
   private def bestPacked(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = bestMemo.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$sfDir",

@@ -34,6 +34,17 @@ object Graph {
   private val triMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Force the graph-family warehouse builds (edge list, triangle
+    * counts, community labels) for this (session, dataset) — see
+    * graft.Warehouses.prebuild. The edge list's iteration-ready persist
+    * is released immediately: prebuild pays the parquet build, not a
+    * cache residency. */
+  private[graft] def prebuild(spark: SparkSession, sfDir: String): Unit = {
+    directedEdges(spark, sfDir).unpersist()
+    triangleCounts(spark, sfDir)
+    communityLabels(spark, sfDir)
+  }
+
   private def triangleCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = triMemo.computeIfAbsent(
       s"${System.identityHashCode(spark)}|$sfDir",
@@ -315,6 +326,9 @@ object Graph {
       val n2 = next.count()
       converged = n2 == nEdges
       nEdges = n2
+      // free the superseded round's checkpoint storage eagerly (no-op
+      // on the first round, when e is still the persisted edge layout)
+      graft.plans.Checkpoints.free(e)
       e = next
       rounds += 1
     }
@@ -462,6 +476,7 @@ object Graph {
         .localCheckpoint()
       changed = next.join(dist.select(col("id"), col("dist").as("pd")), Seq("id"))
         .filter(!(col("dist") <=> col("pd"))).count()
+      graft.plans.Checkpoints.free(dist)
       dist = next
       rounds += 1
     }
@@ -612,6 +627,10 @@ object Graph {
       delta = pr.join(prev.select(col("id"), col("pr").as("prev_pr")), Seq("id"))
         .agg(max(abs(col("pr") - col("prev_pr"))).as("d"))
         .head().getLong(0)
+      // ~60 retained checkpoint copies at the 100× probe otherwise —
+      // free the superseded window's blocks as soon as the delta that
+      // needed them is computed
+      graft.plans.Checkpoints.free(prev)
     }
     nodes.unpersist()
     require(delta <= tol, s"pagerank did not converge in $rounds rounds (delta=$delta)")
@@ -766,6 +785,9 @@ object Graph {
         round(col("hub").cast("double") / col("mh").cast("double"), 6).as("hub_score"))
       .localCheckpoint()
     e.unpersist()
+    // the chained mat-vec intermediates are checkpointed vertex-sized
+    // tables out no longer references — free their blocks eagerly
+    Seq(hub1, auth2, hub2).foreach(graft.plans.Checkpoints.free)
     out
   }
 

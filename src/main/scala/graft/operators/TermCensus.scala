@@ -51,4 +51,9 @@ object TermCensus {
       })
     spark.read.parquet(dir)
   }
+
+  /** Force the census build for this (session, dataset) — see
+    * graft.Warehouses.prebuild. */
+  private[graft] def prebuild(spark: SparkSession, sfDir: String): Unit =
+    docTermTf(spark, sfDir)
 }

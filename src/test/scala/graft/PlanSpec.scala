@@ -16,6 +16,106 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("every non-equi join in every registered query has a provably tiny side") {
+    // A BroadcastNestedLoopJoin is only acceptable when one side is a
+    // broadcast SCALAR (a grand-total aggregate, maxRows = 1) or a
+    // provably bounded enumeration — anything else is a latent
+    // cartesian product that works at test SF and detonates at 100 TB.
+    // Catalyst's logical maxRows proves the bound statically: a global
+    // aggregate reports Some(1), limits report Some(n), and products/
+    // unions propagate. Queries whose tiny side is data-derived (a
+    // distinct over an enumerable column) carry an explicit exemption
+    // with the domain bound that justifies it; a NEW unbounded
+    // non-equi join fails this test instead of shipping.
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val bound = 64L
+    // static row bound: Catalyst's maxRows plus the pass-through nodes
+    // it loses the bound under (broadcast() wraps in a ResolvedHint,
+    // whose default UnaryNode.maxRows is None)
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, CreateArray, Explode, Literal, PosExplode}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // static element count of an array expression: literal arrays
+    // (typedLit grids, constant-folded sequence(..) grids), CreateArray,
+    // and 1:1 transforms over them
+    def arraySize(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] = e match {
+      case Literal(a: ArrayData, _) => Some(a.numElements().toLong)
+      case c: CreateArray => Some(c.children.size.toLong)
+      case t: ArrayTransform => arraySize(t.argument)
+      case _ => None
+    }
+    def boundedRows(p: LogicalPlan): Option[Long] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Some(1L)
+      case _ if p.maxRows.isDefined => p.maxRows
+      case h: ResolvedHint => boundedRows(h.child)
+      case pr: Project => boundedRows(pr.child)
+      case f: Filter => boundedRows(f.child)
+      case s: SubqueryAlias => boundedRows(s.child)
+      case g: Generate =>
+        val per = g.generator match {
+          case Explode(ch) => arraySize(ch)
+          case PosExplode(ch) => arraySize(ch)
+          case _ => None
+        }
+        for (c <- boundedRows(g.child); n <- per) yield c * n
+      case j: Join =>
+        for (l <- boundedRows(j.left); r <- boundedRows(j.right)) yield l * r
+      case _ => None
+    }
+    // Data-derived tiny sides the bound cannot prove statically — each
+    // exempt row names the domain bound that justifies its non-equi
+    // join(s). Adding a NEW non-equi join to an exempt query still
+    // fails (site counts are pinned).
+    val exempt: Map[String, (Int, String)] = Map(
+      "ann_ivf" -> (2, "IVF centroid table: exactly AnnIvfCells rows by construction"),
+      "ann_tune" -> (2, "same IVF centroid table across the nprobe sweep"),
+      "cluster_assign" -> (4, "k-means centroid tables: exactly KmeansK rows per pass"),
+      "cluster_metrics" -> (4, "same centroid tables as cluster_assign"),
+      "semantic_dedup" -> (3, "same centroid tables as cluster_assign"),
+      "audience_overlap" -> (1, "event-type pair enumeration: C(|event types|, 2), |types| fixed by the event schema"),
+      "kmv_overlap" -> (4, "per-event-type KMV sketches: one row per type pair"),
+      "dedup_cross_source" -> (1, "per-source signature aggregates: one row per source label"),
+      "source_kl" -> (1, "per-source distributions (|sources|) × bounded-heap top-K vocab"),
+      "ks_test" -> (1, "per-source sample CDFs: side rows bounded by |sources|"),
+      "bpe_train2" -> (1, "BPE merge-rank table: exactly BpeMerges rows by construction"))
+    val unboundedSites = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        plan.collect {
+          case j: Join =>
+            val equi = j.condition.exists(_.exists {
+              case EqualTo(l, r) =>
+                (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+                  (r.references.subsetOf(j.left.outputSet) && l.references.subsetOf(j.right.outputSet))
+              case EqualNullSafe(l, r) =>
+                (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+                  (r.references.subsetOf(j.left.outputSet) && l.references.subsetOf(j.right.outputSet))
+              case _ => false
+            })
+            if (!equi &&
+              !boundedRows(j.left).exists(_ <= bound) &&
+              !boundedRows(j.right).exists(_ <= bound))
+              Some(name -> s"left=${j.left.nodeName}, right=${j.right.nodeName}")
+            else None
+        }.flatten
+      }
+    val byQuery = unboundedSites.groupBy(_._1)
+    val offenders = byQuery.toSeq.sortBy(_._1).flatMap { case (name, sites) =>
+      exempt.get(name) match {
+        case Some((n, _)) if sites.length == n => None
+        case Some((n, _)) => Some(s"$name: ${sites.length} unbounded non-equi " +
+          s"sites but exemption pins $n — new site needs its own justification")
+        case None => Some(s"$name: unbounded non-equi join(s): " +
+          sites.map(_._2).mkString("; "))
+      }
+    } ++ exempt.collect {
+      case (name, (n, _)) if byQuery.get(name).forall(_.length < n) =>
+        s"$name: exemption pins $n sites but only " +
+          s"${byQuery.get(name).map(_.length).getOrElse(0)} found — tighten the exemption"
+    }
+    assert(offenders.isEmpty, "non-equi join guard:\n" + offenders.mkString("\n"))
+  }
+
   test("q1_agg pushes the shipdate filter into the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
