@@ -53,6 +53,21 @@ case class EwmaState(curHour: Long, curN: Long, curCents: Long,
 case class EwmaOut(event_type: String, hour_us: Long, n_events: Long,
   hour_value: Double, ewma_value: Double)
 
+/** One event routed into the streaming nearest-as-of. */
+case class NearEvent(user_id: Long, event_id: Long, ts_us: Long,
+    event_type: String)
+/** A left event buffered until a signup at ts ≥ its own arrives (its
+  * backward candidate frozen at buffer time). */
+case class NearPend(event_id: Long, ts_us: Long, event_type: String,
+    prev_ts: Long, prev_id: Long, prev_has: Boolean)
+/** Per-user deferred-emission state: latest signup seen + the buffer. */
+case class NearState(last_ts: Long, last_id: Long, has: Boolean,
+    pend: Seq[NearPend])
+/** One resolved nearest-as-of row (the batch eventsAsofNearest shape;
+  * dt_us > 0 = the signup preceded the event). */
+case class NearOut(event_id: Long, user_id: Long, ts_us: Long,
+    event_type: String, signup_event_id: Long, dt_us: Long)
+
 /** One event routed into the streaming first-seen tracker. */
 case class SeenEvent(user_id: Long, day: Long)
 /** Per-user first-seen day — state AND emitted record. */
@@ -404,6 +419,88 @@ object EventStreams {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("value").cast("decimal(18,2)").as("value_c"))
       .as[RollEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Streaming twin of AsOfJoin.eventsAsofNearest's FORWARD half — the
+    * deferred-emission buffer the batch scaladoc declared future work:
+    * a left event cannot resolve "nearest signup, before or after"
+    * until the future is bounded, so each left row is BUFFERED with its
+    * backward candidate frozen, and resolves the moment the FIRST
+    * signup at ts ≥ its own arrives — any later signup is strictly
+    * farther, so that first one decides the forward side and the
+    * row-local |Δt| pick (tie → backward, the merge_asof rule) is
+    * final. Events with no future signup in the data stay in state
+    * (the parity test excludes exactly those rows from batch truth);
+    * against a live source the same buffer would be flushed
+    * backward-only by an event-time timeout at the watermark.
+    *
+    * State per user: the latest signup (scalar) + the buffer of lefts
+    * since that signup — bounded by the user's event rate between
+    * signups, never by history. Simultaneous-timestamp semantics match
+    * the batch window ordering (_src sorts right first): a signup at
+    * the left row's own ts resolves it at distance 0, and concurrent
+    * signups at one ts dedup to max event_id, the batch right-side
+    * dedup rule.
+    *
+    * Contract: per-key in-order delivery with timestamp peers in one
+    * micro-batch (the chronological-slice parity test exercises
+    * three). */
+  def nearestSignup(spark: SparkSession, events: DataFrame): Dataset[NearOut] = {
+    import spark.implicits._
+
+    def step(userId: Long, rows: Iterator[NearEvent],
+        state: GroupState[NearState]): Iterator[NearOut] = {
+      def chunkByTs(sorted: Seq[NearEvent]): Seq[Seq[NearEvent]] =
+        if (sorted.isEmpty) Nil
+        else sorted.foldLeft(Vector.empty[Vector[NearEvent]]) { (acc, e) =>
+          if (acc.nonEmpty && acc.last.head.ts_us == e.ts_us)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+        }
+      var st = state.getOption.getOrElse(NearState(0L, 0L, has = false, Nil))
+      var pend = st.pend.toVector
+      val out = Vector.newBuilder[NearOut]
+      def resolve(p: NearPend, nextTs: Long, nextId: Long): NearOut = {
+        val dPrev = p.ts_us - p.prev_ts
+        val dNext = nextTs - p.ts_us
+        if (p.prev_has && dPrev <= dNext)
+          NearOut(p.event_id, userId, p.ts_us, p.event_type, p.prev_id, dPrev)
+        else
+          NearOut(p.event_id, userId, p.ts_us, p.event_type, nextId, -dNext)
+      }
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      for (peers <- chunkByTs(sorted)) {
+        val t = peers.head.ts_us
+        // concurrent signups dedup to max event_id (the batch rule)
+        val signup = peers.filter(_.event_type == "signup")
+          .map(_.event_id).maxOption
+        signup.foreach { sid =>
+          // first signup ≥ their ts: every buffered left resolves now
+          pend.foreach(p => out += resolve(p, t, sid))
+          pend = Vector.empty
+        }
+        peers.foreach { e =>
+          signup match {
+            case Some(sid) => out += resolve(
+              NearPend(e.event_id, e.ts_us, e.event_type,
+                st.last_ts, st.last_id, st.has), t, sid)
+            case None => pend :+= NearPend(e.event_id, e.ts_us, e.event_type,
+              st.last_ts, st.last_id, st.has)
+          }
+        }
+        signup.foreach(sid => st = st.copy(last_ts = t, last_id = sid, has = true))
+      }
+      state.update(st.copy(pend = pend))
+      out.result().iterator
+    }
+
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[NearEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
   }

@@ -361,6 +361,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(messages(exC).exists(_.contains("out-of-order")), messages(exC).mkString(" | "))
   }
 
+  test("streaming nearest-as-of resolves each event at the first signup past it, single and sliced") {
+    import graft.operators.AsOfJoin
+    val ev = graft.sources.Tables.events(spark, sf)
+    // batch truth restricted to RESOLVABLE rows: a left event resolves
+    // when a signup at ts ≥ its own exists; rows past the user's last
+    // signup stay buffered in state (watermark-flushed in production)
+    val sgMax = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("max_sg"))
+    val truth = AsOfJoin.eventsAsofNearest(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .join(sgMax, Seq("user_id"))
+      .filter(col("max_sg") >= col("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        col("signup_event_id"), col("dt_us"))
+      .collect().map(_.mkString("|")).toSet
+    val single = runToSetAppendRaw(
+      EventStreams.nearestSignup(spark,
+        EventStreams.readEvents(spark, streamDir)).toDF(), "near_single")
+    assert(single == truth)
+    val src = chronologicalSource("near", Seq("2024-01-10", "2024-01-20"))
+    val sliced = runToSetAppendRaw(
+      EventStreams.nearestSignup(spark, src).toDF(), "near_sliced")
+    assert(sliced == truth)
+    assert(truth.nonEmpty)
+  }
+
   /** Events re-written as N chronological slice files with ascending
     * mod-times, plus a maxFilesPerTrigger=1 source replaying them in
     * event order — one micro-batch per slice. */
