@@ -358,11 +358,13 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id % 100 = 0),
-       |s0 AS (SELECT q_id, vec_id, ${cos("q_emb", "emb")} AS rel, emb
+       |s0 AS (SELECT q_id, vec_id, ${cos("q_emb", "emb")} AS rel
        |  FROM e CROSS JOIN q WHERE vec_id <> q_id),
-       |pool AS (SELECT q_id, vec_id, rel, emb FROM (
+       |poolids AS (SELECT q_id, vec_id, rel FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
        |  FROM s0) z WHERE rn <= $pool),
+       |pool AS (SELECT p.q_id, p.vec_id, p.rel, e.emb
+       |  FROM poolids p JOIN e ON e.vec_id = p.vec_id),
        |ps AS (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b, ${cos("a.emb", "b.emb")} AS sim
        |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
        |sel0 AS (SELECT q_id, vec_id, rel, 0.0 AS ms, 0 AS pick FROM pool WHERE 1 = 0),
@@ -579,7 +581,7 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
         |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) * 1000000 AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

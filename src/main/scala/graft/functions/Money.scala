@@ -33,4 +33,16 @@ object Money {
     * the division is exact (integer / power of ten at target scale). */
   def sumFixed(c: Column, div: Long, scale: Int): Column =
     (sum(c.cast("decimal(18,0)")) / lit(div)).cast(s"decimal(18,$scale)")
+
+  /** Terminal-double form for fixed-point sums whose MANTISSA outgrows
+    * 2^53 (e6 money at sf ≥ ~1): `decimal(18,6) → double` is then a
+    * 17-significant-digit conversion that Spark single-rounds
+    * (BigDecimal.doubleValue) but DuckDB double-rounds (int128
+    * mantissa → double, then ÷10^scale) — a last-ulp hash mismatch at
+    * the sf1 gate. Fix is sequence-identical arithmetic on both
+    * engines: sum the exact integer, convert THE INTEGER to double
+    * (one correctly-rounded conversion each), then divide in double —
+    * the oracle mirrors as CAST(sum(BIGINT e6) AS DOUBLE) / div. */
+  def sumFixedDouble(c: Column, div: Long): Column =
+    sum(c.cast("decimal(18,0)")).cast("double") / lit(div.toDouble)
 }

@@ -437,8 +437,14 @@ object EntityMatch {
       .unionByName(Tables.supplier(spark, sfDir)
         .select((col("s_suppkey") + 1000000000L).as("rec_id"), lower(col("s_name")).as("key")))
     val n = spark.sessionState.conf.numShufflePartitions
+    // persist + eager count pins ONE set of sampled range boundaries
+    // for both rank branches (the vocabGrowth rule; aucEval failed the
+    // sf1 gate without it). Output feeds two lazy consumers, so the
+    // persist is left to the session's cache hygiene.
     val parted = recs.repartitionByRange(n, col("key"), col("rec_id"))
       .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count()
     val local = parted.withColumn("lrank", row_number().over(
       Window.partitionBy(col("pid")).orderBy(col("key"), col("rec_id"))).cast("long"))
     val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))

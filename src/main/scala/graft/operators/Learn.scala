@@ -73,8 +73,17 @@ object Learn {
     val cells = scored.groupBy(col("score"))
       .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
     val n = spark.sessionState.conf.numShufflePartitions
+    // PERSIST + eager count before fanning out (the vocabGrowth rule):
+    // the rank branch and the offset branch here are ASYMMETRIC
+    // subtrees (offs aggregates parted directly, not local), so
+    // ReusedExchange cannot be relied on to pin one set of sampled
+    // range boundaries — at the sf1 gate the two evaluations landed on
+    // different boundaries and the AUC came out wrong with correct
+    // pos/neg counts. One materialized evaluation pins the pids.
     val parted = cells.repartitionByRange(n, col("score"))
       .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count()
     val wl = Window.partitionBy(col("pid")).orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted.withColumn("lb", coalesce(sum(col("nn")).over(wl), lit(0L)))
@@ -82,7 +91,7 @@ object Learn {
       .withColumn("poff", coalesce(sum(col("pnn")).over(
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("poff"))
-    local.join(offs, Seq("pid"))
+    val out = local.join(offs, Seq("pid"))
       .select(col("np"), col("nn"), (col("lb") + col("poff")).as("below"))
       .agg(sum(col("np")).as("p"), sum(col("nn")).as("nneg"),
         sum(col("np").cast("decimal(38,0)") * (lit(2L) * col("below") + col("nn")))
@@ -91,6 +100,9 @@ object Learn {
         round(col("num2").cast("double") /
           (lit(2.0) * col("p").cast("double") * col("nneg").cast("double")), 6)
           .as("auc"))
+      .localCheckpoint()
+    parted.unpersist()
+    out
   }
 
   /** Calibration bins over the score range [-1, 1]. */

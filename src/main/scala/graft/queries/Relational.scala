@@ -57,7 +57,7 @@ object Relational {
         sum(dec2(col("l_quantity"))).cast("decimal(18,2)").cast("double").as("sum_qty"),
         sum(dec2(col("l_extendedprice"))).cast("decimal(18,2)").cast("double").as("sum_base_price"),
         sumFixed(discPriceE4, 10000L, 4).cast("double").as("sum_disc_price"),
-        sumFixed(chargeE6, 1000000L, 6).cast("double").as("sum_charge"),
+        graft.functions.Money.sumFixedDouble(chargeE6, 1000000L).as("sum_charge"),
         count(lit(1)).as("count_order"))
   }
 
@@ -188,8 +188,13 @@ object Relational {
       .select(col("o_custkey").as("custkey"),
         (col("spend") * 100).cast("long").as("cents"))
     val n = spark.sessionState.conf.numShufflePartitions
+    // persist + eager count pins ONE set of sampled range boundaries
+    // for both rank branches (the vocabGrowth rule; aucEval failed the
+    // sf1 gate without it)
     val parted = spend.repartitionByRange(n, col("cents").desc, col("custkey"))
       .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count()
     val local = parted.withColumn("lrank", row_number().over(
       Window.partitionBy(col("pid")).orderBy(col("cents").desc, col("custkey"))).cast("long"))
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
@@ -197,13 +202,16 @@ object Relational {
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("poff"))
     val total = spend.agg(count(lit(1)).as("n_total"))
-    local.join(offsets, Seq("pid"))
+    val byDec = local.join(offsets, Seq("pid"))
       .crossJoin(broadcast(total))
       .withColumn("decile", expr("((poff + lrank - 1) * 10) div n_total"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("cents"),
         max(col("cents")).as("max_cents"), min(col("cents")).as("min_cents"))
+      .localCheckpoint()
+    parted.unpersist()
+    byDec
       .select(col("decile"), col("n_customers"),
         (col("cents").cast("double") / 100.0).as("total_spend"),
         (col("max_cents").cast("double") / 100.0).as("max_spend"),

@@ -309,8 +309,13 @@ object Stats {
       .select(col("o_custkey").as("custkey"),
         (col("spend") * 100).cast("long").as("cents"))
     val n = spark.sessionState.conf.numShufflePartitions
+    // persist + eager count pins ONE set of sampled range boundaries
+    // for both rank branches (the vocabGrowth rule; aucEval failed the
+    // sf1 gate without it)
     val parted = spend.repartitionByRange(n, col("cents"), col("custkey"))
       .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count()
     val local = parted.withColumn("lrank", row_number().over(
       Window.partitionBy(col("pid")).orderBy(col("cents"), col("custkey"))).cast("long"))
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
@@ -321,7 +326,7 @@ object Stats {
       .withColumn("i", col("poff") + col("lrank"))
     val tot = spend.agg(count(lit(1)).as("n_customers"),
       sum(col("cents")).as("total_cents"))
-    ranked.crossJoin(broadcast(tot))
+    val small = ranked.crossJoin(broadcast(tot))
       .agg(max(col("n_customers")).as("n_customers"),
         max(col("total_cents")).as("sx"),
         sum(col("i").cast(d38) * col("cents")).as("six"),
@@ -329,6 +334,9 @@ object Stats {
         // strictly above n − n div 10 — an exact integer cut
         sum(when(col("i") > col("n_customers") - expr("n_customers div 10"),
           col("cents")).otherwise(0L)).as("top_cents"))
+      .localCheckpoint()
+    parted.unpersist()
+    small
       .select(col("n_customers"),
         (col("sx").cast("double") / 100.0).as("total_spend"),
         round(
