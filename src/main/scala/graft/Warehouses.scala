@@ -16,10 +16,12 @@ import org.apache.spark.sql.SparkSession
   * pay every build before timing starts — the same move a production
   * deployment makes by maintaining these tables alongside the corpus.
   *
-  * Per-warehouse build cost at sf0.1 (quiet local[32], round-11
-  * measurement; see SURVEY §5 cold/warm table): graph edges ~3s,
-  * triangle counts ~2s, community labels ~3s, term census ~2s,
-  * minhash pairs ~4s, best-match ~2s.
+  * Per-warehouse build cost at sf0.1 (local[32], round-11 bench
+  * warm-up measurement, recorded per run in BENCH_LOCAL.json's
+  * warehouse_prebuild_sec): graph family (edge list + triangle counts
+  * + community labels) ~12.5s, term census ~1.2s, minhash pairs
+  * ~2.9s, best-match ~1.3s — ~18s total, previously smeared across
+  * whichever pass-1 queries touched each warehouse first.
   */
 object Warehouses {
 

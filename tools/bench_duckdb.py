@@ -26,7 +26,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 con = duckdb.connect()
 con.execute(f"SET threads = {THREADS}")
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata is a single parquet FILE per table; Spark-written
+    # scale shards (e.g. /tmp/sfbig) are parquet DIRECTORIES
+    import os
+    path = f"{SF}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{ORACLE_DIR}/oracle_sql.json"))
 
