@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles, DISTRIBUTED.
+  *
+  * Spark's built-in `percentile` aggregate is exact but merges every
+  * partition's value→count map in the ONE final-agg task — fine at
+  * test scale, but a single task holding the full distinct-value
+  * census of a fact column is precisely the thing that OOMs at 100 TB
+  * (l_orderkey alone is ~1.5M distinct at sf1 and grows linearly).
+  * This is the same anti-pattern as a single-partition ntile window,
+  * one level down.
+  *
+  * Distributed shape: (1) per-value counts — an ordinary map-side-
+  * combined aggregate; (2) exclusive prefix counts in value order via
+  * the two-phase range-rank (persist+count pins the sampled
+  * boundaries — the vocab_growth rule); (3) each probe's bracketing
+  * value pair found by a range-condition join against a BROADCAST
+  * probe table (statically bounded: a literal-grid posexplode over the
+  * one-row total); (4) Spark Percentile's interpolation formula
+  * replicated exactly — `lower==higher ? lowerValue :
+  * lowerValue·(higher−position) + higherValue·(position−lower)` with
+  * position = p·(N−1) in double — so results are bit-identical to the
+  * built-in (and therefore to the DuckDB oracle the gate certifies).
+  */
+object ExactQuantile {
+
+  /** One row: `qs` = array of exact percentiles of `df.c` (cast to
+    * double) at `probes`, in probe order. The result is eagerly
+    * materialized (localCheckpoint) so the rank table's pinned
+    * boundaries can be released before the caller composes further. */
+  def percentilesOf(df: DataFrame, c: String, probes: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val cnt = df.select(col(c).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val parted = cnt.repartitionByRange(n, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    parted.count()
+    val local = parted.withColumn("lc", coalesce(sum(col("c")).over(
+      Window.partitionBy(col("pid")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offs = parted.groupBy(col("pid")).agg(sum(col("c")).as("pc"))
+      .withColumn("poff", coalesce(sum(col("pc")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    // e = exclusive prefix: value row covers multiset indices [e, e+c-1]
+    val ranked = local.join(offs, Seq("pid"))
+      .select(col("v"), col("c"), (col("lc") + col("poff")).as("e"))
+    val probeRows = parted.agg(sum(col("c")).as("n_total"))
+      .select(col("n_total"),
+        posexplode(array(probes.map(lit(_)): _*)).as(Seq("idx", "p")))
+      .withColumn("pos", col("p") * (col("n_total") - 1).cast("double"))
+      .withColumn("flo", floor(col("pos")).cast("long"))
+      .withColumn("fhi", ceil(col("pos")).cast("long"))
+    // 1-2 value rows per probe: the ones covering index flo and/or fhi
+    val matched = ranked.join(broadcast(probeRows),
+      col("e") <= col("fhi") && col("flo") < col("e") + col("c"))
+    val perProbe = matched.groupBy(col("idx"))
+      .agg(max(col("pos")).as("pos"),
+        max(col("flo")).as("flo"), max(col("fhi")).as("fhi"),
+        max(when(col("e") <= col("flo") && col("flo") < col("e") + col("c"),
+          col("v"))).as("lv"),
+        max(when(col("e") <= col("fhi") && col("fhi") < col("e") + col("c"),
+          col("v"))).as("hv"))
+      .withColumn("q",
+        when(col("flo") === col("fhi"), col("lv"))
+          .otherwise(col("lv") * (col("fhi").cast("double") - col("pos")) +
+            col("hv") * (col("pos") - col("flo").cast("double"))))
+    val out = perProbe
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("idx"), col("q")))).as("s"))
+      .select(transform(col("s"), x => x.getField("q")).as("qs"))
+      .localCheckpoint()
+    parted.unpersist()
+    out
+  }
+}

@@ -163,22 +163,40 @@ object Profile {
 
   def histogramEquiHeight(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val probes = (0 to EqBuckets).map(i => lit(i.toDouble / EqBuckets))
-    profiled.map { c =>
-      val q = li.agg(percentile(col(c), array(probes: _*)).as("qs"))
-      val aggs = Seq(first(col("qs")).as("qs")) ++ (1 to EqBuckets).map { b =>
-        val inRange = col("v") > col("qs")(b - 1) && col("v") <= col("qs")(b)
-        val owns = if (b == 1) inRange || col("v") === col("qs")(0) else inRange
-        sum(when(owns, 1L).otherwise(0L)).as(s"n$b")
+    // TWO fact scans total, not two per column: one pass computes the
+    // exact percentile boundaries for EVERY profiled column, a second
+    // counts all column×bucket cells as conditional sums against the
+    // broadcast boundary row (a per-column union re-read the fact
+    // table 2·|columns| times — the difference a 100 TB scan pays for)
+    // boundaries via the distributed exact-percentile rank (see
+    // ExactQuantile — no single-task value-map merge); the three
+    // one-row boundary tables compose into one broadcast row
+    val q = profiled.map { c =>
+      ExactQuantile.percentilesOf(li, c, (0 to EqBuckets).map(_.toDouble / EqBuckets))
+        .select(col("qs").as(s"qs_$c"))
+        // one row by construction (a global aggregate), but the
+        // checkpoint scan hides that from the planner — limit(1) is a
+        // no-op that restores the static bound the non-equi join guard
+        // (and any cost-based decision) can see
+        .limit(1)
+    }.reduce(_ crossJoin _)
+    val cells: Seq[Column] = profiled.flatMap { c =>
+      (1 to EqBuckets).map { b =>
+        val qs = col(s"qs_$c")
+        val inRange = col(c) > qs(b - 1) && col(c) <= qs(b)
+        val owns = if (b == 1) inRange || col(c) === qs(0) else inRange
+        sum(when(owns, 1L).otherwise(0L)).as(s"n_${c}_$b")
       }
-      li.select(col(c).as("v")).crossJoin(broadcast(q))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(explode(array((1 to EqBuckets).map(b =>
-          struct(lit(b.toLong).as("bucket"), col("qs")(b - 1).as("lo"),
-            col("qs")(b).as("hi"), col(s"n$b").as("n"))): _*)).as("r"))
-        .select(lit(c).as("column_name"), col("r.bucket"), col("r.lo"),
-          col("r.hi"), col("r.n"))
-    }.reduce(_ unionByName _)
+    }
+    val qsCarry: Seq[Column] = profiled.map(c => first(col(s"qs_$c")).as(s"qs_$c"))
+    li.select(profiled.map(col): _*).crossJoin(broadcast(q))
+      .agg((cells ++ qsCarry).head, (cells ++ qsCarry).tail: _*)
+      .select(explode(array(profiled.flatMap(c => (1 to EqBuckets).map(b =>
+        struct(lit(c).as("column_name"), lit(b.toLong).as("bucket"),
+          col(s"qs_$c")(b - 1).as("lo"), col(s"qs_$c")(b).as("hi"),
+          col(s"n_${c}_$b").as("n")))): _*)).as("r"))
+      .select(col("r.column_name").as("column_name"), col("r.bucket"),
+        col("r.lo"), col("r.hi"), col("r.n"))
   }
 
   def approxProfile(spark: SparkSession, sfDir: String): DataFrame = {

@@ -300,13 +300,18 @@ object Relational {
     * quantile_cont() agree bit-for-bit. At 100 TB the library swaps in
     * approx_percentile (t-digest) — the gate locks the exact path. */
   def qQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val qs = array(Seq(0.125, 0.25, 0.5, 0.75, 0.875).map(lit): _*)
     val li = Tables.lineitem(spark, sfDir)
+    // exact percentiles via the DISTRIBUTED per-value-count rank
+    // (operators.ExactQuantile) — the built-in `percentile` aggregate
+    // merges every partition's value→count map in one final task, a
+    // distinct-value-sized single-task census that cannot scale; the
+    // replacement replicates its interpolation bit-for-bit
     Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
-      li.agg(percentile(col(c), qs).as("q"))
+      graft.operators.ExactQuantile
+        .percentilesOf(li, c, Seq(0.125, 0.25, 0.5, 0.75, 0.875))
         .select(lit(c).as("column_name"),
-          col("q")(0).as("p125"), col("q")(1).as("p25"), col("q")(2).as("p50"),
-          col("q")(3).as("p75"), col("q")(4).as("p875"))
+          col("qs")(0).as("p125"), col("qs")(1).as("p25"), col("qs")(2).as("p50"),
+          col("qs")(3).as("p75"), col("qs")(4).as("p875"))
     }.reduce(_ unionByName _)
   }
 
