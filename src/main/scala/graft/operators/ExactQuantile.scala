@@ -28,11 +28,30 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Dispatch threshold, resolution-by-size like the trigram census
+    * (TextMetrics.TriCensusMaterializeDocs): below this row count a
+    * value census trivially fits one task AND the built-in's single
+    * merge beats the rank pipeline's multi-job overhead (measured at
+    * sf0.1: built-in 0.8s vs distributed 3.4s for q_quantiles);
+    * at/above it the distributed path is already faster (sf1: 4.0s vs
+    * 5.7s) and is the only shape that survives unbounded growth. */
+  final val DistributedThresholdRows = 5000000L
+
   /** One row: `qs` = array of exact percentiles of `df.c` (cast to
-    * double) at `probes`, in probe order. The result is eagerly
-    * materialized (localCheckpoint) so the rank table's pinned
-    * boundaries can be released before the caller composes further. */
+    * double) at `probes`, in probe order. Above the size threshold the
+    * result is eagerly materialized (localCheckpoint) so the rank
+    * table's pinned boundaries can be released before the caller
+    * composes further; both paths produce bit-identical doubles. */
   def percentilesOf(df: DataFrame, c: String, probes: Seq[Double]): DataFrame = {
+    // metadata-scale probe (parquet count pushdown on an unfiltered df)
+    if (df.count() < DistributedThresholdRows)
+      df.agg(percentile(col(c).cast("double"),
+        array(probes.map(lit(_)): _*)).as("qs"))
+    else distributedPercentiles(df, c, probes)
+  }
+
+  private[graft] def distributedPercentiles(
+      df: DataFrame, c: String, probes: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val cnt = df.select(col(c).cast("double").as("v"))

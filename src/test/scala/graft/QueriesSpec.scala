@@ -28,6 +28,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("distributed exact percentile is bit-identical to the built-in aggregate") {
+    // the size dispatch means small-SF gates exercise only the built-in
+    // path; this pins the distributed path to it on the same data
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val probes = Seq(0.0, 0.125, 0.25, 0.5, 0.75, 0.875, 1.0)
+    for (c <- Seq("l_orderkey", "l_partkey", "l_quantity")) {
+      val builtin = li.agg(percentile(col(c).cast("double"),
+          array(probes.map(lit(_)): _*)).as("qs"))
+        .head().getSeq[Double](0)
+      val dist = operators.ExactQuantile.distributedPercentiles(li, c, probes)
+        .head().getSeq[Double](0)
+      assert(builtin == dist, s"$c: builtin $builtin != distributed $dist")
+    }
+  }
+
   test("every oracle refers to a declared query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
