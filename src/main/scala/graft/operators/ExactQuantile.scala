@@ -41,10 +41,20 @@ object ExactQuantile {
     * double) at `probes`, in probe order. Above the size threshold the
     * result is eagerly materialized (localCheckpoint) so the rank
     * table's pinned boundaries can be released before the caller
-    * composes further; both paths produce bit-identical doubles. */
-  def percentilesOf(df: DataFrame, c: String, probes: Seq[Double]): DataFrame = {
+    * composes further; both paths produce bit-identical doubles.
+    *
+    * `knownRowsUpper`: an UPPER BOUND on `df`'s row count the caller
+    * already holds (a persisted-table count, a parent-table count for
+    * a filtered df). Dispatch only needs a bound — an over-estimate
+    * merely sends a small input down the distributed path (correct,
+    * slower), never the reverse at meaningful scale. Passing it skips
+    * the per-call `df.count()` probe job (a caller profiling three
+    * columns of one table would otherwise pay three redundant counts). */
+  def percentilesOf(df: DataFrame, c: String, probes: Seq[Double],
+      knownRowsUpper: Long = -1L): DataFrame = {
     // metadata-scale probe (parquet count pushdown on an unfiltered df)
-    if (df.count() < DistributedThresholdRows)
+    val bound = if (knownRowsUpper >= 0L) knownRowsUpper else df.count()
+    if (bound < DistributedThresholdRows)
       df.agg(percentile(col(c).cast("double"),
         array(probes.map(lit(_)): _*)).as("qs"))
     else distributedPercentiles(df, c, probes)

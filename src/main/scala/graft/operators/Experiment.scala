@@ -389,14 +389,18 @@ object Experiment {
     * ties take the better score (≤ / ≥, mirrored in the oracle).
     *
     * Scale shape: one user-keyed aggregation shuffle; the three
-    * quartile pairs ride ONE single-row holistic aggregate (the
-    * q_quantiles note applies — a 100 TB deployment swaps
-    * approx_percentile) broadcast back over the user table. */
+    * quartile pairs route through ExactQuantile (per-user cents sums
+    * are ~n_users distinct — a built-in `percentile` would merge that
+    * census in one final-agg task; recency/frequency share the path
+    * for uniformity, and below the dispatch threshold all three take
+    * the built-in fast lane anyway). The persisted-user count doubles
+    * as the dispatch bound, so the quartiles add no probe jobs; the
+    * three one-row results compose into one broadcast bounds row. */
   def eventsRfm(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = array(lit(0.25), lit(0.75))
+    val q = Seq(0.25, 0.75)
     // persisted: the buyer aggregate feeds the end-day scalar, the
-    // quartile fold, and the scored output — without the cache each
-    // subtree would re-scan the event stream (3× at corpus scale)
+    // three quartile passes, and the scored output — without the cache
+    // each subtree would re-scan the event stream (5× at corpus scale)
     val users = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
@@ -406,14 +410,20 @@ object Experiment {
         count(lit(1)).as("frequency"),
         sum(col("cents")).as("cents"))
       .persist()
+    val nUsers = users.count() // pins the cache AND bounds the dispatch
     val endDay = users.agg(max(col("last_day")).as("end_day"))
     val withR = users
       .crossJoin(broadcast(endDay))
       .withColumn("recency_days", col("end_day") - col("last_day"))
-    val bounds = withR
-      .agg(percentile(col("recency_days"), q).as("rq"),
-        percentile(col("frequency"), q).as("fq"),
-        percentile(col("cents"), q).as("mq"))
+    val bounds = ExactQuantile
+      .percentilesOf(withR, "recency_days", q, knownRowsUpper = nUsers)
+      .select(col("qs").as("rq"))
+      .crossJoin(ExactQuantile
+        .percentilesOf(users, "frequency", q, knownRowsUpper = nUsers)
+        .select(col("qs").as("fq")))
+      .crossJoin(ExactQuantile
+        .percentilesOf(users, "cents", q, knownRowsUpper = nUsers)
+        .select(col("qs").as("mq")))
     val out = withR
       .crossJoin(broadcast(bounds))
       .select(col("user_id"), col("recency_days"), col("frequency"),
@@ -657,12 +667,15 @@ object Experiment {
     * discipline — micros are < 2^53 longs, the blend is exact). The
     * number a growth team actually reads off a funnel: not whether
     * users convert, but how long it takes. One user-keyed shuffle
-    * shared by both windows and the per-user reduce; the percentile
-    * state is one aggregate over conversion count, not event count. */
+    * shared by both windows and the per-user reduce; `delay_us` is
+    * ~n_conversions distinct, so the quantile pass routes through
+    * ExactQuantile (a built-in `percentile` would merge that census
+    * in one final-agg task). The per-user delay table persists across
+    * count + quantiles, and the conversion count (an output column
+    * anyway) doubles as the dispatch bound — zero extra jobs. */
   def funnelTime(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-    val qs = array(Seq(0.125, 0.25, 0.5, 0.75, 0.875).map(lit): _*)
-    Tables.events(spark, sfDir)
+    val delays = Tables.events(spark, sfDir)
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t_purchase",
@@ -671,11 +684,19 @@ object Experiment {
       .agg(max(col("t_view")).as("t_view"), max(col("t_purchase")).as("t_purchase"))
       .filter(col("t_view").isNotNull && col("t_purchase").isNotNull)
       .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("delay_us"))
-      .agg(count(lit(1)).as("n_conversions"), percentile(col("delay_us"), qs).as("q"))
-      .select(col("n_conversions"),
-        (col("q")(0) / 1000000.0).as("p125_s"), (col("q")(1) / 1000000.0).as("p25_s"),
-        (col("q")(2) / 1000000.0).as("p50_s"), (col("q")(3) / 1000000.0).as("p75_s"),
-        (col("q")(4) / 1000000.0).as("p875_s"))
+      .persist()
+    val n = delays.count()
+    val out = ExactQuantile
+      .percentilesOf(delays, "delay_us", Seq(0.125, 0.25, 0.5, 0.75, 0.875),
+        knownRowsUpper = n)
+      .select(lit(n).as("n_conversions"),
+        (col("qs")(0) / 1000000.0).as("p125_s"), (col("qs")(1) / 1000000.0).as("p25_s"),
+        (col("qs")(2) / 1000000.0).as("p50_s"), (col("qs")(3) / 1000000.0).as("p75_s"),
+        (col("qs")(4) / 1000000.0).as("p875_s"))
+      // 1-row output, materialized so the delay cache can be released
+      .localCheckpoint()
+    delays.unpersist()
+    out
   }
 
   /** RATIO-METRIC A/B readout via the DELTA METHOD (Deng et al.) —

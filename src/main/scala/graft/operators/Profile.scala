@@ -170,9 +170,13 @@ object Profile {
     // table 2·|columns| times — the difference a 100 TB scan pays for)
     // boundaries via the distributed exact-percentile rank (see
     // ExactQuantile — no single-task value-map merge); the three
-    // one-row boundary tables compose into one broadcast row
+    // one-row boundary tables compose into one broadcast row. ONE
+    // metadata count bounds all three dispatches (the per-call probe
+    // would pay 3 redundant jobs)
+    val nLi = li.count()
     val q = profiled.map { c =>
-      ExactQuantile.percentilesOf(li, c, (0 to EqBuckets).map(_.toDouble / EqBuckets))
+      ExactQuantile.percentilesOf(li, c,
+        (0 to EqBuckets).map(_.toDouble / EqBuckets), knownRowsUpper = nLi)
         .select(col("qs").as(s"qs_$c"))
         // one row by construction (a global aggregate), but the
         // checkpoint scan hides that from the planner — limit(1) is a

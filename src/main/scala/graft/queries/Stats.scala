@@ -389,21 +389,35 @@ object Stats {
     * measurement behind every sample-based planning decision (ANALYZE
     * sampling rates, sampled histograms, AQE statistics): how wrong
     * ARE sample quantiles on this distribution, probe by probe, tail
-    * included? One full aggregate + one sampled aggregate (the filter
-    * is row-local md5), errors as fixed-order expressions, round 6. */
+    * included? One full quantile pass + one sampled pass (the filter
+    * is row-local md5), errors as fixed-order expressions, round 6.
+    *
+    * Cents is ~n_orders distinct (≈1.5M at sf1, linear growth), so
+    * both quantile passes route through ExactQuantile — a built-in
+    * `percentile` here would merge the full value census in ONE
+    * final-agg task. The unfiltered order count (parquet metadata)
+    * serves as the dispatch bound for both passes (an upper bound for
+    * the sample — over-dispatching a small sample to the distributed
+    * path would be correct, merely slower, and cannot happen while
+    * sample ≤ full). Interpolation is bit-identical to the built-in,
+    * so the DuckDB hash-match is preserved by construction. */
   def sampleQuantileEval(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-    val qs = array(SqProbes.map(p => lit(p._2)): _*)
-    val full = cents.agg(count(lit(1)).as("n_full"),
-      percentile(col("cents"), qs).as("qf"))
-    val samp = cents
+    val nFull = cents.count()
+    val probes = SqProbes.map(_._2)
+    val full = graft.operators.ExactQuantile
+      .percentilesOf(cents, "cents", probes, knownRowsUpper = nFull)
+      .select(col("qs").as("qf"))
+    val sampled = cents
       .filter(graft.functions.Similarity.md5Mod(concat(lit("sq-"), col("o_orderkey")))
         < lit(graft.expressions.CrossHash.P / 16))
-      .agg(count(lit(1)).as("n_sample"), percentile(col("cents"), qs).as("qs"))
+    val samp = sampled.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(graft.operators.ExactQuantile
+        .percentilesOf(sampled, "cents", probes, knownRowsUpper = nFull))
     full.crossJoin(samp)
-      .select(col("n_full"), col("n_sample"),
+      .select(lit(nFull).as("n_full"), col("n_sample"),
         explode(array(SqProbes.zipWithIndex.map { case ((lbl, _), i) =>
           struct(lit(lbl).as("probe"),
             (col("qf")(i) / 100.0).as("ev"),
