@@ -417,60 +417,91 @@ object EntityMatch {
     * splits apart (adjacent keys block together regardless of any
     * exact attribute agreeing).
     *
-    * The global sort rank uses RANGE partitioning + per-partition
-    * offsets: repartitionByRange samples split points (the boundaries
-    * themselves may vary run to run), each partition ranks locally
-    * under a window keyed by its partition id (bounded partitions),
-    * and an exclusive prefix over the tiny per-partition count table
-    * shifts local ranks global — for sorted data this is EXACT
-    * regardless of where the sampled boundaries fell, so the output is
-    * deterministic even though the physical layout is not. This is the
-    * string-key complement of shard_assign's draw-range rank (which
-    * needs a uniform numeric draw). Pairs then join on a rank bucket
-    * (each rank pairs with ≤ SnWindow successors), scored by
-    * levenshtein. */
-  /** The globally-ranked (key, rec_id) table the sorted-neighborhood
-    * window probes — shared by sortedBlocking and blockingEval. */
-  private def snRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    * ONE range shuffle does all the work: repartitionByRange lays the
+    * records out in global (key, rec_id) order across partitions,
+    * sortWithinPartitions orders each partition, and a per-partition
+    * sliding buffer of SnWindow rows emits every within-partition pair
+    * directly — a sliding rank window never needs ABSOLUTE ranks, only
+    * rank DIFFERENCES, which are local. The ≤ SnWindow·n_partitions
+    * pairs that straddle a partition edge come from a tiny edge table
+    * (each partition's first/last SnWindow rows + its row count, one
+    * extra cache read): exact global ranks for edge rows cost a prefix
+    * sum over the per-partition counts, and the straddling pairs are
+    * an equi-join of exploded successor ranks against the head rows —
+    * all on ≤ 2·SnWindow·n_partitions rows. The old shape ranked the
+    * FULL table (window + offset join) and then shuffled a SnWindow×
+    * exploded probe table into a rank equi-join — three data-sized
+    * exchanges this shape never pays. The persist + eager count pins
+    * one set of sampled range boundaries for both cache readers (the
+    * vocabGrowth rule; the interior and edge passes must see the SAME
+    * physical layout or straddling pairs are lost/duplicated). */
+  private def snPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val session = spark
+    import session.implicits._
     val recs = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("rec_id"), lower(col("c_name")).as("key"))
       .unionByName(Tables.supplier(spark, sfDir)
         .select((col("s_suppkey") + 1000000000L).as("rec_id"), lower(col("s_name")).as("key")))
     val n = spark.sessionState.conf.numShufflePartitions
-    // persist + eager count pins ONE set of sampled range boundaries
-    // for both rank branches (the vocabGrowth rule; aucEval failed the
-    // sf1 gate without it). Output feeds two lazy consumers, so the
-    // persist is left to the session's cache hygiene.
-    val parted = recs.repartitionByRange(n, col("key"), col("rec_id"))
-      .withColumn("pid", spark_partition_id())
+    val w = SnWindow
+    val sorted = recs.repartitionByRange(n, col("key"), col("rec_id"))
+      .sortWithinPartitions(col("key"), col("rec_id"))
+      .select(col("rec_id"), col("key")).as[(Long, String)]
       .persist()
-    parted.count()
-    val local = parted.withColumn("lrank", row_number().over(
-      Window.partitionBy(col("pid")).orderBy(col("key"), col("rec_id"))).cast("long"))
-    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
-    val offsets = counts
+    sorted.count()
+    val interior = sorted.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayDeque[(Long, String)]()
+      it.flatMap { case (id, key) =>
+        val s = buf.size
+        val out = buf.iterator.zipWithIndex.map { case ((ida, ka), i) =>
+          (ida, ka, id, key, (s - i).toLong)
+        }.toVector
+        buf.append((id, key))
+        if (buf.size > w) buf.removeHead()
+        out
+      }
+    }.toDF("id_a", "key_a", "id_b", "key_b", "rank_dist")
+    val edges = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      val head = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val tail = new scala.collection.mutable.ArrayDeque[(Long, String, Long)]()
+      var pn = 0L
+      it.foreach { case (id, key) =>
+        if (pn < w) head += ((id, key))
+        tail.append((id, key, pn))
+        if (tail.size > w) tail.removeHead()
+        pn += 1
+      }
+      (head.iterator.zipWithIndex.map { case ((id, k), i) =>
+        (pid, pn, "h", i.toLong, id, k)
+      } ++ tail.iterator.map { case (id, k, li) =>
+        (pid, pn, "t", li, id, k)
+      }).toVector.iterator
+    }.toDF("pid", "pn", "side", "lidx", "rec_id", "key")
+    val offs = edges.groupBy(col("pid")).agg(max(col("pn")).as("pn"))
       .withColumn("poff", coalesce(sum(col("pn")).over(
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("poff"))
-    local.join(offsets, Seq("pid"))
-      .select(col("rec_id"), col("key"), (col("poff") + col("lrank") - 1L).as("rank"))
-  }
-
-  /** The sorted-neighborhood candidate pairs (pre-verification): each
-    * rank probes its ≤ SnWindow successors by exact rank. */
-  private def snPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val ranked = snRanked(spark, sfDir)
-    val probes = ranked.select(col("rec_id").as("id_a"), col("key").as("key_a"),
-        col("rank").as("rank_a"),
-        explode(expr(s"sequence(rank + 1, rank + $SnWindow)")).as("rank_b"))
-    probes.join(ranked.select(col("rec_id").as("id_b"), col("key").as("key_b"),
-        col("rank").as("rank_b")), Seq("rank_b"))
+    val ranked = edges.join(offs, Seq("pid"))
+      .withColumn("grank", col("poff") + col("lidx"))
+    val heads = ranked.filter(col("side") === "h")
+      .select(col("pid").as("pid_b"), col("rec_id").as("id_b"),
+        col("key").as("key_b"), col("grank").as("grank_b"))
+    val straddling = ranked.filter(col("side") === "t")
+      .select(col("pid").as("pid_a"), col("rec_id").as("id_a"),
+        col("key").as("key_a"), col("grank").as("grank_a"),
+        explode(expr(s"sequence(grank + 1, grank + $w)")).as("grank_b"))
+      .join(heads, Seq("grank_b"))
+      // same-partition successors are already interior pairs
+      .filter(col("pid_a") =!= col("pid_b"))
+      .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"),
+        (col("grank_b") - col("grank_a")).as("rank_dist"))
+    interior.unionByName(straddling)
   }
 
   def sortedBlocking(spark: SparkSession, sfDir: String): DataFrame =
     snPairs(spark, sfDir)
-      .select(col("id_a"), col("id_b"),
-        (col("rank_b") - col("rank_a")).as("rank_dist"),
+      .select(col("id_a"), col("id_b"), col("rank_dist"),
         levenshtein(col("key_a"), col("key_b")).cast("long").as("lev"))
       .filter(col("lev") <= 4)
 
