@@ -676,11 +676,15 @@ object TextMetrics {
     * corpus-wide FIRST occurrence (min doc_id — ingestion order) is
     * this doc; null when the doc is too short to carry a gram.
     *
-    * Scale shape: one distinct-(doc, gram) shuffle, the gram-keyed
-    * min-doc aggregate in the SAME hash(gram) layout the join back
-    * reuses, then a doc-keyed reduce — all exact integer counts, one
-    * terminal divide round 6. The gram space is NOT df-capped: min is
-    * a bounded aggregate, so hub grams cost one row each, not df². */
+    * Scale shape: ONE explicit hash(gram) shuffle feeds everything
+    * gram-keyed — a hash(h) layout clusters (doc, h) too, so the
+    * distinct, the corpus-wide first-occurrence window min, AND the
+    * novelty comparison all ride the same exchange (the old shape
+    * paid separate exchanges for the distinct, the min-doc aggregate,
+    * and the join back) — then one doc-keyed reduce. All exact
+    * integer counts, one terminal divide round 6. The gram space is
+    * NOT df-capped: min is a bounded window aggregate, so hub grams
+    * cost sort time, not df² rows. */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = Partitioning.spread(Tables.documents(spark, sfDir))
       .withColumn("toks", split(col("text"), " "))
@@ -691,9 +695,11 @@ object TextMetrics {
            |   element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))"""
           .stripMargin)))
       .select(col("doc_id"), graft.functions.Similarity.md5Mod(col("g")).as("h"))
+      .repartition(col("h"))
       .dropDuplicates("doc_id", "h")
-    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = grams.join(first, Seq("h"))
+    val perDoc = grams
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
