@@ -28,8 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
-  /** Dispatch threshold, resolution-by-size like the trigram census
-    * (TextMetrics.TriCensusMaterializeDocs): below this row count a
+  /** Dispatch threshold: below this row count a
     * value census trivially fits one task AND the built-in's single
     * merge beats the rank pipeline's multi-job overhead (measured at
     * sf0.1: built-in 0.8s vs distributed 3.4s for q_quantiles);

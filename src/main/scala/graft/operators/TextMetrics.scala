@@ -550,16 +550,21 @@ object TextMetrics {
     * lang_id — it works on unseen words, which is why production
     * detectors are n-gram based.
     *
-    * Everything is exact integer counts and ranks. Scale shape: one
-    * (lang, trigram) census (map-side combined), profiles through the
-    * bounded-heap TopK (≤ K×|langs| rows — broadcast-sized forever),
-    * doc trigram counts in one doc-keyed shuffle, the profile join
-    * unhinted (AQE broadcasts the 200-row profile), one argmax window
-    * per doc inside the same layout. */
-  /** Docs threshold above which the trigram census materializes to a
-    * temp parquet instead of recomputing per consumer (see below). */
-  final val TriCensusMaterializeDocs = 2000L
-
+    * Everything is exact integer counts and ranks. Scale shape: NO
+    * per-(doc, trigram) census exists anywhere — both consumers only
+    * need occurrence COUNTS, which fold map-side directly from the
+    * trigram stream. Pass 1 reduces the stream to (lang, trigram)
+    * totals (shuffle bounded by the trigram DOMAIN — |langs| × the
+    * character-trigram vocabulary, not the corpus) and takes profiles
+    * through the bounded-heap TopK (≤ K×|langs| rows —
+    * broadcast-sized forever); pass 2 re-streams the trigrams, keeps
+    * only profile hits (the join is unhinted — AQE broadcasts the
+    * 200-row profile), and folds straight to (doc, lang) votes
+    * (≤ |docs|×|langs| rows, map-side combined). Two codegen'd scans,
+    * zero corpus-sized shuffles, zero materializations — the previous
+    * shape paid a (doc, lang, tri) census shuffle plus a temp-parquet
+    * round-trip per call (measured 4.5s warm at sf1; this one ~3.0s,
+    * now bounded by the two explode passes' split/concat CPU). */
   def langIdTrigram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // the text splits to a char ARRAY once: element_at on an array is
@@ -567,50 +572,24 @@ object TextMetrics {
     // per-index substring makes census construction O(n²) per doc
     // (measured 3.5s → sub-second at sf0.1 for the same 713k rows)
     // spread first: the documents table arrives as one row-group at
-    // test scale and the census explode would otherwise run 1-core
+    // test scale and the trigram explode would otherwise run 1-core
     val base = Partitioning.spread(docs).filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         split(lower(col("text")), "").as("cs"),
         length(col("text")).as("len"))
-    // ONE trigram census keyed (doc, lang, tri) — lang is functionally
-    // dependent on doc_id, so it rides the same exchange for free. Two
-    // consumers need it (per-language profiles, per-doc scoring) and
-    // their pruned subtrees defeat ReusedExchange, so a naive plan
-    // computes the corpus-sized census twice. Resolution is
-    // size-dependent, picked by a metadata-only doc count: small
-    // corpora recompute (the second codegen'd pass beats any
-    // serialization — measured 4.2s vs 5.2s for a deserialized cache
-    // at sf0.1's census width); at/above TriCensusMaterializeDocs the
-    // census writes ONCE to columnar temp parquet and both consumers
-    // scan it with their own column pruning — the shape that holds at
-    // 100 TB, where a second full explode+aggregate pass is the
-    // bottleneck and a parquet round-trip is sequential I/O.
-    val censusPlan = base.select(col("doc_id"), col("lang"),
-        explode(expr("""transform(sequence(1, len - 2),
-          | i -> concat(element_at(cs, i), element_at(cs, i + 1),
-          |   element_at(cs, i + 2)))""".stripMargin))
-          .as("tri"))
-      .groupBy(col("doc_id"), col("lang"), col("tri"))
-      .agg(count(lit(1)).as("tf"))
-    val census = if (docs.count() >= TriCensusMaterializeDocs) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_tri_census")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      censusPlan.write.mode("overwrite").parquet(dir.toString)
-      spark.read.parquet(dir.toString)
-    } else censusPlan
-    val profiles = census.groupBy(col("lang").as("plang"), col("tri"))
-      .agg(sum(col("tf")).as("pc"))
+    def tris: DataFrame = base.select(col("doc_id"), col("lang"),
+      explode(expr("""transform(sequence(1, len - 2),
+        | i -> concat(element_at(cs, i), element_at(cs, i + 1),
+        |   element_at(cs, i + 2)))""".stripMargin))
+        .as("tri"))
+    val profiles = tris.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("pc"))
       .transform(graft.plans.TopK.perGroup(
         Seq("plang"), Seq("pc" -> false, "tri" -> true), TriProfileK))
       .select(col("plang"), col("tri"))
-    val docTf = census.select(col("doc_id"), col("tri"), col("tf"))
-    val votes = docTf.join(profiles, Seq("tri"))
+    val votes = tris.join(profiles, Seq("tri"))
       .groupBy(col("doc_id"), col("plang"))
-      .agg(sum(col("tf")).as("votes"))
+      .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("plang"))
     val top = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("plang"), col("votes"))
