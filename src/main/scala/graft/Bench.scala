@@ -122,8 +122,12 @@ object Bench {
     val passJson = (0 until nPasses).map { p =>
       s"\"queries_pass${p + 1}\":" + qjson(names.indices.map(i => names(i)._1 -> passes(p)(i)))
     }.mkString(",")
+    // Locale.ROOT like f3/fmt below: the f interpolator is
+    // locale-sensitive and a comma-decimal default breaks the JSON
     val prebuildJson = warehousePrebuild
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
         s""""passes":$nPasses,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +

@@ -20,13 +20,22 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Free the block-manager storage behind a superseded localCheckpoint
-    * result. Safe to call on any DataFrame: only plans that ARE a
-    * checkpoint scan (LogicalRDD leaves) carry persisted RDDs to free;
-    * anything else is a no-op. Non-blocking — the loop's next action
-    * overlaps the async block removal. */
-  def free(ds: DataFrame): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    * result. The argument must BE a bare checkpoint scan (the DataFrame
+    * `localCheckpoint()` returned, possibly behind projections) — NOT a
+    * plan that merely CONTAINS one: freeing a still-live checkpoint
+    * embedded in a larger composition (say, a join of a checkpointed df
+    * with something else) would drop blocks whose lineage the
+    * checkpoint already truncated, and later actions on the original
+    * would die on missing blocks. Enforced structurally: only a plan
+    * whose LEAVES are all LogicalRDDs is freed; a mixed plan is a
+    * no-op. Non-blocking — the loop's next action overlaps the async
+    * block removal. */
+  def free(ds: DataFrame): Unit = {
+    val leaves = ds.queryExecution.analyzed.collectLeaves()
+    if (leaves.nonEmpty && leaves.forall(_.isInstanceOf[LogicalRDD]))
+      leaves.foreach {
+        case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+  }
 }

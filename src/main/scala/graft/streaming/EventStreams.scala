@@ -431,10 +431,20 @@ object EventStreams {
     * signup at ts ≥ its own arrives — any later signup is strictly
     * farther, so that first one decides the forward side and the
     * row-local |Δt| pick (tie → backward, the merge_asof rule) is
-    * final. Events with no future signup in the data stay in state
-    * (the parity test excludes exactly those rows from batch truth);
-    * against a live source the same buffer would be flushed
-    * backward-only by an event-time timeout at the watermark.
+    * final.
+    *
+    * The buffer is ALSO flushed backward-only by an event-time timeout
+    * at the watermark: once the watermark W passes a buffered left far
+    * enough that its frozen backward distance ≤ W − ts (any future
+    * signup sits ≥ W − ts away, and ties go backward), the backward
+    * pick is final and the row emits — bit-identical to what the
+    * first-future-signup path would later decide, just earlier, so
+    * state does not accumulate for users who never sign up again. The
+    * only rows that wait indefinitely are pre-first-signup events of
+    * users with NO signup at all (they have no candidate on either
+    * side — there is nothing to emit); the parity test brackets the
+    * output between the resolvable batch rows and the full batch
+    * output, so a flush in any batch position stays green.
     *
     * State per user: the latest signup (scalar) + the buffer of lefts
     * since that signup — bounded by the user's event rate between
@@ -452,6 +462,19 @@ object EventStreams {
 
     def step(userId: Long, rows: Iterator[NearEvent],
         state: GroupState[NearState]): Iterator[NearOut] = {
+      if (state.hasTimedOut) {
+        // watermark flush: backward-final rows emit (see scaladoc)
+        val st = state.getOption.getOrElse(NearState(0L, 0L, has = false, Nil))
+        val wUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, rest) = st.pend.partition(p =>
+          p.prev_has && p.ts_us - p.prev_ts <= wUs - p.ts_us)
+        state.update(st.copy(pend = rest))
+        if (rest.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+        return fin.iterator.map(p =>
+          NearOut(p.event_id, userId, p.ts_us, p.event_type,
+            p.prev_id, p.ts_us - p.prev_ts))
+      }
       def chunkByTs(sorted: Seq[NearEvent]): Seq[Seq[NearEvent]] =
         if (sorted.isEmpty) Nil
         else sorted.foldLeft(Vector.empty[Vector[NearEvent]]) { (acc, e) =>
@@ -493,16 +516,25 @@ object EventStreams {
         signup.foreach(sid => st = st.copy(last_ts = t, last_id = sid, has = true))
       }
       state.update(st.copy(pend = pend))
+      // re-arm on every call (event-time timeouts are not sticky):
+      // fire as soon as the watermark next advances past this batch's
+      if (pend.nonEmpty)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
       out.result().iterator
     }
 
     events
       .filter(col("ts").isNotNull)
+      // the watermark drives ONLY the flush timeout; the 1 h delay is
+      // cross-key slack (the delivery contract is per-key in-order,
+      // not globally ordered)
+      .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"))
       .as[NearEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step)
   }
 
   /** Streaming twin of Events.eventsEwma — the incremental sₜ

@@ -103,15 +103,17 @@ class PlanSpec extends AnyFunSuite {
     val offenders = byQuery.toSeq.sortBy(_._1).flatMap { case (name, sites) =>
       exempt.get(name) match {
         case Some((n, _)) if sites.length == n => None
-        case Some((n, _)) => Some(s"$name: ${sites.length} unbounded non-equi " +
-          s"sites but exemption pins $n — new site needs its own justification")
+        case Some((n, _)) if sites.length > n =>
+          Some(s"$name: ${sites.length} unbounded non-equi sites but exemption " +
+            s"pins $n — the new site needs its own justification")
+        case Some(_) => None // fewer than pinned: reported once below
         case None => Some(s"$name: unbounded non-equi join(s): " +
           sites.map(_._2).mkString("; "))
       }
     } ++ exempt.collect {
-      case (name, (n, _)) if byQuery.get(name).forall(_.length < n) =>
+      case (name, (n, _)) if byQuery.getOrElse(name, Nil).length < n =>
         s"$name: exemption pins $n sites but only " +
-          s"${byQuery.get(name).map(_.length).getOrElse(0)} found — tighten the exemption"
+          s"${byQuery.getOrElse(name, Nil).length} found — tighten the exemption"
     }
     assert(offenders.isEmpty, "non-equi join guard:\n" + offenders.mkString("\n"))
   }
