@@ -86,17 +86,13 @@ object Probe {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = GraftSession("probe", 32)
-    if (args.headOption.contains("iter100")) {
-      iterProbe(spark)
-      spark.stop()
-      return
-    }
-    val sf = "/root/testdata/sf0.1"
-    val big = "/tmp/sfbig"
-    val shards = 10
-
+  /** Build an FK-consistent N× shard set of sf0.1 at `big`: fact
+    * tables are unioned id-shifted copies (shift constants far above
+    * any real key range so shards never collide), dimensions stay
+    * single copies — the realistic fixed-dim-under-growing-fact shape.
+    * Resumable per table via the _SUCCESS commit marker. */
+  private def buildShards(spark: org.apache.spark.sql.SparkSession,
+      sf: String, big: String, shards: Int): Unit = {
     if (!committedAll(s"$big/documents.parquet", s"$big/embeddings.parquet")) {
       val docs = graft.sources.Tables.documents(spark, sf)
       (0 until shards).map(i => docs
@@ -153,6 +149,25 @@ object Probe {
       if (!committed(s"$big/$t.parquet"))
         graft.sources.Tables.table(spark, sf, t)
           .write.mode("overwrite").parquet(s"$big/$t.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession("probe", 32)
+    if (args.headOption.contains("iter100")) {
+      iterProbe(spark)
+      spark.stop()
+      return
+    }
+    val sf = "/root/testdata/sf0.1"
+    // "sf100" mode: a 100× shard set (~5M docs / 1M vectors / 100M
+    // events / 60M lineitems ≈ sf10) for the scale checkpoint of the
+    // rank/dedup/quantile families — one decade beyond the sf1 gate.
+    val big100 = args.headOption.contains("sf100")
+    val big = if (big100) "/tmp/sf100" else "/tmp/sfbig"
+    val shards = if (big100) 100 else 10
+    val queryArgs = (if (big100) args.drop(1) else args).toSeq
+
+    buildShards(spark, sf, big, shards)
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -163,7 +178,7 @@ object Probe {
       time(name)(SparkEntry.queries(name)(spark, big).queryExecution.toRdd.count())
 
     graft.sources.Tables.documents(spark, big).count() // warm fs cache
-    val targets = if (args.nonEmpty) args.toSeq else Seq(
+    val targets = if (queryArgs.nonEmpty) queryArgs else Seq(
       "sample_stratified", "domain_mix", "seq_pack", "repetition_score",
       "bigram_lm_score", "doc_keywords", "cluster_assign", "dup_clusters",
       "decontaminate", "bpe_pairs", "col_profile", "zorder_layout",

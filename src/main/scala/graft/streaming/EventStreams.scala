@@ -53,9 +53,14 @@ case class EwmaState(curHour: Long, curN: Long, curCents: Long,
 case class EwmaOut(event_type: String, hour_us: Long, n_events: Long,
   hour_value: Double, ewma_value: Double)
 
-/** One event routed into the streaming nearest-as-of. */
+/** One event routed into the streaming nearest-as-of. `ts` carries
+  * the WATERMARKED timestamp attribute through to the stateful
+  * operator — Spark's unsupported-operation checker requires an
+  * event-time column in flatMapGroupsWithState's child to allow
+  * EventTimeTimeout (unix_micros() strips the watermark metadata, so
+  * ts_us alone fails analysis). The step function reads only ts_us. */
 case class NearEvent(user_id: Long, event_id: Long, ts_us: Long,
-    event_type: String)
+    event_type: String, ts: java.sql.Timestamp)
 /** A left event buffered until a signup at ts ≥ its own arrives (its
   * backward candidate frozen at buffer time). */
 case class NearPend(event_id: Long, ts_us: Long, event_type: String,
@@ -530,7 +535,7 @@ object EventStreams {
       // not globally ordered)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_type"))
+        col("event_type"), col("ts"))
       .as[NearEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,

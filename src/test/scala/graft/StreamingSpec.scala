@@ -364,26 +364,46 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming nearest-as-of resolves each event at the first signup past it, single and sliced") {
     import graft.operators.AsOfJoin
     val ev = graft.sources.Tables.events(spark, sf)
-    // batch truth restricted to RESOLVABLE rows: a left event resolves
-    // when a signup at ts ≥ its own exists; rows past the user's last
-    // signup stay buffered in state (watermark-flushed in production)
+    // The output is BRACKETED, not pinned: a left event resolves the
+    // moment a signup at ts ≥ its own arrives (the lower set — every
+    // such row MUST emit), and the watermark timeout may additionally
+    // flush buffered rows whose backward pick is already final — those
+    // must be bit-identical to the full batch row for that event (the
+    // upper set). How many flush depends on where the watermark lands
+    // per micro-batch, so equality against either set alone is wrong.
     val sgMax = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("max_sg"))
-    val truth = AsOfJoin.eventsAsofNearest(spark, sf)
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .join(sgMax, Seq("user_id"))
-      .filter(col("max_sg") >= col("ts_us"))
+    val nearestCols = (df: org.apache.spark.sql.DataFrame) => df
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
         col("signup_event_id"), col("dt_us"))
       .collect().map(_.mkString("|")).toSet
+    val full = AsOfJoin.eventsAsofNearest(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .filter(col("signup_event_id").isNotNull)
+    val truth = nearestCols(full.join(sgMax, Seq("user_id"))
+      .filter(col("max_sg") >= col("ts_us")))
+    val upper = nearestCols(full)
+    def checkBracket(got: Set[String], tag: String): Unit = {
+      assert(truth.subsetOf(got),
+        s"$tag: ${(truth -- got).size} resolvable rows missing, e.g. ${(truth -- got).take(3)}")
+      assert(got.subsetOf(upper),
+        s"$tag: ${(got -- upper).size} rows disagree with batch, e.g. ${(got -- upper).take(3)}")
+    }
     val single = runToSetAppendRaw(
       EventStreams.nearestSignup(spark,
         EventStreams.readEvents(spark, streamDir)).toDF(), "near_single")
-    assert(single == truth)
+    checkBracket(single, "single")
     val src = chronologicalSource("near", Seq("2024-01-10", "2024-01-20"))
     val sliced = runToSetAppendRaw(
       EventStreams.nearestSignup(spark, src).toDF(), "near_sliced")
-    assert(sliced == truth)
+    checkBracket(sliced, "sliced")
+    info(s"watermark-flushed extras: single=${(single -- truth).size} " +
+      s"sliced=${(sliced -- truth).size} (truth=${truth.size}, upper=${upper.size})")
+    // the timeout path must actually run somewhere in this test, or
+    // the state-leak fix is unexercised: across both runs at least one
+    // buffered row must have watermark-flushed backward-final
+    assert(((single -- truth) ++ (sliced -- truth)).nonEmpty,
+      "no watermark flush fired in either run — timeout path unexercised")
     assert(truth.nonEmpty)
   }
 
