@@ -174,16 +174,19 @@ object Profile {
     // metadata count bounds all three dispatches (the per-call probe
     // would pay 3 redundant jobs)
     val nLi = li.count()
-    val q = profiled.map { c =>
-      ExactQuantile.percentilesOf(li, c,
+    // ONE boundary pass for all columns (percentilesOfMulti: one scan,
+    // one rank pipeline), reshaped to the single broadcast row the
+    // cell count joins against; limit(1) restores the static one-row
+    // bound the checkpoint scan hides from the planner (for the
+    // non-equi join guard and any cost-based decision)
+    val q = ExactQuantile.percentilesOfMulti(li, profiled,
         (0 to EqBuckets).map(_.toDouble / EqBuckets), knownRowsUpper = nLi)
-        .select(col("qs").as(s"qs_$c"))
-        // one row by construction (a global aggregate), but the
-        // checkpoint scan hides that from the planner — limit(1) is a
-        // no-op that restores the static bound the non-equi join guard
-        // (and any cost-based decision) can see
-        .limit(1)
-    }.reduce(_ crossJoin _)
+      .groupBy()
+      .agg(max(when(col("column_name") === profiled.head, col("qs")))
+          .as(s"qs_${profiled.head}"),
+        profiled.tail.map(c => max(when(col("column_name") === c, col("qs")))
+          .as(s"qs_$c")): _*)
+      .limit(1)
     val cells: Seq[Column] = profiled.flatMap { c =>
       (1 to EqBuckets).map { b =>
         val qs = col(s"qs_$c")

@@ -567,21 +567,22 @@ object TextMetrics {
     * now bounded by the two explode passes' split/concat CPU). */
   def langIdTrigram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // the text splits to a char ARRAY once: element_at on an array is
-    // O(1) while substring(lt, i, 3) re-seeks from the string start —
-    // per-index substring makes census construction O(n²) per doc
-    // (measured 3.5s → sub-second at sf0.1 for the same 713k rows)
+    // trigram generation is the whole CPU bill at scale (two explode
+    // passes over ~10⁹ trigrams at sf1), so it runs through the
+    // codegen'd CharTrigrams expression: one O(n) byte pass per doc
+    // vs the split-to-char-array + per-trigram 3-way concat chain
+    // (one single-char string allocated per position). explode of a
+    // plain array input keeps the whole stage codegen'd.
     // spread first: the documents table arrives as one row-group at
     // test scale and the trigram explode would otherwise run 1-core
     val base = Partitioning.spread(docs).filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
-        split(lower(col("text")), "").as("cs"),
-        length(col("text")).as("len"))
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.CharTrigrams(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              lower(col("text"))))).as("trs"))
     def tris: DataFrame = base.select(col("doc_id"), col("lang"),
-      explode(expr("""transform(sequence(1, len - 2),
-        | i -> concat(element_at(cs, i), element_at(cs, i + 1),
-        |   element_at(cs, i + 2)))""".stripMargin))
-        .as("tri"))
+      explode(col("trs")).as("tri"))
     val profiles = tris.groupBy(col("lang").as("plang"), col("tri"))
       .agg(count(lit(1)).as("pc"))
       .transform(graft.plans.TopK.perGroup(

@@ -308,14 +308,12 @@ object Relational {
     // replacement replicates its interpolation bit-for-bit; ONE
     // metadata count bounds all three dispatches
     val nLi = li.count()
-    Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
-      graft.operators.ExactQuantile
-        .percentilesOf(li, c, Seq(0.125, 0.25, 0.5, 0.75, 0.875),
-          knownRowsUpper = nLi)
-        .select(lit(c).as("column_name"),
-          col("qs")(0).as("p125"), col("qs")(1).as("p25"), col("qs")(2).as("p50"),
-          col("qs")(3).as("p75"), col("qs")(4).as("p875"))
-    }.reduce(_ unionByName _)
+    graft.operators.ExactQuantile
+      .percentilesOfMulti(li, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        Seq(0.125, 0.25, 0.5, 0.75, 0.875), knownRowsUpper = nLi)
+      .select(col("column_name"),
+        col("qs")(0).as("p125"), col("qs")(1).as("p25"), col("qs")(2).as("p50"),
+        col("qs")(3).as("p75"), col("qs")(4).as("p875"))
   }
 
   /** Grouped exact quantiles: the per-group distribution summary

@@ -181,4 +181,35 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     assert(BoundedLevenshtein.compute(
       UTF8String.fromString("same"), UTF8String.fromString("same"), 0) == 0)
   }
+
+  test("CharTrigrams equals the code-point sliding-window reference, ASCII and multi-byte") {
+    def reference(s: String): Seq[String] = {
+      // the oracle semantics: substr(s, i, 3) over CODE POINTS
+      val cps = s.codePoints().toArray
+      if (cps.length < 3) Seq.empty
+      else (0 until cps.length - 2).map(i =>
+        new String(cps, i, 3))
+    }
+    def got(s: String): Seq[String] = {
+      val a = CharTrigrams.compute(UTF8String.fromString(s))
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    // seeded random mixes of ASCII, accents, CJK, and an emoji
+    // (4-byte, surrogate pair in UTF-16 — the boundary case that
+    // breaks any UTF-16-code-unit implementation)
+    val alphabet = Gen.oneOf('a', 'z', ' ', 'é', 'ß', '中', '文')
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      s <- Gen.stringOfN(n, alphabet)
+      emoji <- Gen.oneOf("", "😀") // 😀
+      cut <- Gen.choose(0, n)
+    } yield s.take(cut) + emoji + s.drop(cut)
+    samples(gen).foreach { s =>
+      assert(got(s) == reference(s), s"trigrams('$s')")
+    }
+    assert(got("") == Seq.empty && got("ab") == Seq.empty)
+    assert(got("abc") == Seq("abc"))
+    assert(got("abcd") == Seq("abc", "bcd"))
+  }
 }

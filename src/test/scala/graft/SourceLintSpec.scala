@@ -40,8 +40,9 @@ class SourceLintSpec extends AnyFunSuite {
   test("built-in percentile() only at pinned, domain-bounded sites") {
     // file → (pinned call count, the domain bound that justifies it)
     val pinned: Map[String, (Int, String)] = Map(
-      "graft/operators/ExactQuantile.scala" -> (1,
-        "the dispatch fast path itself — guarded by DistributedThresholdRows"),
+      "graft/operators/ExactQuantile.scala" -> (2,
+        "the single- and multi-column dispatch fast paths themselves — " +
+          "both guarded by DistributedThresholdRows"),
       "graft/queries/Stats.scala" -> (2,
         "momentsQuantile + winsorize: per-event_type holistic state; " +
           "scaladocs pin the 100 TB swap to approx_percentile"),
