@@ -239,4 +239,35 @@ class DifferentialSpec extends AnyFunSuite {
       assert(expected.nonEmpty)
     }
   }
+
+  test("distributed exact percentiles equal the built-in bit-for-bit, single and multi column") {
+    // the whole contract of ExactQuantile is that the rank pipeline
+    // replicates Percentile's interpolation EXACTLY — gate queries
+    // only exercise it on the suite's tables, so random skew/dup/neg
+    // distributions pin it here (duplicates force multi-row value
+    // brackets; negatives and heavy skew stress the range exchange)
+    val probes = Seq(0.0, 0.125, 0.33, 0.5, 0.77, 1.0)
+    for (seed <- 1 to 3) {
+      val r = new scala.util.Random(seed)
+      val rows = Seq.fill(4000)((
+        math.round(math.pow(10, r.nextDouble() * 4)) - 500, // skewed, negative
+        r.nextInt(40).toLong)) // heavy duplication
+      val df = rows.toDF("a", "b")
+      for (c <- Seq("a", "b")) {
+        val want = df.agg(percentile(col(c).cast("double"),
+            array(probes.map(lit(_)): _*))).head().getSeq[Double](0)
+        val got = graft.operators.ExactQuantile.distributedPercentiles(df, c, probes)
+          .head().getSeq[Double](0)
+        assert(got == want, s"seed $seed col $c: $got != $want")
+      }
+      val multi = graft.operators.ExactQuantile
+        .distributedPercentilesMulti(df, Seq("a", "b"), probes)
+        .collect().map(r0 => r0.getString(0) -> r0.getSeq[Double](1)).toMap
+      for (c <- Seq("a", "b")) {
+        val want = df.agg(percentile(col(c).cast("double"),
+            array(probes.map(lit(_)): _*))).head().getSeq[Double](0)
+        assert(multi(c) == want, s"seed $seed multi $c: ${multi(c)} != $want")
+      }
+    }
+  }
 }
