@@ -52,16 +52,24 @@ object Events {
     * (interior hours only; a probe landing exactly on an event takes
     * that event's value).
     *
-    * Union-and-fill twice: events ∪ hour probes, a forward window
-    * carries the latest at-or-before event onto each probe, a reversed
-    * window carries the earliest at-or-after one; the blend numerator
-    * is exact decimal(38,0) (cents × µs-gap products overflow a long
-    * at month-long gaps) with ONE terminal double divide, rounded to
-    * 6. Simultaneous events collapse latest-wins (max_by on event_id)
-    * first, so both windows and the oracle pick identical brackets.
-    * One user-key shuffle shared by the pre-aggregate, both windows,
-    * and the probe grid (generated distributed via sequence+explode,
-    * the gapfill discipline). */
+    * Consecutive-pair span explode: after the latest-wins collapse at
+    * equal timestamps (max_by on event_id), ONE lead() window hands
+    * each event its successor, and the pair OWNS every hour mark in
+    * [us, next_us) — the probe grid, the bracket assignment, and the
+    * blend all fall out of that row locally (an hour mark landing
+    * exactly on next_us belongs to the NEXT pair, where it is the
+    * exact-hit case; the final event emits only its own exact hit, so
+    * the emitted set is precisely [ceil(min/h), floor(max/h)]). The
+    * blend numerator is exact decimal(38,0) (cents × µs-gap products
+    * overflow a long at month-long gaps) with ONE terminal double
+    * divide, rounded to 6.
+    *
+    * Scale shape: two exchanges total — the (user, us) collapse and
+    * the user-key window sort — where the union-and-fill-twice
+    * formulation paid a third exchange plus TWO full sorts of the
+    * events∪probes table (the reverse-ordered bracket window cannot
+    * share the forward sort). Probes never travel through a shuffle at
+    * all now; they are generated after the last exchange. */
   def eventsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
     val HourUs = 3600000000L
     val ev = Tables.events(spark, sfDir)
@@ -70,33 +78,26 @@ object Events {
         col("event_id"))
       .groupBy(col("user_id"), col("us"))
       .agg(max_by(col("cents"), col("event_id")).as("cents"))
-    val probes = ev.groupBy(col("user_id"))
-      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
-      .withColumn("h0", expr(s"(mn + ${HourUs - 1}) div ${HourUs}L"))
-      .withColumn("h1", expr(s"mx div ${HourUs}L"))
-      .filter(col("h0") <= col("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"))).as("h"))
-      .select(col("user_id"), (col("h") * HourUs).as("us"),
-        lit(1).as("is_probe"), lit(null).cast("long").as("cents"))
-    val rows = ev.select(col("user_id"), col("us"), lit(0).as("is_probe"), col("cents"))
-      .unionByName(probes)
-    val wf = Window.partitionBy(col("user_id")).orderBy(col("us"), col("is_probe"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wr = Window.partitionBy(col("user_id")).orderBy(col("us").desc, col("is_probe"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val ev0 = when(col("is_probe") === 0, struct(col("us"), col("cents")))
-    rows
-      .withColumn("pa", last(ev0, ignoreNulls = true).over(wf))
-      .withColumn("pb", last(ev0, ignoreNulls = true).over(wr))
-      .filter(col("is_probe") === 1 && col("pa").isNotNull && col("pb").isNotNull)
-      .select(col("user_id"), col("us").as("probe_us"),
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    ev
+      .withColumn("nus", lead(col("us"), 1).over(w))
+      .withColumn("ncents", lead(col("cents"), 1).over(w))
+      .withColumn("h_start", expr(s"(us + ${HourUs - 1}) div ${HourUs}L"))
+      .withColumn("h_end",
+        when(col("nus").isNotNull, expr(s"(nus + ${HourUs - 1}) div ${HourUs}L") - 1L)
+          .otherwise(when(expr(s"us % ${HourUs}L") === 0L, expr(s"us div ${HourUs}L"))
+            .otherwise(col("h_start") - 1L)))
+      .filter(col("h_start") <= col("h_end"))
+      .select(col("user_id"), col("us"), col("cents"), col("nus"), col("ncents"),
+        explode(sequence(col("h_start"), col("h_end"))).as("h"))
+      .withColumn("probe_us", col("h") * HourUs)
+      .select(col("user_id"), col("probe_us"),
         round(
-          when(col("pb.us") === col("pa.us"), col("pa.cents").cast("double"))
+          when(col("probe_us") === col("us"), col("cents").cast("double"))
             .otherwise(
-              (col("pa.cents").cast("decimal(38,0)") * (col("pb.us") - col("us")) +
-                col("pb.cents").cast("decimal(38,0)") * (col("us") - col("pa.us")))
-                .cast("double") / (col("pb.us") - col("pa.us")).cast("double"))
+              (col("cents").cast("decimal(38,0)") * (col("nus") - col("probe_us")) +
+                col("ncents").cast("decimal(38,0)") * (col("probe_us") - col("us")))
+                .cast("double") / (col("nus") - col("us")).cast("double"))
             / 100.0, 6).as("value_interp"))
   }
 
@@ -348,27 +349,39 @@ object Events {
     * computation).
     *
     * Scale shape: the grid is generated DISTRIBUTED via
-    * sequence()+explode from each user's [min,max] hour — no driver
-    * range, no cross join against a global calendar. Partition width =
-    * one user's active span in hours (bounded by data retention), so
-    * the forward-fill window never sees an unbounded partition. The
-    * hourly pre-aggregate and both windows share the user_id shuffle. */
+    * sequence()+explode — no driver range, no cross join against a
+    * global calendar — and it is generated AFTER the last exchange:
+    * one lead() window over the hourly aggregate hands each observed
+    * hour its successor, and the row then owns every grid hour in
+    * [hr, next_hr) locally (silent hours get n_events = 0 and the
+    * row's LOCF carry; the final observed hour closes the grid at hr
+    * = max, so the union of spans is exactly [min, max]). The carry
+    * itself is a growing-frame last(ignoreNulls) over the SAME
+    * user-key sort the lead uses — observed hours are the only LOCF
+    * change points, so filling at the observed row and broadcasting
+    * it across the span is identical to filling the dense grid. Two
+    * exchanges total — the (user, hr) pre-aggregate and the user-key
+    * window sort — where the grid-agg + left-join-back formulation
+    * paid a third aggregate exchange plus a join whose probe side was
+    * the full dense grid. */
   def eventsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("hr_value"))
-    val grid = hourly.groupBy(col("user_id"))
-      .agg(min(col("hr")).as("hr_min"), max(col("hr")).as("hr_max"))
-      .select(col("user_id"),
-        explode(sequence(col("hr_min"), col("hr_max"), expr("interval 1 hour"))).as("hr"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "hr"), "left")
-      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    hourly
       .withColumn("filled_value",
-        last(col("hr_value"), ignoreNulls = true).over(w).cast("double"))
-      .select(col("user_id"), col("hr"), col("n_events"), col("filled_value"))
+        last(col("hr_value"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("next_hr", lead(col("hr"), 1).over(w))
+      .select(col("user_id"), col("hr").as("obs_hr"), col("n_events"), col("filled_value"),
+        explode(expr("sequence(hr, coalesce(next_hr - INTERVAL 1 HOUR, hr), INTERVAL 1 HOUR)"))
+          .as("hr"))
+      .select(col("user_id"), col("hr"),
+        when(col("hr") === col("obs_hr"), col("n_events")).otherwise(lit(0L)).as("n_events"),
+        col("filled_value"))
   }
 
   /** Hourly volume anomalies per event type: hours whose count sits
