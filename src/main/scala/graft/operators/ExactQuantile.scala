@@ -14,33 +14,100 @@ import org.apache.spark.sql.functions._
   * This is the same anti-pattern as a single-partition ntile window,
   * one level down.
   *
-  * Distributed shape: (1) per-value counts — an ordinary map-side-
-  * combined aggregate; (2) exclusive prefix counts in value order via
-  * the two-phase range-rank (persist+count pins the sampled
-  * boundaries — the vocab_growth rule); (3) each probe's bracketing
-  * value pair found by a range-condition join against a BROADCAST
-  * probe table (statically bounded: a literal-grid posexplode over the
-  * one-row total); (4) Spark Percentile's interpolation formula
-  * replicated exactly — `lower==higher ? lowerValue :
-  * lowerValue·(higher−position) + higherValue·(position−lower)` with
-  * position = p·(N−1) in double — so results are bit-identical to the
-  * built-in (and therefore to the DuckDB oracle the gate certifies).
+  * Distributed shape — BRACKET REFINEMENT (two scans, shuffle-light):
+  *
+  *  1. One scan computes, per column, the exact row count and a
+  *     Greenwald–Khanna summary (`percentile_approx`) queried at each
+  *     probe ± a 3/accuracy margin. GK guarantees the returned value's
+  *     rank is within n/accuracy of target, so the pair
+  *     [approx(p−3ε), approx(p+3ε)] brackets the true order statistics
+  *     at floor/ceil(p·(n−1)) with ~ε·n rows of slack (clamped probes
+  *     take a ±∞ sentinel instead). The k-row result is pinned
+  *     (localCheckpoint) so every consumer reads it, not the scan.
+  *  2. A second scan assigns every row a SEGMENT id — the count of
+  *     the 2m broadcast boundary values ≤ v, a codegen'd chain of
+  *     fixed-index comparisons (duplicate boundaries merely leave
+  *     empty segments) — and keeps the VALUE only for rows inside
+  *     some bracket (the "hot" rows, ≤ 8ε·n per probe by the GK rank
+  *     bound, duplicates notwithstanding). The shuffle is a
+  *     per-(column, segment, hot-value-or-null) count: tiny.
+  *  3. Exclusive segment prefixes give every hot value its exact
+  *     global rank. A segment mixing hot and cold rows can only be
+  *     one whose left boundary IS the hot value (a bracket's closed
+  *     upper endpoint): brackets are unions of whole segments, a
+  *     segment's interior contains no boundary, so interior-hot ⇒
+  *     fully hot; in the mixed case every cold row sits strictly
+  *     above the hot ones — the in-segment prefix over hot values
+  *     alone is therefore the true rank.
+  *  4. Each probe's bracketing value pair comes from a range join
+  *     against the broadcast probe table, and Spark Percentile's
+  *     interpolation is replicated exactly — `lower==higher ?
+  *     lowerValue : lowerValue·(higher−position) +
+  *     higherValue·(position−lower)` with position = p·(N−1) in
+  *     double — so results are bit-identical to the built-in (and
+  *     therefore to the DuckDB oracle the gate certifies). An in-plan
+  *     raise_error backstop fails LOUDLY if a bracket ever misses
+  *     (GK's bound is a theorem; the backstop converts any
+  *     implementation surprise into an error instead of a wrong
+  *     answer).
+  *
+  * Versus the previous distributed shape (a full per-value-count
+  * census + two-phase range rank), nothing value-census-sized ever
+  * travels through a shuffle: a continuous column's census is n rows,
+  * the bracket path shuffles O(probes · n/accuracy). At 100 TB the
+  * same two scans stand, with accuracy raised so each bracket stays
+  * executor-sized — the operator stays EXACT at any scale. The census
+  * pipeline is retained below ([[censusPercentilesMulti]]) as the
+  * differential-testing twin.
+  *
+  * NaN caveat: Spark orders NaN above +∞ while GK summaries and the
+  * segment comparisons treat it as incomparable — columns fed here
+  * must be NaN-free (every gate caller is money/integer-valued; the
+  * backstop raises if a NaN ever holds a probed rank).
   */
 object ExactQuantile {
 
   /** Dispatch threshold: below this row count a
     * value census trivially fits one task AND the built-in's single
-    * merge beats the rank pipeline's multi-job overhead (measured at
-    * sf0.1: built-in 0.8s vs distributed 3.4s for q_quantiles);
-    * at/above it the distributed path is already faster (sf1: 4.0s vs
-    * 5.7s) and is the only shape that survives unbounded growth. */
+    * merge beats the two-scan pipeline's job overhead;
+    * at/above it the bracket path is already faster (sf1: ~2s vs
+    * 4.0s rank-census vs 5.7s built-in for q_quantiles) and is the
+    * only shape that survives unbounded growth. */
   final val DistributedThresholdRows = 5000000L
 
+  /** Bytes twin of the row threshold for callers holding NO row bound:
+    * ~64 MB of compressed parquet is ~4M fact-width rows (sf1 lineitem
+    * measures ~17 B/row on disk). Plan statistics are free — no count
+    * job — and mis-estimation is harmless in both directions down to
+    * ~2·BracketAccuracy rows (the bracket path's own safety floor),
+    * which 64 MB of any real table clears by orders of magnitude.
+    * Callers profiling EXTREMELY wide rows (multi-KB blobs) should
+    * pass knownRowsUpper instead. */
+  final val DistributedThresholdBytes = 64L << 20
+
+  /** The dispatch predicate, exposed so composite operators (e.g. the
+    * equi-height histogram) can branch their own plan shape on the
+    * same decision: row bound when the caller holds one, free plan-
+    * statistics bytes otherwise. */
+  def useDistributed(df: DataFrame, knownRowsUpper: Long = -1L): Boolean =
+    if (knownRowsUpper >= 0L) knownRowsUpper >= DistributedThresholdRows
+    else df.queryExecution.optimizedPlan.stats.sizeInBytes >= DistributedThresholdBytes
+
+  /** GK summary accuracy for the bracket pass: rank error ≤
+    * n/BracketAccuracy, so each probe's hot window holds ≤ 8·n/this
+    * rows (0.2% of the table). GK insert cost RISES with accuracy
+    * (the sampled buffer, and so each compaction, is ∝ acc): measured
+    * at sf1 on 3×60M values, acc=10000 pays 4.5s in the summary pass
+    * where acc=4000 lands the whole pipeline at ~3.4s, and acc=500's
+    * fat hot windows push the refinement shuffle past the savings.
+    * Exactness is unaffected by the choice; at extreme n, raise it to
+    * keep each probe's hot window executor-sized (the hot census
+    * itself is distributed — nothing collects a window). */
+  final val BracketAccuracy = 4000
+
   /** One row: `qs` = array of exact percentiles of `df.c` (cast to
-    * double) at `probes`, in probe order. Above the size threshold the
-    * result is eagerly materialized (localCheckpoint) so the rank
-    * table's pinned boundaries can be released before the caller
-    * composes further; both paths produce bit-identical doubles.
+    * double) at `probes`, in probe order; both dispatch paths produce
+    * bit-identical doubles.
     *
     * `knownRowsUpper`: an UPPER BOUND on `df`'s row count the caller
     * already holds (a persisted-table count, a parent-table count for
@@ -48,41 +115,164 @@ object ExactQuantile {
     * merely sends a small input down the distributed path (correct,
     * slower), never the reverse at meaningful scale. Passing it skips
     * the per-call `df.count()` probe job (a caller profiling three
-    * columns of one table would otherwise pay three redundant counts). */
+    * columns of one table would otherwise pay three redundant counts).
+    *
+    * NOTE the bracket path scans `df` twice — callers passing a
+    * DERIVED frame (not a parquet scan) should persist it first, as
+    * every gate caller already does. */
   def percentilesOf(df: DataFrame, c: String, probes: Seq[Double],
       knownRowsUpper: Long = -1L): DataFrame = {
-    // metadata-scale probe (parquet count pushdown on an unfiltered df)
-    val bound = if (knownRowsUpper >= 0L) knownRowsUpper else df.count()
-    if (bound < DistributedThresholdRows)
+    if (!useDistributed(df, knownRowsUpper))
       df.agg(percentile(col(c).cast("double"),
         array(probes.map(lit(_)): _*)).as("qs"))
-    else distributedPercentiles(df, c, probes)
+    else bracketPercentilesMulti(df, Seq(c), probes).select(col("qs"))
   }
 
-  /** Multi-column twin of [[percentilesOf]]: ONE fact scan and ONE
-    * rank pipeline for every column — a caller profiling k columns of
-    * the same table through k single-column calls pays k full scans
-    * plus k pipelines' worth of job overhead, the difference a 100 TB
-    * scan cannot absorb. Returns one row per column:
-    * (column_name, qs), qs in probe order, doubles bit-identical to
-    * the single-column path (the per-(column, value) census, prefix
-    * ranks, and interpolation are the same formulas keyed by column).
+  /** Multi-column twin of [[percentilesOf]]: ONE fact scan per pass
+    * for every column — a caller profiling k columns of the same
+    * table through k single-column calls pays k× the scans plus k
+    * pipelines' worth of job overhead, the difference a 100 TB scan
+    * cannot absorb. Returns one row per column: (column_name, qs),
+    * qs in probe order, doubles bit-identical to the built-in.
     * Dispatch below the size threshold is likewise one scan: a single
     * aggregate computing every column's built-in percentile. */
   def percentilesOfMulti(df: DataFrame, cols: Seq[String], probes: Seq[Double],
       knownRowsUpper: Long = -1L): DataFrame = {
-    val bound = if (knownRowsUpper >= 0L) knownRowsUpper else df.count()
-    if (bound < DistributedThresholdRows) {
+    if (!useDistributed(df, knownRowsUpper)) {
       val aggs = cols.map(c => percentile(col(c).cast("double"),
         array(probes.map(lit(_)): _*)).as(s"qs_$c"))
       df.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(cols.map(c =>
           struct(lit(c).as("column_name"), col(s"qs_$c").as("qs"))): _*)).as("s"))
         .select(col("s.column_name"), col("s.qs"))
-    } else distributedPercentilesMulti(df, cols, probes)
+    } else bracketPercentilesMulti(df, cols, probes).select(col("column_name"), col("qs"))
   }
 
-  private[graft] def distributedPercentilesMulti(
+  /** Bracket pipeline WITH cumulative ranks: one row per column,
+    * (column_name, qs, cums), where cums(i) = exact count of rows with
+    * value ≤ qs(i) — free information the refinement already holds
+    * (the rank covering a probe's floor index IS the cumulative count
+    * through its value; an interpolated quantile sits strictly between
+    * adjacent order statistics, so counting through the lower one is
+    * counting through the quantile). Lets an equi-height histogram
+    * read its bucket populations as cums differences instead of
+    * paying a second full conditional-aggregate scan. Distributed
+    * path only — callers below the dispatch threshold compute cells
+    * in their own (cheap at that size) conditional pass. */
+  def percentilesWithCumsOfMulti(df: DataFrame, cols: Seq[String],
+      probes: Seq[Double]): DataFrame =
+    bracketPercentilesMulti(df, cols, probes)
+
+  /** The bracket-refinement pipeline (see object scaladoc). `acc` is
+    * parameterized so tests can exercise meaningful margins at small
+    * n (the GK slack argument needs n ≥ acc). */
+  private[graft] def bracketPercentilesMulti(
+      df: DataFrame, cols: Seq[String], probes: Seq[Double],
+      acc: Int = BracketAccuracy): DataFrame = {
+    val m = probes.length
+    val eps = 3.0 / acc
+    val pLo = probes.map(p => p - eps)
+    val pHi = probes.map(p => p + eps)
+    val apProbes = pLo.map(math.max(_, 0.0)) ++ pHi.map(math.min(_, 1.0))
+    // PASS 1: exact counts + GK summaries, one scan; k-row result
+    // pinned so consumers never re-run the scan
+    val aggs = cols.flatMap { c => Seq(
+      percentile_approx(col(c).cast("double"),
+        array(apProbes.map(lit(_)): _*), lit(acc)).as(s"ap_$c"),
+      count(col(c).cast("double")).as(s"n_$c")) }
+    val colRows = df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(lit(c).as("k"),
+        col(s"n_$c").as("n_total"), col(s"ap_$c").as("ap"))): _*)).as("s"))
+      .select(col("s.k").as("k"), col("s.n_total").as("n_total"),
+        array((0 until m).map(j => if (pLo(j) <= 0.0) lit(Double.NegativeInfinity)
+          else col("s.ap")(j)): _*).as("los"),
+        array((0 until m).map(j => if (pHi(j) >= 1.0) lit(Double.PositiveInfinity)
+          else col("s.ap")(m + j)): _*).as("his"))
+      .localCheckpoint()
+    // PASS 2: segment id = #(boundaries ≤ v) over the 2m broadcast
+    // boundaries — fixed-index element_at comparisons, fully codegen'd
+    // (an ArrayAggregate lambda would fall out of codegen); value kept
+    // only inside a bracket
+    val kv = df.select(explode(map(cols.flatMap(c =>
+        Seq(lit(c), col(c).cast("double"))): _*)).as(Seq("k", "v")))
+      .filter(col("v").isNotNull)
+    val joined = kv.join(broadcast(colRows.select(col("k"), col("los"), col("his"))), Seq("k"))
+    val segExpr = (0 until m).flatMap(j => Seq(col("los")(j), col("his")(j)))
+      .map(b => when(col("v") >= b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val hotExpr = (0 until m).map(j =>
+      col("v") >= col("los")(j) && col("v") <= col("his")(j)).reduce(_ || _)
+    val census = joined
+      .select(col("k"), segExpr.as("seg"), when(hotExpr, col("v")).as("hv"))
+      .groupBy(col("k"), col("seg"), col("hv"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // two readers below; lazy persist shares one compute
+    // exclusive segment prefixes (≤ 2m+1 segments per column)
+    val segTot = census.groupBy(col("k"), col("seg")).agg(sum(col("c")).as("segc"))
+      .withColumn("soff", coalesce(sum(col("segc")).over(
+        Window.partitionBy(col("k")).orderBy(col("seg"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("k"), col("seg"), col("soff"))
+    // exact global rank of every hot value: segment offset + prefix of
+    // smaller hot values in the same segment (mixed segments keep all
+    // cold rows strictly above their hot rows — object scaladoc §3);
+    // value row covers multiset indices [e, e+c-1]
+    val hotRanked = census.filter(col("hv").isNotNull)
+      .withColumn("lc", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("k"), col("seg")).orderBy(col("hv"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(segTot, Seq("k", "seg"))
+      .select(col("k"), col("hv").as("v"), col("c"),
+        (col("lc") + col("soff")).as("e"))
+    val probeRows = colRows
+      .select(col("k").as("pk"), col("n_total"),
+        posexplode(array(probes.map(lit(_)): _*)).as(Seq("idx", "p")))
+      .withColumn("pos", col("p") * (col("n_total") - 1).cast("double"))
+      .withColumn("flo", floor(col("pos")).cast("long"))
+      .withColumn("fhi", ceil(col("pos")).cast("long"))
+      .limit(cols.length * m) // restore the static bound the checkpoint scan hides
+    // 1-2 hot rows per probe: the ones covering index flo and/or fhi
+    val matched = hotRanked.join(broadcast(probeRows),
+      col("k") === col("pk") &&
+        col("e") <= col("fhi") && col("flo") < col("e") + col("c"))
+    val perProbe = matched.groupBy(col("k"), col("idx"))
+      .agg(max(col("pos")).as("pos"),
+        max(col("flo")).as("flo"), max(col("fhi")).as("fhi"),
+        max(when(col("e") <= col("flo") && col("flo") < col("e") + col("c"),
+          col("v"))).as("lv"),
+        max(when(col("e") <= col("fhi") && col("fhi") < col("e") + col("c"),
+          col("v"))).as("hv"),
+        // count of rows ≤ the probe's quantile: through the value
+        // covering the FLOOR index (an interpolated q lies strictly
+        // between adjacent order statistics — nothing sits between)
+        max(when(col("e") <= col("flo") && col("flo") < col("e") + col("c"),
+          col("e") + col("c"))).as("cum"))
+      .withColumn("q",
+        when(col("lv").isNull || (col("fhi") =!= col("flo") && col("hv").isNull),
+          raise_error(concat(lit("ExactQuantile bracket miss: column "),
+            col("k"), lit(" probe #"), col("idx").cast("string"))).cast("double"))
+        .otherwise(when(col("flo") === col("fhi"), col("lv"))
+          .otherwise(col("lv") * (col("fhi").cast("double") - col("pos")) +
+            col("hv") * (col("pos") - col("flo").cast("double")))))
+    val out = perProbe
+      .groupBy(col("k").as("column_name"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("q"), col("cum")))).as("s"))
+      .select(col("column_name"),
+        when(size(col("s")) === m, transform(col("s"), x => x.getField("q")))
+          .otherwise(raise_error(concat(lit("ExactQuantile probe dropped: "),
+            col("column_name"))).cast("array<double>")).as("qs"),
+        transform(col("s"), x => x.getField("cum")).as("cums"))
+      .localCheckpoint()
+    census.unpersist()
+    out
+  }
+
+  /** The per-value-count census + two-phase range-rank pipeline the
+    * bracket path replaced — retained as the differential twin
+    * (DifferentialSpec pins census == bracket == built-in bit-for-bit
+    * on adversarial distributions). Shuffles the full distinct-value
+    * census; correct at any scale but census-sized in transit. */
+  private[graft] def censusPercentilesMulti(
       df: DataFrame, cols: Seq[String], probes: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
@@ -141,60 +331,6 @@ object ExactQuantile {
       .agg(sort_array(collect_list(struct(col("idx"), col("q")))).as("s"))
       .select(col("column_name"),
         transform(col("s"), x => x.getField("q")).as("qs"))
-      .localCheckpoint()
-    parted.unpersist()
-    out
-  }
-
-  private[graft] def distributedPercentiles(
-      df: DataFrame, c: String, probes: Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
-    // census persisted before the range exchange: RangePartitioner's
-    // sample pass would otherwise re-execute the full scan+aggregate
-    val cnt = df.select(col(c).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .persist()
-    val parted = cnt.repartitionByRange(n, col("v"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    parted.count()
-    cnt.unpersist()
-    val local = parted.withColumn("lc", coalesce(sum(col("c")).over(
-      Window.partitionBy(col("pid")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val offs = parted.groupBy(col("pid")).agg(sum(col("c")).as("pc"))
-      .withColumn("poff", coalesce(sum(col("pc")).over(
-        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("poff"))
-    // e = exclusive prefix: value row covers multiset indices [e, e+c-1]
-    val ranked = local.join(offs, Seq("pid"))
-      .select(col("v"), col("c"), (col("lc") + col("poff")).as("e"))
-    val probeRows = parted.agg(sum(col("c")).as("n_total"))
-      .select(col("n_total"),
-        posexplode(array(probes.map(lit(_)): _*)).as(Seq("idx", "p")))
-      .withColumn("pos", col("p") * (col("n_total") - 1).cast("double"))
-      .withColumn("flo", floor(col("pos")).cast("long"))
-      .withColumn("fhi", ceil(col("pos")).cast("long"))
-    // 1-2 value rows per probe: the ones covering index flo and/or fhi
-    val matched = ranked.join(broadcast(probeRows),
-      col("e") <= col("fhi") && col("flo") < col("e") + col("c"))
-    val perProbe = matched.groupBy(col("idx"))
-      .agg(max(col("pos")).as("pos"),
-        max(col("flo")).as("flo"), max(col("fhi")).as("fhi"),
-        max(when(col("e") <= col("flo") && col("flo") < col("e") + col("c"),
-          col("v"))).as("lv"),
-        max(when(col("e") <= col("fhi") && col("fhi") < col("e") + col("c"),
-          col("v"))).as("hv"))
-      .withColumn("q",
-        when(col("flo") === col("fhi"), col("lv"))
-          .otherwise(col("lv") * (col("fhi").cast("double") - col("pos")) +
-            col("hv") * (col("pos") - col("flo").cast("double"))))
-    val out = perProbe
-      .groupBy()
-      .agg(sort_array(collect_list(struct(col("idx"), col("q")))).as("s"))
-      .select(transform(col("s"), x => x.getField("q")).as("qs"))
       .localCheckpoint()
     parted.unpersist()
     out

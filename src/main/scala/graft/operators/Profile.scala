@@ -163,47 +163,57 @@ object Profile {
 
   def histogramEquiHeight(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    // TWO fact scans total, not two per column: one pass computes the
-    // exact percentile boundaries for EVERY profiled column, a second
-    // counts all column×bucket cells as conditional sums against the
-    // broadcast boundary row (a per-column union re-read the fact
-    // table 2·|columns| times — the difference a 100 TB scan pays for)
-    // boundaries via the distributed exact-percentile rank (see
-    // ExactQuantile — no single-task value-map merge); the three
-    // one-row boundary tables compose into one broadcast row. ONE
-    // metadata count bounds all three dispatches (the per-call probe
-    // would pay 3 redundant jobs)
-    val nLi = li.count()
-    // ONE boundary pass for all columns (percentilesOfMulti: one scan,
-    // one rank pipeline), reshaped to the single broadcast row the
-    // cell count joins against; limit(1) restores the static one-row
-    // bound the checkpoint scan hides from the planner (for the
-    // non-equi join guard and any cost-based decision)
-    val q = ExactQuantile.percentilesOfMulti(li, profiled,
-        (0 to EqBuckets).map(_.toDouble / EqBuckets), knownRowsUpper = nLi)
-      .groupBy()
-      .agg(max(when(col("column_name") === profiled.head, col("qs")))
-          .as(s"qs_${profiled.head}"),
-        profiled.tail.map(c => max(when(col("column_name") === c, col("qs")))
-          .as(s"qs_$c")): _*)
-      .limit(1)
-    val cells: Seq[Column] = profiled.flatMap { c =>
-      (1 to EqBuckets).map { b =>
-        val qs = col(s"qs_$c")
-        val inRange = col(c) > qs(b - 1) && col(c) <= qs(b)
-        val owns = if (b == 1) inRange || col(c) === qs(0) else inRange
-        sum(when(owns, 1L).otherwise(0L)).as(s"n_${c}_$b")
+    val probes = (0 to EqBuckets).map(_.toDouble / EqBuckets)
+    if (ExactQuantile.useDistributed(li)) {
+      // TWO fact scans total for boundaries AND populations: the
+      // bracket-refinement pipeline's cums column (count ≤ each
+      // boundary) already IS the cumulative histogram, so bucket
+      // populations are adjacent differences — the conditional-sum
+      // cell pass the small path pays below is pure re-derivation of
+      // information the refinement held. Bucket semantics replicated
+      // exactly: bucket b owns (q(b-1), q(b)], bucket 1 additionally
+      // owns v == q(0) = min, so n_1 = cums(1) and n_b = cums(b) −
+      // cums(b−1) — duplicate boundaries leave the same empty buckets
+      // the conditional sums produce.
+      ExactQuantile.percentilesWithCumsOfMulti(li, profiled, probes)
+        .select(col("column_name"), explode(array((1 to EqBuckets).map(b =>
+          struct(lit(b.toLong).as("bucket"),
+            col("qs")(b - 1).as("lo"), col("qs")(b).as("hi"),
+            (if (b == 1) col("cums")(b)
+             else col("cums")(b) - col("cums")(b - 1)).as("n"))): _*)).as("r"))
+        .select(col("column_name"), col("r.bucket"),
+          col("r.lo"), col("r.hi"), col("r.n"))
+    } else {
+      // below the dispatch threshold: one built-in boundary pass, one
+      // conditional-sum cell pass against the broadcast boundary row
+      // (cheap at this size); limit(1) restores the static one-row
+      // bound for the non-equi join guard
+      val q = ExactQuantile.percentilesOfMulti(li, profiled, probes,
+          knownRowsUpper = 0L)
+        .groupBy()
+        .agg(max(when(col("column_name") === profiled.head, col("qs")))
+            .as(s"qs_${profiled.head}"),
+          profiled.tail.map(c => max(when(col("column_name") === c, col("qs")))
+            .as(s"qs_$c")): _*)
+        .limit(1)
+      val cells: Seq[Column] = profiled.flatMap { c =>
+        (1 to EqBuckets).map { b =>
+          val qs = col(s"qs_$c")
+          val inRange = col(c) > qs(b - 1) && col(c) <= qs(b)
+          val owns = if (b == 1) inRange || col(c) === qs(0) else inRange
+          sum(when(owns, 1L).otherwise(0L)).as(s"n_${c}_$b")
+        }
       }
+      val qsCarry: Seq[Column] = profiled.map(c => first(col(s"qs_$c")).as(s"qs_$c"))
+      li.select(profiled.map(col): _*).crossJoin(broadcast(q))
+        .agg((cells ++ qsCarry).head, (cells ++ qsCarry).tail: _*)
+        .select(explode(array(profiled.flatMap(c => (1 to EqBuckets).map(b =>
+          struct(lit(c).as("column_name"), lit(b.toLong).as("bucket"),
+            col(s"qs_$c")(b - 1).as("lo"), col(s"qs_$c")(b).as("hi"),
+            col(s"n_${c}_$b").as("n")))): _*)).as("r"))
+        .select(col("r.column_name").as("column_name"), col("r.bucket"),
+          col("r.lo"), col("r.hi"), col("r.n"))
     }
-    val qsCarry: Seq[Column] = profiled.map(c => first(col(s"qs_$c")).as(s"qs_$c"))
-    li.select(profiled.map(col): _*).crossJoin(broadcast(q))
-      .agg((cells ++ qsCarry).head, (cells ++ qsCarry).tail: _*)
-      .select(explode(array(profiled.flatMap(c => (1 to EqBuckets).map(b =>
-        struct(lit(c).as("column_name"), lit(b.toLong).as("bucket"),
-          col(s"qs_$c")(b - 1).as("lo"), col(s"qs_$c")(b).as("hi"),
-          col(s"n_${c}_$b").as("n")))): _*)).as("r"))
-      .select(col("r.column_name").as("column_name"), col("r.bucket"),
-        col("r.lo"), col("r.hi"), col("r.n"))
   }
 
   def approxProfile(spark: SparkSession, sfDir: String): DataFrame = {

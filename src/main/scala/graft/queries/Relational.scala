@@ -301,16 +301,15 @@ object Relational {
     * approx_percentile (t-digest) — the gate locks the exact path. */
   def qQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    // exact percentiles via the DISTRIBUTED per-value-count rank
+    // exact percentiles via the DISTRIBUTED bracket-refinement pipeline
     // (operators.ExactQuantile) — the built-in `percentile` aggregate
     // merges every partition's value→count map in one final task, a
     // distinct-value-sized single-task census that cannot scale; the
-    // replacement replicates its interpolation bit-for-bit; ONE
-    // metadata count bounds all three dispatches
-    val nLi = li.count()
+    // replacement replicates its interpolation bit-for-bit. Dispatch
+    // rides free plan-statistics bytes — no count job
     graft.operators.ExactQuantile
       .percentilesOfMulti(li, Seq("l_orderkey", "l_partkey", "l_suppkey"),
-        Seq(0.125, 0.25, 0.5, 0.75, 0.875), knownRowsUpper = nLi)
+        Seq(0.125, 0.25, 0.5, 0.75, 0.875))
       .select(col("column_name"),
         col("qs")(0).as("p125"), col("qs")(1).as("p25"), col("qs")(2).as("p50"),
         col("qs")(3).as("p75"), col("qs")(4).as("p875"))

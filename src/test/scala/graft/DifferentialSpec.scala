@@ -246,27 +246,28 @@ class DifferentialSpec extends AnyFunSuite {
     // only exercise it on the suite's tables, so random skew/dup/neg
     // distributions pin it here (duplicates force multi-row value
     // brackets; negatives and heavy skew stress the range exchange)
+    // probes include the clamped ends (0.0 / 1.0 take the ±∞ sentinel
+    // bracket) and non-binary fractions; acc=200 keeps the GK slack
+    // argument meaningful at n=4000 (εn = 60 rows, same ratio as the
+    // production accuracy at 200k+ rows)
     val probes = Seq(0.0, 0.125, 0.33, 0.5, 0.77, 1.0)
     for (seed <- 1 to 3) {
       val r = new scala.util.Random(seed)
       val rows = Seq.fill(4000)((
         math.round(math.pow(10, r.nextDouble() * 4)) - 500, // skewed, negative
-        r.nextInt(40).toLong)) // heavy duplication
+        r.nextInt(40).toLong)) // heavy duplication (mixed-segment ties)
       val df = rows.toDF("a", "b")
-      for (c <- Seq("a", "b")) {
-        val want = df.agg(percentile(col(c).cast("double"),
-            array(probes.map(lit(_)): _*))).head().getSeq[Double](0)
-        val got = graft.operators.ExactQuantile.distributedPercentiles(df, c, probes)
-          .head().getSeq[Double](0)
-        assert(got == want, s"seed $seed col $c: $got != $want")
-      }
-      val multi = graft.operators.ExactQuantile
-        .distributedPercentilesMulti(df, Seq("a", "b"), probes)
+      val census = graft.operators.ExactQuantile
+        .censusPercentilesMulti(df, Seq("a", "b"), probes)
+        .collect().map(r0 => r0.getString(0) -> r0.getSeq[Double](1)).toMap
+      val bracket = graft.operators.ExactQuantile
+        .bracketPercentilesMulti(df, Seq("a", "b"), probes, acc = 200)
         .collect().map(r0 => r0.getString(0) -> r0.getSeq[Double](1)).toMap
       for (c <- Seq("a", "b")) {
         val want = df.agg(percentile(col(c).cast("double"),
             array(probes.map(lit(_)): _*))).head().getSeq[Double](0)
-        assert(multi(c) == want, s"seed $seed multi $c: ${multi(c)} != $want")
+        assert(census(c) == want, s"seed $seed census $c: ${census(c)} != $want")
+        assert(bracket(c) == want, s"seed $seed bracket $c: ${bracket(c)} != $want")
       }
     }
   }

@@ -30,17 +30,25 @@ class QueriesSpec extends AnyFunSuite {
 
   test("distributed exact percentile is bit-identical to the built-in aggregate") {
     // the size dispatch means small-SF gates exercise only the built-in
-    // path; this pins the distributed path to it on the same data
+    // path; this pins BOTH distributed paths to it on the suite's own
+    // table (lineitem at this sf is below BracketAccuracy, so the
+    // bracket run uses a proportional accuracy)
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sf)
+    val n = li.count()
+    val acc = math.max(20, (n / 20).toInt)
     val probes = Seq(0.0, 0.125, 0.25, 0.5, 0.75, 0.875, 1.0)
-    for (c <- Seq("l_orderkey", "l_partkey", "l_quantity")) {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity")
+    val census = operators.ExactQuantile.censusPercentilesMulti(li, cols, probes)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val bracket = operators.ExactQuantile.bracketPercentilesMulti(li, cols, probes, acc)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (c <- cols) {
       val builtin = li.agg(percentile(col(c).cast("double"),
           array(probes.map(lit(_)): _*)).as("qs"))
         .head().getSeq[Double](0)
-      val dist = operators.ExactQuantile.distributedPercentiles(li, c, probes)
-        .head().getSeq[Double](0)
-      assert(builtin == dist, s"$c: builtin $builtin != distributed $dist")
+      assert(builtin == census(c), s"$c: builtin $builtin != census ${census(c)}")
+      assert(builtin == bracket(c), s"$c: builtin $builtin != bracket ${bracket(c)}")
     }
   }
 
