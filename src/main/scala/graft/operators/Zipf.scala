@@ -49,7 +49,11 @@ object Zipf {
            | i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1),
            |   element_at(toks,i+2)))""".stripMargin)))
       .select(col("doc_id"), graft.functions.Similarity.md5Mod(col("g")).as("h"))
-      .dropDuplicates("doc_id", "h")
+    // No per-(doc, h) dedup before the census: min(doc_id) is
+    // duplicate-insensitive and groupBy(h) dedups grams itself, so a
+    // dropDuplicates here would be a second full shuffle of the
+    // exploded gram table for nothing — the h agg partial-combines
+    // map-side over the raw explode stream instead.
     val newGrams = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("new_terms"))
     val perDoc = docs.select(col("doc_id"),
