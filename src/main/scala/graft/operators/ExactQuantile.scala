@@ -95,15 +95,17 @@ object ExactQuantile {
 
   /** GK summary accuracy for the bracket pass: rank error ≤
     * n/BracketAccuracy, so each probe's hot window holds ≤ 8·n/this
-    * rows (0.2% of the table). GK insert cost RISES with accuracy
-    * (the sampled buffer, and so each compaction, is ∝ acc): measured
-    * at sf1 on 3×60M values, acc=10000 pays 4.5s in the summary pass
-    * where acc=4000 lands the whole pipeline at ~3.4s, and acc=500's
-    * fat hot windows push the refinement shuffle past the savings.
-    * Exactness is unaffected by the choice; at extreme n, raise it to
-    * keep each probe's hot window executor-sized (the hot census
-    * itself is distributed — nothing collects a window). */
-  final val BracketAccuracy = 4000
+    * rows (0.4% of the table). GK insert cost RISES with accuracy
+    * (the sampled buffer, and so each compaction, is ∝ acc) while the
+    * refinement cost rises as it falls — measured end-to-end at sf10
+    * (3 columns × 60M rows, join-free refinement): acc=4000 10.3s /
+    * 2000 8.6s / 1000 7.2s / 500 6.9s, the GK pass dominating above
+    * 2000 and the fattening hot windows flattening the curve below
+    * it. Exactness is unaffected by the choice; at extreme n, raise
+    * it to keep each probe's hot window executor-sized — the hot
+    * census is distributed, but each (column, segment)'s prefix rank
+    * is one ≤ 8·n/acc-entry window task. */
+  final val BracketAccuracy = 2000
 
   /** One row: `qs` = array of exact percentiles of `df.c` (cast to
     * double) at `probes`, in probe order; both dispatch paths produce
@@ -189,23 +191,40 @@ object ExactQuantile {
         array((0 until m).map(j => if (pHi(j) >= 1.0) lit(Double.PositiveInfinity)
           else col("s.ap")(m + j)): _*).as("his"))
       .localCheckpoint()
-    // PASS 2: segment id = #(boundaries ≤ v) over the 2m broadcast
-    // boundaries — fixed-index element_at comparisons, fully codegen'd
-    // (an ArrayAggregate lambda would fall out of codegen); value kept
-    // only inside a bracket
-    val kv = df.select(explode(map(cols.flatMap(c =>
-        Seq(lit(c), col(c).cast("double"))): _*)).as(Seq("k", "v")))
-      .filter(col("v").isNotNull)
-    val joined = kv.join(broadcast(colRows.select(col("k"), col("los"), col("his"))), Seq("k"))
-    val segExpr = (0 until m).flatMap(j => Seq(col("los")(j), col("his")(j)))
-      .map(b => when(col("v") >= b, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val hotExpr = (0 until m).map(j =>
-      col("v") >= col("los")(j) && col("v") <= col("his")(j)).reduce(_ || _)
-    val census = joined
-      .select(col("k"), segExpr.as("seg"), when(hotExpr, col("v")).as("hv"))
-      .groupBy(col("k"), col("seg"), col("hv"))
+    // PASS 2: segment id = #(boundaries ≤ v) over the 2m boundaries —
+    // fixed-index comparisons, fully codegen'd. JOIN-FREE: the k-row
+    // boundary table pivots into ONE broadcast row (max over
+    // per-column when-structs), so segment and hot-value compute on
+    // the ORIGINAL primitive columns BEFORE the explode — no per-row
+    // map construction, no fact-sized broadcast-hash-join probe on a
+    // string key, no string group key (the int column index resolves
+    // back to its name on the census result, which is segment-count
+    // sized). Measured at sf10 (60M rows × 3 columns) the exploded-
+    // map-then-join shape cost 16s where this is ~4s.
+    val oneRow = colRows.groupBy().agg(
+      max(when(col("k") === cols.head, struct(col("los"), col("his")))).as("b_0"),
+      cols.zipWithIndex.tail.map { case (c, i) =>
+        max(when(col("k") === c, struct(col("los"), col("his")))).as(s"b_$i")
+      }: _*)
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
+      val v = col(c).cast("double")
+      def lo(j: Int) = col(s"b_$i.los")(j)
+      def hi(j: Int) = col(s"b_$i.his")(j)
+      val seg = (0 until m).flatMap(j => Seq(lo(j), hi(j)))
+        .map(b => when(v >= b, 1L).otherwise(0L)).reduce(_ + _)
+      val hot = (0 until m).map(j => v >= lo(j) && v <= hi(j)).reduce(_ || _)
+      when(v.isNotNull, struct(lit(i).as("ci"), seg.as("seg"),
+        when(hot, v).as("hv")))
+    }
+    val colName = cols.zipWithIndex.tail.foldLeft(
+      when(col("ci") === 0, lit(cols.head))) { case (acc, (c, i)) =>
+      acc.when(col("ci") === i, lit(c)) }
+    val census = df.crossJoin(broadcast(oneRow))
+      .select(explode(array(perCol: _*)).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s.ci").as("ci"), col("s.seg").as("seg"), col("s.hv").as("hv"))
       .agg(count(lit(1)).as("c"))
+      .select(colName.as("k"), col("seg"), col("hv"), col("c"))
       .persist() // two readers below; lazy persist shares one compute
     // exclusive segment prefixes (≤ 2m+1 segments per column)
     val segTot = census.groupBy(col("k"), col("seg")).agg(sum(col("c")).as("segc"))
