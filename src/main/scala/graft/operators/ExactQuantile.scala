@@ -192,35 +192,42 @@ object ExactQuantile {
           else col("s.ap")(m + j)): _*).as("his"))
       .localCheckpoint()
     // PASS 2: segment id = #(boundaries ≤ v) over the 2m boundaries —
-    // fixed-index comparisons, fully codegen'd. JOIN-FREE: the k-row
-    // boundary table pivots into ONE broadcast row (max over
-    // per-column when-structs), so segment and hot-value compute on
-    // the ORIGINAL primitive columns BEFORE the explode — no per-row
-    // map construction, no fact-sized broadcast-hash-join probe on a
-    // string key, no string group key (the int column index resolves
-    // back to its name on the census result, which is segment-count
-    // sized). Measured at sf10 (60M rows × 3 columns) the exploded-
-    // map-then-join shape cost 16s where this is ~4s.
+    // fixed-index comparisons. JOIN-FREE: the k-row boundary table
+    // pivots into ONE broadcast row of 2·m·k SCALAR doubles, so
+    // segment and hot-value compute on the ORIGINAL primitive columns
+    // BEFORE the explode — no per-row map construction, no fact-sized
+    // broadcast-hash-join probe on a string key, no string group key
+    // (the int column index resolves back to its name on the census
+    // result, which is segment-count sized). The bounds MUST be flat
+    // scalars: referencing them as GetArrayItem(GetStructField(·)) of
+    // the broadcast row evaluates the nested extraction per
+    // comparison per row — measured 147s vs 4.5s for the identical
+    // census at sf10 (60M rows × 3 columns × 5 probes); the old
+    // exploded-map-then-join shape sat in between at ~16s. The heavy
+    // per-column structs land in their own pre-explode Project so the
+    // Generate argument stays a trivial attribute array.
     val oneRow = colRows.groupBy().agg(
-      max(when(col("k") === cols.head, struct(col("los"), col("his")))).as("b_0"),
-      cols.zipWithIndex.tail.map { case (c, i) =>
-        max(when(col("k") === c, struct(col("los"), col("his")))).as(s"b_$i")
-      }: _*)
+      max(when(col("k") === cols.head, col("los")(0))).as("lo_0_0"),
+      (for { (c, i) <- cols.zipWithIndex; j <- 0 until m; s <- Seq("lo", "hi") }
+        yield max(when(col("k") === c,
+          col(if (s == "lo") "los" else "his")(j))).as(s"${s}_${i}_$j"))
+        .drop(1): _*)
     val perCol = cols.zipWithIndex.map { case (c, i) =>
       val v = col(c).cast("double")
-      def lo(j: Int) = col(s"b_$i.los")(j)
-      def hi(j: Int) = col(s"b_$i.his")(j)
+      def lo(j: Int) = col(s"lo_${i}_$j")
+      def hi(j: Int) = col(s"hi_${i}_$j")
       val seg = (0 until m).flatMap(j => Seq(lo(j), hi(j)))
         .map(b => when(v >= b, 1L).otherwise(0L)).reduce(_ + _)
       val hot = (0 until m).map(j => v >= lo(j) && v <= hi(j)).reduce(_ || _)
       when(v.isNotNull, struct(lit(i).as("ci"), seg.as("seg"),
-        when(hot, v).as("hv")))
+        when(hot, v).as("hv"))).as(s"s_$i")
     }
     val colName = cols.zipWithIndex.tail.foldLeft(
       when(col("ci") === 0, lit(cols.head))) { case (acc, (c, i)) =>
       acc.when(col("ci") === i, lit(c)) }
     val census = df.crossJoin(broadcast(oneRow))
-      .select(explode(array(perCol: _*)).as("s"))
+      .select(perCol: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s_$i")): _*)).as("s"))
       .filter(col("s").isNotNull)
       .groupBy(col("s.ci").as("ci"), col("s.seg").as("seg"), col("s.hv").as("hv"))
       .agg(count(lit(1)).as("c"))
