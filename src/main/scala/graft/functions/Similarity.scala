@@ -36,6 +36,12 @@ object Similarity {
   def md5Mod(s: Column): Column =
     column(graft.expressions.Md5Mod61(expression(s)))
 
+  /** Bracket-refinement kernel: (#(boundaries ≤ v) << 1) | in-bracket
+    * (see expressions/SegmentHot.scala and operators/ExactQuantile). */
+  def segmentHot(v: Column, los: Column, his: Column): Column =
+    column(graft.expressions.SegmentHot(
+      expression(v), expression(los), expression(his)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

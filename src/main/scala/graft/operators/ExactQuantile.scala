@@ -191,36 +191,36 @@ object ExactQuantile {
         array((0 until m).map(j => if (pHi(j) >= 1.0) lit(Double.PositiveInfinity)
           else col("s.ap")(m + j)): _*).as("his"))
       .localCheckpoint()
-    // PASS 2: segment id = #(boundaries ≤ v) over the 2m boundaries —
-    // fixed-index comparisons. JOIN-FREE: the k-row boundary table
-    // pivots into ONE broadcast row of 2·m·k SCALAR doubles, so
-    // segment and hot-value compute on the ORIGINAL primitive columns
-    // BEFORE the explode — no per-row map construction, no fact-sized
-    // broadcast-hash-join probe on a string key, no string group key
-    // (the int column index resolves back to its name on the census
-    // result, which is segment-count sized). The bounds MUST be flat
-    // scalars: referencing them as GetArrayItem(GetStructField(·)) of
-    // the broadcast row evaluates the nested extraction per
-    // comparison per row — measured 147s vs 4.5s for the identical
-    // census at sf10 (60M rows × 3 columns × 5 probes); the old
-    // exploded-map-then-join shape sat in between at ~16s. The heavy
-    // per-column structs land in their own pre-explode Project so the
-    // Generate argument stays a trivial attribute array.
+    // PASS 2: segment id = #(boundaries ≤ v) over the 2m boundaries.
+    // JOIN-FREE: the k-row boundary table pivots into ONE broadcast
+    // row of per-column boundary arrays, so segment and hot-value
+    // compute on the ORIGINAL primitive columns BEFORE the explode —
+    // no per-row map construction, no fact-sized broadcast-hash-join
+    // probe on a string key, no string group key (the int column
+    // index resolves back to its name on the census result, which is
+    // segment-count sized). The comparison work itself runs inside
+    // the codegen'd SegmentHot kernel (expressions/SegmentHot.scala):
+    // per-boundary `when` chains grow the stage's generated method
+    // with m·k and silently drop the whole stage to interpreted
+    // evaluation past ~30 boundary references (measured: the same
+    // census at sf10 costs 8.8s at m=5 and 98s at m=6 as when-chains;
+    // the kernel is m-independent). The heavy per-column structs land
+    // in their own pre-explode Project so the Generate argument stays
+    // a trivial attribute array.
     val oneRow = colRows.groupBy().agg(
-      max(when(col("k") === cols.head, col("los")(0))).as("lo_0_0"),
-      (for { (c, i) <- cols.zipWithIndex; j <- 0 until m; s <- Seq("lo", "hi") }
-        yield max(when(col("k") === c,
-          col(if (s == "lo") "los" else "his")(j))).as(s"${s}_${i}_$j"))
-        .drop(1): _*)
+      max(when(col("k") === cols.head, col("los"))).as("los_0"),
+      (cols.zipWithIndex.drop(1).map { case (c, i) =>
+        max(when(col("k") === c, col("los"))).as(s"los_$i")
+      } ++ cols.zipWithIndex.map { case (c, i) =>
+        max(when(col("k") === c, col("his"))).as(s"his_$i")
+      }): _*)
     val perCol = cols.zipWithIndex.map { case (c, i) =>
       val v = col(c).cast("double")
-      def lo(j: Int) = col(s"lo_${i}_$j")
-      def hi(j: Int) = col(s"hi_${i}_$j")
-      val seg = (0 until m).flatMap(j => Seq(lo(j), hi(j)))
-        .map(b => when(v >= b, 1L).otherwise(0L)).reduce(_ + _)
-      val hot = (0 until m).map(j => v >= lo(j) && v <= hi(j)).reduce(_ || _)
-      when(v.isNotNull, struct(lit(i).as("ci"), seg.as("seg"),
-        when(hot, v).as("hv"))).as(s"s_$i")
+      val sh = graft.functions.Similarity.segmentHot(
+        v, col(s"los_$i"), col(s"his_$i"))
+      when(v.isNotNull, struct(lit(i).as("ci"),
+        shiftright(sh, 1).as("seg"),
+        when(sh.bitwiseAND(lit(1L)) === 1L, v).as("hv"))).as(s"s_$i")
     }
     val colName = cols.zipWithIndex.tail.foldLeft(
       when(col("ci") === 0, lit(cols.head))) { case (acc, (c, i)) =>
