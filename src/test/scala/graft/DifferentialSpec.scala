@@ -271,4 +271,43 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SegmentHot kernel equals the per-boundary when-chain on random bounds") {
+    // the codegen'd kernel replaced 2m per-boundary when() chains
+    // (which silently drop the stage out of codegen past ~30 bounds);
+    // this pins its packed (seg << 1 | hot) against the chain
+    // semantics element-for-element, including ±∞ sentinels, exact
+    // boundary hits, and null boundary slots (empty-column GK output)
+    val r = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val m = 1 + r.nextInt(9)
+      val los = Array.fill(m)(
+        if (r.nextInt(12) == 0) Double.NegativeInfinity
+        else if (r.nextInt(12) == 0) Double.NaN // stand-in for null slot
+        else r.nextInt(100).toDouble)
+      val his = los.map(lo =>
+        if (r.nextInt(12) == 0) Double.PositiveInfinity
+        else if (r.nextInt(12) == 0) Double.NaN
+        else (if (lo.isInfinite || lo.isNaN) r.nextInt(100).toDouble
+              else lo + r.nextInt(10)))
+      val v = if (r.nextBoolean()) r.nextInt(110).toDouble - 5
+        else los(r.nextInt(m)) // force exact boundary hits
+      if (!v.isNaN) {
+        def slot(x: Double): Option[Double] = if (x.isNaN) None else Some(x)
+        val seg = (0 until m).flatMap(j => Seq(slot(los(j)), slot(his(j))))
+          .count { case Some(b) => v >= b; case None => false }
+        val hot = (0 until m).exists(j => (slot(los(j)), slot(his(j))) match {
+          case (Some(lo), Some(hi)) => v >= lo && v <= hi
+          case _ => false
+        })
+        val want = (seg.toLong << 1) | (if (hot) 1L else 0L)
+        val losData = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          los.map(x => if (x.isNaN) null else java.lang.Double.valueOf(x)))
+        val hisData = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          his.map(x => if (x.isNaN) null else java.lang.Double.valueOf(x)))
+        val got = graft.expressions.SegmentHot.compute(v, losData, hisData)
+        assert(got == want, s"v=$v los=${los.toSeq} his=${his.toSeq}")
+      }
+    }
+  }
 }
