@@ -23,7 +23,18 @@ import org.apache.spark.sql.types._
   * m=9 octile pass plans the same code as a 3-probe quartile pass.
   * Null boundary elements (a column with zero non-null rows yields
   * null GK output) are skipped: they count into no segment and arm
-  * no bracket, matching the when-chain's null semantics. */
+  * no bracket, matching the when-chain's null semantics.
+  *
+  * NaN values count into the TOP segment (above every non-null
+  * boundary, hot for no bracket) — Spark's sort order places NaN
+  * above +∞, so a NaN row must sit above every boundary or it would
+  * shift every downstream segment's prefix offset and silently
+  * corrupt probed ranks. With NaN pinned to the top, a NaN can only
+  * disturb a probe whose rank actually reaches into the NaN region,
+  * and there the refinement finds no hot value and the caller's
+  * raise_error backstop fires instead of returning a wrong quantile.
+  * The two boundary arrays MUST have equal length (a probe owns one
+  * lo and one hi); unequal lengths throw rather than truncate. */
 case class SegmentHot(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = LongType
@@ -59,10 +70,22 @@ case class SegmentHot(first: Expression, second: Expression, third: Expression)
 
 object SegmentHot {
   def compute(v: Double, los: ArrayData, his: ArrayData): Long = {
-    val m = math.min(los.numElements(), his.numElements())
+    val m = los.numElements()
+    if (his.numElements() != m)
+      throw new IllegalArgumentException(
+        s"segment_hot boundary arrays differ in length: $m vs ${his.numElements()}")
     var seg = 0L
     var hot = false
     var j = 0
+    if (java.lang.Double.isNaN(v)) {
+      // NaN sorts above +∞ in Spark: top segment, hot for nothing
+      while (j < m) {
+        if (!los.isNullAt(j)) seg += 1L
+        if (!his.isNullAt(j)) seg += 1L
+        j += 1
+      }
+      return seg << 1
+    }
     while (j < m) {
       var inLo = false
       if (!los.isNullAt(j)) {

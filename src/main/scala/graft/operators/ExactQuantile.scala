@@ -60,10 +60,14 @@ import org.apache.spark.sql.functions._
   * pipeline is retained below ([[censusPercentilesMulti]]) as the
   * differential-testing twin.
   *
-  * NaN caveat: Spark orders NaN above +∞ while GK summaries and the
-  * segment comparisons treat it as incomparable — columns fed here
-  * must be NaN-free (every gate caller is money/integer-valued; the
-  * backstop raises if a NaN ever holds a probed rank).
+  * NaN caveat: Spark orders NaN above +∞ while the GK summary treats
+  * it as incomparable, so columns fed here should be NaN-free (every
+  * gate caller is money/integer-valued). The damage from a violation
+  * is BOUNDED, not assumed away: the SegmentHot kernel pins NaN rows
+  * to the top segment (matching Spark's sort order), so they can
+  * never shift a lower probe's prefix rank — and a probe whose rank
+  * actually reaches into the NaN region finds no hot value and trips
+  * the raise_error backstop instead of returning a shifted quantile.
   */
 object ExactQuantile {
 
@@ -208,26 +212,26 @@ object ExactQuantile {
     // in their own pre-explode Project so the Generate argument stays
     // a trivial attribute array.
     val oneRow = colRows.groupBy().agg(
-      max(when(col("k") === cols.head, col("los"))).as("los_0"),
+      max(when(col("k") === cols.head, col("los"))).as("__graft_los_0"),
       (cols.zipWithIndex.drop(1).map { case (c, i) =>
-        max(when(col("k") === c, col("los"))).as(s"los_$i")
+        max(when(col("k") === c, col("los"))).as(s"__graft_los_$i")
       } ++ cols.zipWithIndex.map { case (c, i) =>
-        max(when(col("k") === c, col("his"))).as(s"his_$i")
+        max(when(col("k") === c, col("his"))).as(s"__graft_his_$i")
       }): _*)
     val perCol = cols.zipWithIndex.map { case (c, i) =>
       val v = col(c).cast("double")
       val sh = graft.functions.Similarity.segmentHot(
-        v, col(s"los_$i"), col(s"his_$i"))
+        v, col(s"__graft_los_$i"), col(s"__graft_his_$i"))
       when(v.isNotNull, struct(lit(i).as("ci"),
         shiftright(sh, 1).as("seg"),
-        when(sh.bitwiseAND(lit(1L)) === 1L, v).as("hv"))).as(s"s_$i")
+        when(sh.bitwiseAND(lit(1L)) === 1L, v).as("hv"))).as(s"__graft_s_$i")
     }
     val colName = cols.zipWithIndex.tail.foldLeft(
       when(col("ci") === 0, lit(cols.head))) { case (acc, (c, i)) =>
       acc.when(col("ci") === i, lit(c)) }
     val census = df.crossJoin(broadcast(oneRow))
       .select(perCol: _*)
-      .select(explode(array(cols.indices.map(i => col(s"s_$i")): _*)).as("s"))
+      .select(explode(array(cols.indices.map(i => col(s"__graft_s_$i")): _*)).as("s"))
       .filter(col("s").isNotNull)
       .groupBy(col("s.ci").as("ci"), col("s.seg").as("seg"), col("s.hv").as("hv"))
       .agg(count(lit(1)).as("c"))

@@ -310,4 +310,36 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SegmentHot pins NaN values to the top segment, hot for nothing") {
+    // Spark orders NaN above +∞; Java comparisons would send NaN to
+    // segment 0 (all false) and inflate every segment's prefix offset.
+    // The kernel must count NaN above every non-null boundary so only
+    // a probe whose rank reaches the NaN region is disturbed — and
+    // that probe hits the raise_error backstop (no hot value).
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Seq[Any]): ArrayData = ArrayData.toArrayData(
+      xs.map { case null => null; case d: Double => java.lang.Double.valueOf(d) })
+    // 3 probes, one null slot: 5 non-null boundaries → seg 5, hot 0
+    val los = arr(Seq(Double.NegativeInfinity, 10.0, null))
+    val his = arr(Seq(5.0, 20.0, Double.PositiveInfinity))
+    assert(graft.expressions.SegmentHot.compute(Double.NaN, los, his) == (5L << 1))
+    // +∞ value is NOT NaN: counts all non-null bounds AND is hot for
+    // an armed [30, +∞] sentinel bracket (NaN with the same bounds
+    // still reaches the top segment but arms nothing)
+    val los2 = arr(Seq(Double.NegativeInfinity, 10.0, 30.0))
+    assert(graft.expressions.SegmentHot.compute(
+      Double.PositiveInfinity, los2, his) == ((6L << 1) | 1L))
+    assert(graft.expressions.SegmentHot.compute(Double.NaN, los2, his) == (6L << 1))
+  }
+
+  test("SegmentHot rejects unequal-length boundary arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a2 = ArrayData.toArrayData(Array(1.0, 2.0))
+    val a3 = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.SegmentHot.compute(1.5, a2, a3)
+    }
+    assert(e.getMessage.contains("differ in length"))
+  }
 }
