@@ -32,14 +32,28 @@ object MicroBench {
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t(name: String): Double = {
+    // job counter: a multi-job operator pays Spark's ~0.3-0.5s/job
+    // local floor regardless of data volume — the diagnostic that
+    // separates "slow plan" from "many tiny jobs" on the small-sf rows
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
+    def t(name: String): (Double, Int) = {
       spark.sharedState.cacheManager.clearCache()
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, jobs.get() - j0)
     }
     for (i <- 1 to rounds) {
-      val line = names.map(n => f"$n=${t(n)}%.2f").mkString(" ")
+      val line = names.map { n =>
+        val (sec, nj) = t(n); f"$n=$sec%.2f/${nj}j"
+      }.mkString(" ")
       println(s"round $i: $line")
     }
     spark.stop()

@@ -45,4 +45,10 @@ object Similarity {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Per-language occurrence votes of the broadcast profile trigrams
+    * in one text scan (see expressions/PatternVotes.scala). */
+  def patternVotes(text: Column, tris: Column, lidx: Column): Column =
+    column(graft.expressions.PatternVotes(
+      expression(text), expression(tris), expression(lidx)))
 }

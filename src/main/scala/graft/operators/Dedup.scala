@@ -719,6 +719,24 @@ object Dedup {
         round(col("n_found").cast("double") / col("n_pairs"), 6))
   }
 
+  /** Coverage fraction of each document by REPEATED k-token windows
+    * (a window is duplicated if its shingle occurs anywhere else in
+    * the corpus, including the same doc). covered_tokens = size of
+    * the UNION of the duplicated windows' [pos, pos+k-1] intervals.
+    *
+    * Scale shape, two exchanges and zero materializations: the
+    * shingle stream takes ONE hash(sh) exchange where a window count
+    * marks duplicated shingles in place (the previous shape paid a
+    * frequency aggregate PLUS a join-back over a persisted copy of
+    * the stream), then the duplicated windows take one hash(doc)
+    * exchange where the per-doc interval union folds as a running-max
+    * sweep — each window contributes the part of [pos, pos+k-1] above
+    * the max end seen so far, a textbook merge-intervals length in
+    * one window function. The previous shape exploded every
+    * duplicated window into its k positions and paid a corpus-wide
+    * DISTINCT over up to k× the shingle stream; the sweep shuffles
+    * the duplicated windows once and never widens. The terminal
+    * per-doc aggregate rides the sweep's partitioning. */
   def substringDup(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     val docs = Partitioning.spread(Tables.documents(spark, sfDir))
       .withColumn("toks", split(col("text"), " "))
@@ -729,24 +747,23 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
         .as(Seq("pos0", "sh")))
       // 8-byte md5 shingle key instead of the ~50-byte literal string:
-      // the frequency agg and join-back shuffle 6× fewer bytes, and the
-      // DuckDB oracle recomputes the exact same hash (CrossHash). A
-      // collision would merge two windows' counts — ~n²/2^62, and
+      // the occurrence count shuffles 6× fewer bytes, and the DuckDB
+      // oracle recomputes the exact same hash (CrossHash). A collision
+      // would merge two windows' counts — ~n²/2^62, and
       // cross-engine-identical either way
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         graft.functions.Similarity.md5Mod(col("sh")).as("sh"))
-      // the shingle explode (~k× corpus tokens) feeds both the
-      // frequency agg and the coverage join-back; persist it once or
-      // the dominant stage runs twice (the dedupNgram/pagerank rule)
-      .persist()
-    val dupSh = windows.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+    val dup = windows
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("occ") > 1)
-    val covered = windows.join(dupSh, Seq("sh"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
-      .distinct()
+    val covered = dup
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("contrib", col("pos") + (k - 1) -
+        greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("covered_tokens"))
+      .agg(sum(col("contrib")).as("covered_tokens"))
     docs.select(col("doc_id"), col("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -789,11 +806,18 @@ object Dedup {
     * integer form 5·shared ≥ 4·|A| (containment ≥ 0.8) — the reported
     * double is one deterministic divide.
     *
-    * Scale shape: one distinct-gram shuffle, one gram-frequency agg
-    * (map-side combined), the capped equi-self-join, one (src,dst)
-    * count shuffle. The df table is gram-cardinality sized, so its
-    * join stays UNHINTED — AQE broadcasts at test scale, shuffles at
-    * 100 TB. */
+    * Scale shape: ONE distinct-gram hash(h) exchange, where a window
+    * count marks each gram's document frequency in place (the
+    * gram-frequency aggregate plus its gram-cardinality-sized
+    * join-back — two sorts and a merge over the full stream — was
+    * pure re-derivation of information the exchange already
+    * co-located); the cap filter and the df ≥ 2 self-join slice both
+    * preserve that partitioning AND its h-sorted order, so the
+    * equi-self-join runs exchange-free and sort-free, and the
+    * (src,dst) count shuffle is the only further exchange. df = 1
+    * grams (the bulk of the rare-gram space the cap keeps) feed the
+    * denominator census but never the self-join — they cannot
+    * produce a pair. */
   def containmentDup(spark: SparkSession, sfDir: String): DataFrame = {
     // per-doc distinct grams dedupe ROW-LOCALLY (array_distinct over
     // the hashed gram array) — the equivalent dropDuplicates(doc, h)
@@ -809,22 +833,31 @@ object Dedup {
            | i -> md5_mod61(concat_ws(' ', element_at(toks,i), element_at(toks,i+1),
            |   element_at(toks,i+2), element_at(toks,i+3), element_at(toks,i+4)))))"""
           .stripMargin)).as("h"))
-    // corpus-relative cap: one-row doc count broadcast against the
-    // gram-frequency table (see ContainDfCap scaladoc)
+    // corpus-relative cap: one-row doc count broadcast onto the gram
+    // stream (see ContainDfCap scaladoc)
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    // explicit hash(h) layout (the assoc_rules trick): one exchange,
-    // ReusedExchange feeds the df aggregate AND the cap join's probe
-    // side, and the cap join itself needs no further shuffle
-    val gh = grams.repartition(
-      spark.sessionState.conf.numShufflePartitions, col("h"))
-    val dfr = gh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ONE hash(h) exchange; the per-gram document frequency is a
+    // window count over it — in place, no aggregate + join-back. The
+    // window's sort by h also leaves the stream h-ORDERED, which the
+    // self-join below inherits (SortMergeJoin with zero sorts).
+    val gwin = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .crossJoin(broadcast(nDocs))
+    val gc = gwin
       .filter(col("df") <= greatest(lit(ContainDfCap.toLong), expr("n_docs div 8")))
-    val gc = gh.join(dfr.select(col("h")), Seq("h")).persist()
+      .select(col("doc_id"), col("h"), col("df"))
+      .persist()
     gc.count() // materialize once: feeds sizes, both join sides
     val nsz = gc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = gc.select(col("doc_id").as("src_id"), col("h"))
-      .join(gc.select(col("doc_id").as("dst_id"), col("h")), Seq("h"))
+    // the self-join only ever matches grams held by ≥2 docs — df = 1
+    // (the bulk of the rare-gram space the cap keeps) contributes to
+    // the DENOMINATOR census above but can never produce a pair, so
+    // both join sides read the df ≥ 2 slice of the SAME persisted
+    // hash(h)-partitioned, h-sorted layout — at sf1 this drops the
+    // join's input ~7× without touching output semantics
+    val dupg = gc.filter(col("df") >= 2L).select(col("doc_id"), col("h"))
+    val inter = dupg.select(col("doc_id").as("src_id"), col("h"))
+      .join(dupg.select(col("doc_id").as("dst_id"), col("h")), Seq("h"))
       .filter(col("src_id") =!= col("dst_id"))
       .groupBy(col("src_id"), col("dst_id"))
       .agg(count(lit(1)).as("n_shared"))

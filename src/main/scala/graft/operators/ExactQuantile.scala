@@ -97,19 +97,36 @@ object ExactQuantile {
     if (knownRowsUpper >= 0L) knownRowsUpper >= DistributedThresholdRows
     else df.queryExecution.optimizedPlan.stats.sizeInBytes >= DistributedThresholdBytes
 
-  /** GK summary accuracy for the bracket pass: rank error ≤
-    * n/BracketAccuracy, so each probe's hot window holds ≤ 8·n/this
-    * rows (0.4% of the table). GK insert cost RISES with accuracy
-    * (the sampled buffer, and so each compaction, is ∝ acc) while the
-    * refinement cost rises as it falls — measured end-to-end at sf10
-    * (3 columns × 60M rows, join-free refinement): acc=4000 10.3s /
-    * 2000 8.6s / 1000 7.2s / 500 6.9s, the GK pass dominating above
-    * 2000 and the fattening hot windows flattening the curve below
-    * it. Exactness is unaffected by the choice; at extreme n, raise
-    * it to keep each probe's hot window executor-sized — the hot
-    * census is distributed, but each (column, segment)'s prefix rank
-    * is one ≤ 8·n/acc-entry window task. */
-  final val BracketAccuracy = 2000
+  /** GK summary accuracy FLOOR for the bracket pass: rank error ≤
+    * n/acc, so each probe's hot window holds ≤ 8·n/acc rows. GK
+    * insert cost RISES with accuracy (the sampled buffer, and so each
+    * compaction, is ∝ acc) while the refinement cost rises as it
+    * falls — measured end-to-end at sf10 (3 columns × 60M rows,
+    * join-free refinement): acc=4000 10.3s / 2000 8.6s / 1000 7.2s /
+    * 500 6.9s. The floor sits at 1000, not 500, because the trade
+    * depends on probe count: the m=5 q_quantiles is flat between 500
+    * and 1000 at sf1 (~2.7s warm both) while the m=11 q_histogram_eq
+    * pays for 500's fatter hot windows (3.3s vs 2.9s warm at sf1) —
+    * 1000 is the joint optimum across the gate's consumers.
+    * Exactness is unaffected by the choice. */
+  final val BracketAccuracy = 1000
+
+  /** Executor-sizing cap on a probe's hot window: each (column,
+    * segment)'s prefix rank is ONE window task over ≤ 8·n/acc census
+    * entries, so acc must grow with n past the point where 8·n/acc
+    * outgrows a task. [[accFor]] solves 8·n/acc ≤ this for acc —
+    * 4M entries ≈ 64 MB of (value, count) state, comfortably one
+    * task — so the knob turns itself: at sf10 (6·10⁷ rows) the floor
+    * rules, at 10¹² rows acc rises to 2·10⁶ and the hot windows stay
+    * task-sized. An n estimate is enough — acc only trades cost
+    * between the two passes; exactness never depends on it. */
+  final val MaxHotWindowRows = 4000000L
+
+  /** Accuracy for an (estimated) row count: the measured-optimum
+    * floor until hot windows would outgrow a task, then ∝ n. */
+  def accFor(estRows: Long): Int =
+    math.max(BracketAccuracy.toLong,
+      8L * math.max(estRows, 0L) / MaxHotWindowRows).min(Int.MaxValue).toInt
 
   /** One row: `qs` = array of exact percentiles of `df.c` (cast to
     * double) at `probes`, in probe order; both dispatch paths produce
@@ -123,15 +140,18 @@ object ExactQuantile {
     * the per-call `df.count()` probe job (a caller profiling three
     * columns of one table would otherwise pay three redundant counts).
     *
-    * NOTE the bracket path scans `df` twice — callers passing a
-    * DERIVED frame (not a parquet scan) should persist it first, as
-    * every gate caller already does. */
+    * NOTE the bracket path reads `df` twice, through an internally
+    * persisted narrow projection of the profiled columns — callers
+    * passing an EXPENSIVE derived frame (joins/aggregates upstream)
+    * should still persist it so the projection's one materialization
+    * is cheap, as every gate caller already does. */
   def percentilesOf(df: DataFrame, c: String, probes: Seq[Double],
       knownRowsUpper: Long = -1L): DataFrame = {
     if (!useDistributed(df, knownRowsUpper))
       df.agg(percentile(col(c).cast("double"),
         array(probes.map(lit(_)): _*)).as("qs"))
-    else bracketPercentilesMulti(df, Seq(c), probes).select(col("qs"))
+    else bracketPercentilesMulti(df, Seq(c), probes,
+      knownRowsUpper = knownRowsUpper).select(col("qs"))
   }
 
   /** Multi-column twin of [[percentilesOf]]: ONE fact scan per pass
@@ -151,7 +171,8 @@ object ExactQuantile {
         .select(explode(array(cols.map(c =>
           struct(lit(c).as("column_name"), col(s"qs_$c").as("qs"))): _*)).as("s"))
         .select(col("s.column_name"), col("s.qs"))
-    } else bracketPercentilesMulti(df, cols, probes).select(col("column_name"), col("qs"))
+    } else bracketPercentilesMulti(df, cols, probes,
+      knownRowsUpper = knownRowsUpper).select(col("column_name"), col("qs"))
   }
 
   /** Bracket pipeline WITH cumulative ranks: one row per column,
@@ -174,19 +195,32 @@ object ExactQuantile {
     * n (the GK slack argument needs n ≥ acc). */
   private[graft] def bracketPercentilesMulti(
       df: DataFrame, cols: Seq[String], probes: Seq[Double],
-      acc: Int = BracketAccuracy): DataFrame = {
+      acc: Int = -1, knownRowsUpper: Long = -1L): DataFrame = {
+    val accEff = if (acc > 0) acc else accFor(
+      if (knownRowsUpper >= 0L) knownRowsUpper
+      // free plan-statistics estimate at ~16 B/row fact width; acc
+      // only trades cost between the passes, never exactness
+      else (df.queryExecution.optimizedPlan.stats.sizeInBytes / 16)
+        .min(BigInt(Long.MaxValue)).toLong)
     val m = probes.length
-    val eps = 3.0 / acc
+    val eps = 3.0 / accEff
     val pLo = probes.map(p => p - eps)
     val pHi = probes.map(p => p + eps)
     val apProbes = pLo.map(math.max(_, 0.0)) ++ pHi.map(math.min(_, 1.0))
+    // both passes scan only the profiled columns: persist the narrow
+    // double-cast projection once (cols × 8 B/row + null bits) so the
+    // second scan reads executor memory/local disk instead of
+    // re-decoding the source — at cluster scale MEMORY_AND_DISK spill
+    // to executor-local disk still beats a second remote parquet read
+    // of the same bytes; released as soon as the result is pinned
+    val proj = df.select(cols.map(c => col(c).cast("double").as(c)): _*).persist()
     // PASS 1: exact counts + GK summaries, one scan; k-row result
     // pinned so consumers never re-run the scan
     val aggs = cols.flatMap { c => Seq(
-      percentile_approx(col(c).cast("double"),
-        array(apProbes.map(lit(_)): _*), lit(acc)).as(s"ap_$c"),
-      count(col(c).cast("double")).as(s"n_$c")) }
-    val colRows = df.agg(aggs.head, aggs.tail: _*)
+      percentile_approx(col(c),
+        array(apProbes.map(lit(_)): _*), lit(accEff)).as(s"ap_$c"),
+      count(col(c)).as(s"n_$c")) }
+    val colRows = proj.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(lit(c).as("k"),
         col(s"n_$c").as("n_total"), col(s"ap_$c").as("ap"))): _*)).as("s"))
       .select(col("s.k").as("k"), col("s.n_total").as("n_total"),
@@ -219,7 +253,7 @@ object ExactQuantile {
         max(when(col("k") === c, col("his"))).as(s"__graft_his_$i")
       }): _*)
     val perCol = cols.zipWithIndex.map { case (c, i) =>
-      val v = col(c).cast("double")
+      val v = col(c)
       val sh = graft.functions.Similarity.segmentHot(
         v, col(s"__graft_los_$i"), col(s"__graft_his_$i"))
       when(v.isNotNull, struct(lit(i).as("ci"),
@@ -229,7 +263,7 @@ object ExactQuantile {
     val colName = cols.zipWithIndex.tail.foldLeft(
       when(col("ci") === 0, lit(cols.head))) { case (acc, (c, i)) =>
       acc.when(col("ci") === i, lit(c)) }
-    val census = df.crossJoin(broadcast(oneRow))
+    val census = proj.crossJoin(broadcast(oneRow))
       .select(perCol: _*)
       .select(explode(array(cols.indices.map(i => col(s"__graft_s_$i")): _*)).as("s"))
       .filter(col("s").isNotNull)
@@ -294,6 +328,7 @@ object ExactQuantile {
         transform(col("s"), x => x.getField("cum")).as("cums"))
       .localCheckpoint()
     census.unpersist()
+    proj.unpersist()
     out
   }
 

@@ -551,24 +551,25 @@ object TextMetrics {
     * detectors are n-gram based.
     *
     * Everything is exact integer counts and ranks. Scale shape: NO
-    * per-(doc, trigram) census exists anywhere — both consumers only
-    * need occurrence COUNTS, which fold map-side directly from the
-    * trigram stream. Pass 1 reduces the stream to (lang, trigram)
-    * totals (shuffle bounded by the trigram DOMAIN — |langs| × the
-    * character-trigram vocabulary, not the corpus) and takes profiles
-    * through the bounded-heap TopK (≤ K×|langs| rows —
-    * broadcast-sized forever); pass 2 re-streams the trigrams, keeps
-    * only profile hits (the join is unhinted — AQE broadcasts the
-    * 200-row profile), and folds straight to (doc, lang) votes
-    * (≤ |docs|×|langs| rows, map-side combined). Two codegen'd scans,
-    * zero corpus-sized shuffles, zero materializations — the previous
-    * shape paid a (doc, lang, tri) census shuffle plus a temp-parquet
-    * round-trip per call (measured 4.5s warm at sf1; this one ~3.0s,
-    * now bounded by the two explode passes' split/concat CPU). */
+    * per-(doc, trigram) census exists anywhere — both passes only
+    * need occurrence COUNTS. Pass 1 reduces the trigram stream to
+    * (lang, trigram) totals (shuffle bounded by the trigram DOMAIN —
+    * |langs| × the character-trigram vocabulary, not the corpus) and
+    * takes profiles through the bounded-heap TopK (≤ K×|langs| rows —
+    * broadcast-sized forever). Pass 2 is ROW-LOCAL: the profile table
+    * pivots into one broadcast row (patterns + language indexes into
+    * the sorted language array) and the codegen'd PatternVotes kernel
+    * scans each document's bytes ONCE, emitting the per-language vote
+    * vector before any exchange — the argmax with alphabetical
+    * tie-break is array arithmetic (languages sorted ascending,
+    * array_position takes the first maximum). The previous pass 2
+    * re-exploded all ~10⁹ corpus trigrams through a broadcast join
+    * and a (doc, lang) count shuffle — measured 4.6s warm at sf1
+    * against ~2.5s for this shape; at 100 TB the old way re-streams
+    * the whole corpus trigram volume, this way streams documents. */
   def langIdTrigram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // trigram generation is the whole CPU bill at scale (two explode
-    // passes over ~10⁹ trigrams at sf1), so it runs through the
+    // trigram generation for the PROFILE pass runs through the
     // codegen'd CharTrigrams expression: one O(n) byte pass per doc
     // vs the split-to-char-array + per-trigram 3-way concat chain
     // (one single-char string allocated per position). explode of a
@@ -576,24 +577,36 @@ object TextMetrics {
     // spread first: the documents table arrives as one row-group at
     // test scale and the trigram explode would otherwise run 1-core
     val base = Partitioning.spread(docs).filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        org.apache.spark.sql.graftbridge.Bridge.column(
-          graft.expressions.CharTrigrams(
-            org.apache.spark.sql.graftbridge.Bridge.expression(
-              lower(col("text"))))).as("trs"))
-    def tris: DataFrame = base.select(col("doc_id"), col("lang"),
-      explode(col("trs")).as("tri"))
+    val tris = base.select(col("lang"),
+      explode(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.CharTrigrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            lower(col("text")))))).as("tri"))
     val profiles = tris.groupBy(col("lang").as("plang"), col("tri"))
       .agg(count(lit(1)).as("pc"))
       .transform(graft.plans.TopK.perGroup(
         Seq("plang"), Seq("pc" -> false, "tri" -> true), TriProfileK))
       .select(col("plang"), col("tri"))
-    val votes = tris.join(profiles, Seq("tri"))
-      .groupBy(col("doc_id"), col("plang"))
-      .agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("votes").desc, col("plang"))
-    val top = votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("plang"), col("votes"))
+    // ≤ K×|langs| patterns pivot into ONE broadcast row: sorted
+    // language list, pattern strings, per-pattern language index
+    val oneRow = profiles.groupBy().agg(
+      sort_array(collect_set(col("plang"))).as("langs"),
+      collect_list(struct(col("plang"), col("tri"))).as("pt"))
+      .select(col("langs"),
+        transform(col("pt"), x => x.getField("tri")).as("tris"),
+        transform(col("pt"), x => (array_position(col("langs"),
+          x.getField("plang")) - 1L).cast("int")).as("lidx"))
+      .limit(1)
+    val top = base.select(col("doc_id"), lower(col("text")).as("ltext"))
+      .crossJoin(broadcast(oneRow))
+      .select(col("doc_id"), col("langs"),
+        graft.functions.Similarity.patternVotes(
+          col("ltext"), col("tris"), col("lidx")).as("vs"))
+      .select(col("doc_id"),
+        element_at(col("langs"),
+          array_position(col("vs"), array_max(col("vs"))).cast("int")).as("plang"),
+        array_max(col("vs")).as("votes"))
+      .filter(col("votes") > 0L)
     docs.select(col("doc_id"), col("lang"))
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
