@@ -131,6 +131,7 @@ object SparkEntry {
     // C. training-data pipeline operators
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
+    "dedup_ngram_survivor" -> (Dedup.dedupNgramSurvivor _),
     "dedup_minhash" -> (Dedup.dedupMinhash _),
     "dup_clusters" -> (Dedup.dupClusters _),
     "split_holdout" -> (Dedup.splitHoldout _),
@@ -1114,6 +1115,42 @@ object SparkEntry {
         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
         |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM p)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_survivor" ->
+      """WITH surv AS (SELECT doc_id, lang, text, group_size FROM (
+        |  SELECT doc_id, lang, text,
+        |    count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |  FROM documents) WHERE doc_id = canonical_id),
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM surv),
+        |d AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM t WHERE len(toks) >= 3),
+        |base AS (SELECT doc_id, lang,
+        |  list_sort(list_transform(shingles,
+        |    s -> CAST(md5_number_lower(s) % 2305843009213693951 AS BIGINT))) AS sh
+        |  FROM d),
+        |bn AS (SELECT doc_id, lang, sh, len(sh) AS n FROM base),
+        |u AS (SELECT doc_id, lang, n, unnest(sh) AS h FROM bn),
+        |freq AS (SELECT h, count(*) AS f FROM u GROUP BY h),
+        |rk AS (SELECT doc_id, lang, n, h,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY f, h) AS rk
+        |  FROM u JOIN freq USING (h)),
+        |pfx AS (SELECT doc_id, lang, h FROM rk WHERE rk <= n - ceil(n * 0.5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pfx a JOIN pfx b ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b, ba.sh AS sa, bb.sh AS sb
+        |  FROM cand JOIN bn ba ON ba.doc_id = cand.doc_a JOIN bn bb ON bb.doc_id = cand.doc_b
+        |  WHERE least(ba.n, bb.n) * 2 >= greatest(ba.n, bb.n)),
+        |j AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM p)
+        |SELECT doc_a, doc_b, jaccard, ma.group_size AS m_a, mb.group_size AS m_b,
+        |  ma.group_size * mb.group_size AS expanded_pairs
+        |FROM j JOIN surv ma ON ma.doc_id = j.doc_a
+        |       JOIN surv mb ON mb.doc_id = j.doc_b
+        |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH planes AS (SELECT t, p, d,

@@ -69,8 +69,14 @@ object Dedup {
     * self-join (bare ids through the distinct), then the two payload
     * rejoins for the O(n+m) sorted-jaccard verify; an implied
     * size-ratio prune (min ≥ max/2) runs before it. */
-  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = shingled(Tables.documents(spark, sfDir))
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairsOver(Tables.documents(spark, sfDir))
+
+  /** The prefix-filtered pair pipeline over any (doc_id, lang, text)
+    * frame — dedup_ngram runs it on the raw corpus; the production
+    * composition ([[dedupNgramSurvivor]]) on exact-dedup survivors. */
+  private def ngramPairsOver(docs: DataFrame): DataFrame = {
+    val base = shingled(docs)
       .withColumn("sh", array_sort(transform(col("shingles"), s => Similarity.md5Mod(s))))
       .withColumn("n", size(col("sh")))
       .select(col("doc_id"), col("lang"), col("n"), col("sh"))
@@ -97,6 +103,47 @@ object Dedup {
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The PRODUCTION dedup composition — exact-clone collapse FIRST,
+    * prefix-filtered n-gram pairs over the survivors only — mechanized
+    * as its own gated row instead of living as prose in the scale
+    * notes. Complete pair-listing dedup is inherently quadratic in
+    * per-family clone multiplicity (a 100-clone family is C(100,2) =
+    * 4950 output pairs for ANY complete algorithm — the sf10 probe's
+    * dedup_ngram verify stage exceeded single-host disk on exactly
+    * that); collapsing exact clones to one survivor each makes the
+    * n-gram stage's candidate AND output volume linear in the
+    * distinct-content corpus, which is the shape that survives 100 TB.
+    * Each survivor pair carries both families' multiplicities and
+    * `expanded_pairs` = m_a·m_b — the exact count of raw cross-family
+    * near-dup pairs it stands for, so nothing the collapsed run
+    * "skips" goes unaccounted. (Within-family pairs are dedup_exact's
+    * own output: group_size per canonical row.)
+    *
+    * Scale shape: one md5(text) window shuffle for the collapse, then
+    * the [[ngramPairsOver]] pipeline on the (strictly smaller)
+    * survivor set, then two survivor-count-sized multiplicity joins. */
+  def dedupNgramSurvivor(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    val survivors = Tables.documents(spark, sfDir)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("group_size"))
+      .persist() // feeds the pair pipeline and both multiplicity joins
+    val mult = survivors.select(col("doc_id"), col("group_size"))
+    val out = ngramPairsOver(survivors.select(col("doc_id"), col("lang"), col("text")))
+      .join(mult.select(col("doc_id").as("doc_a"), col("group_size").as("m_a")),
+        Seq("doc_a"))
+      .join(mult.select(col("doc_id").as("doc_b"), col("group_size").as("m_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("m_a"), col("m_b"), (col("m_a") * col("m_b")).as("expanded_pairs"))
+      .localCheckpoint()
+    survivors.unpersist()
+    out
   }
 
   /** MinHash+LSH near-dup candidates: 16-hash signature, 8 bands × 2

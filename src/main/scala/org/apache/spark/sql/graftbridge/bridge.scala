@@ -21,4 +21,13 @@ object Bridge {
   /** The analyzed logical plan of a DataFrame. */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Drain the shared listener bus — QueryExecutionListener events
+    * post asynchronously, so an audit that collects the EAGER
+    * sub-executions fired during a query build (localCheckpoint,
+    * persist-materializing counts, warehouse writes) must flush
+    * before reading them. `listenerBus` is `private[spark]`; this
+    * bridge is the supported-internal path to it. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -294,4 +294,63 @@ class PlanSpec extends AnyFunSuite {
       "sequence+explode must run in-plan")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("eager sub-executions: loop-body plans stay bounded, no cartesian products") {
+    // The EAGER operators (iterative loops, cache-materializing counts,
+    // localCheckpoints) execute most of their plan during the query
+    // BUILD, so the terminal-plan checks above are blind exactly where
+    // plans are most complex. Capture every sub-execution live via
+    // QueryExecutionListener (the PlanAudit mechanism) and pin the
+    // loop-body shape: max exchanges per sub-plan per operator. A
+    // rewrite that adds a shuffle to a round's plan fails here, at any
+    // round count — the bound is per-ROUND, so it is scale-free.
+    val subs = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { subs.add(qe); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // LINEAGE CAPS for the representative LOOPS: each checkpoint
+      // window's sub-plan holds at most (rounds-per-checkpoint ×
+      // per-round shuffles) exchanges, a constant — if the checkpoint
+      // cadence ever breaks, a later window's plan contains every
+      // preceding round and the count grows without bound, which is
+      // exactly the failure mode that stalls a 60-round run at scale.
+      // Bounds = observed window maxima with AQE/tiny-sf slack; they
+      // are scale-free because the window size is fixed in code. The
+      // heaviest ONE-SHOT eager pipelines are checked for capture +
+      // no-cartesian only — their single sub-plan's exchange count
+      // moves with AQE's runtime replanning, so a pin would be noise.
+      val pinned = Map(
+        "graph_pagerank" -> 16, "graph_bfs" -> 8, "dup_clusters" -> 6,
+        "mmr_diversify" -> 16,
+        "containment_dup" -> Int.MaxValue, "ann_pq" -> Int.MaxValue)
+      for ((name, maxEx) <- pinned) {
+        subs.clear()
+        SparkEntry.queries(name)(spark, sf)
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+        val plans = {
+          import scala.jdk.CollectionConverters._
+          subs.asScala.toSeq.map(_.explainString(
+            ExplainMode.fromString("formatted")))
+        }
+        assert(plans.nonEmpty, s"$name captured no eager sub-executions " +
+          "— did the operator stop checkpointing, or the listener break?")
+        for (p <- plans) {
+          assert(!p.contains("CartesianProduct"),
+            s"$name eager sub-plan contains a cartesian product")
+          val ex = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+          assert(ex <= maxEx,
+            s"$name checkpoint-window sub-plan grew to $ex exchanges " +
+              s"(lineage cap $maxEx) — is the checkpoint cadence broken?")
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
