@@ -23,14 +23,26 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-for t in TABLES:
-    # driver testdata is a single parquet FILE per table; Spark-written
-    # scale shards (e.g. /tmp/sfbig) are parquet DIRECTORIES
+def connect():
+    """Fresh connection with big-SF hygiene: a disk spill directory and
+    an explicit memory limit keep large-oracle sorts from OOMing the
+    process, and preserve_insertion_order=false lets DuckDB stream
+    them (the compare sorts rows itself anyway)."""
+    c = duckdb.connect()
     import os
-    path = f"{SF}/{t}.parquet"
-    src = f"{path}/*.parquet" if os.path.isdir(path) else path
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    c.execute("SET memory_limit='48GB'")
+    c.execute("SET preserve_insertion_order=false")
+    for t in TABLES:
+        # driver testdata is a single parquet FILE per table;
+        # Spark-written scale shards (e.g. /tmp/sfbig) are directories
+        path = f"{SF}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return c
+
+con = connect()
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 if len(sys.argv) > 3:  # optional name filter for the local dev loop
@@ -102,6 +114,14 @@ for name, sql in sorted(oracle.items()):
     except Exception as ex:
         print(f"FAIL {name}: {type(ex).__name__}: {ex}")
         n_fail += 1
+        # a query that OOMs DuckDB poisons the connection (every later
+        # allocation fails): rebuild it so one heavy oracle cannot
+        # cascade into a column of artifact-FAILs
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = connect()
 
 print(f"\n{n_pass} passed, {n_fail} failed")
 sys.exit(1 if n_fail else 0)
