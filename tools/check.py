@@ -32,7 +32,7 @@ def connect():
     import os
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
-    c.execute("SET memory_limit='48GB'")
+    c.execute("SET memory_limit='96GB'")
     c.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata is a single parquet FILE per table;
