@@ -31,9 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * pattern bytes, per-language bitmask per distinct trigram) is built
   * once per thread and reused while the checksum of the pattern
   * arrays is unchanged — the rebuild test costs one ~600-byte hash
-  * per row, noise next to the document scan. Supports ≤ 64 languages
-  * (one bitmask long); beyond that the caller should shard the
-  * profile table. */
+  * per row, noise next to the document scan. Language cardinality is
+  * unbounded: the per-trigram language mask is a flat multi-word
+  * bitset (⌈|langs|/64⌉ longs per entry), touched only at table build
+  * and in the final per-entry scatter — the per-byte scan loop never
+  * reads it, so a 500-language corpus costs the same document scan as
+  * a 5-language one. */
 case class PatternVotes(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -74,10 +77,13 @@ object PatternVotes {
   private final class Table(
       val checksum: Long,
       val nLangs: Int,
+      // words per entry in the flat language bitset (⌈nLangs/64⌉)
+      val nWords: Int,
       // open-addressed slots: index into the entry arrays, or -1
       val slots: Array[Int],
       val hashes: Array[Long],
       val bytes: Array[Array[Byte]],
+      // entry e's language bits live at masks[e*nWords, (e+1)*nWords)
       val masks: Array[Long]) {
     val mask: Int = slots.length - 1
   }
@@ -125,20 +131,21 @@ object PatternVotes {
       if (!tris.isNullAt(i) && !lidx.isNullAt(i)) {
         pb(k) = tris.getUTF8String(i).getBytes
         pl(k) = lidx.getInt(i)
-        require(pl(k) >= 0 && pl(k) < 64,
-          s"pattern_votes supports language indexes 0..63, got ${pl(k)}")
+        require(pl(k) >= 0,
+          s"pattern_votes language indexes must be non-negative, got ${pl(k)}")
         if (pl(k) + 1 > nLangs) nLangs = pl(k) + 1
         k += 1
       }
       i += 1
     }
-    // dedupe identical trigrams across languages into one bitmask entry
+    val nWords = math.max(1, (nLangs + 63) >>> 6)
+    // dedupe identical trigrams across languages into one bitset entry
     var cap = 4
     while (cap < 4 * math.max(k, 1)) cap <<= 1
     val slots = Array.fill(cap)(-1)
     val hashes = new Array[Long](k)
     val bytes = new Array[Array[Byte]](k)
-    val masks = new Array[Long](k)
+    val masks = new Array[Long](k * nWords)
     var nEnt = 0
     i = 0
     while (i < k) {
@@ -151,18 +158,18 @@ object PatternVotes {
         if (hashes(e) == h && java.util.Arrays.equals(bytes(e), b)) found = e
         else s = (s + 1) & (cap - 1)
       }
-      if (found >= 0) masks(found) |= 1L << pl(i)
-      else {
+      val e = if (found >= 0) found else {
         slots(s) = nEnt
         hashes(nEnt) = h
         bytes(nEnt) = b
-        masks(nEnt) = 1L << pl(i)
         nEnt += 1
+        nEnt - 1
       }
+      masks(e * nWords + (pl(i) >>> 6)) |= 1L << (pl(i) & 63)
       i += 1
     }
-    new Table(checksum, nLangs,
-      slots, hashes.take(nEnt), bytes.take(nEnt), masks.take(nEnt))
+    new Table(checksum, nLangs, nWords,
+      slots, hashes.take(nEnt), bytes.take(nEnt), masks.take(nEnt * nWords))
   }
 
   def compute(text: UTF8String, tris: ArrayData, lidx: ArrayData): ArrayData = {
@@ -206,11 +213,15 @@ object PatternVotes {
       var e = 0
       while (e < hits.length) {
         if (hits(e) != 0L) {
-          var m = t.masks(e)
-          while (m != 0L) {
-            val l = java.lang.Long.numberOfTrailingZeros(m)
-            votes(l) += hits(e)
-            m &= m - 1
+          var w = 0
+          while (w < t.nWords) {
+            var m = t.masks(e * t.nWords + w)
+            while (m != 0L) {
+              val l = (w << 6) + java.lang.Long.numberOfTrailingZeros(m)
+              votes(l) += hits(e)
+              m &= m - 1
+            }
+            w += 1
           }
         }
         e += 1

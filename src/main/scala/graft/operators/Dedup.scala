@@ -74,13 +74,29 @@ object Dedup {
 
   /** The prefix-filtered pair pipeline over any (doc_id, lang, text)
     * frame — dedup_ngram runs it on the raw corpus; the production
-    * composition ([[dedupNgramSurvivor]]) on exact-dedup survivors. */
+    * composition ([[dedupNgramSurvivor]]) on exact-dedup survivors.
+    *
+    * VERIFY-STAGE PAYLOAD: candidate pairs never carry shingle arrays.
+    * Each doc's shingle SET gets a 16-byte content key (md5 over the
+    * sorted hash list); the pair stream ships keys only (~250× lighter
+    * than the ~n-long arrays it replaces), and the exact sorted-merge
+    * Jaccard runs once per DISTINCT content pair — the representative
+    * arrays join against a key-deduplicated side. On a clone-heavy
+    * corpus (the sf10 worst case: 100 identical copies per doc, ~247M
+    * candidate pairs) the distinct-content pair set is smaller by the
+    * clone multiplicity SQUARED, which is what turns the verify
+    * stage's former disk-exceeding SMJ spill into a bounded join; on
+    * a clone-free corpus it degrades to one verify per pair — the old
+    * cost — while the inter-join shuffles still carry keys, not
+    * arrays. Output is identical either way: every (doc_a, doc_b)
+    * pair keeps its own exact Jaccard. */
   private def ngramPairsOver(docs: DataFrame): DataFrame = {
     val base = shingled(docs)
       .withColumn("sh", array_sort(transform(col("shingles"), s => Similarity.md5Mod(s))))
       .withColumn("n", size(col("sh")))
-      .select(col("doc_id"), col("lang"), col("n"), col("sh"))
-      .persist() // reused by the prefix build and both verify rejoins
+      .withColumn("sk", md5(concat_ws(",", transform(col("sh"), h => h.cast("string")))))
+      .select(col("doc_id"), col("lang"), col("n"), col("sk"), col("sh"))
+      .persist() // reused by the prefix build, the key rejoins, and the representative side
     val u = base.select(col("doc_id"), col("lang"), col("n"), explode(col("sh")).as("h"))
     val freq = u.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
@@ -94,14 +110,23 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    cand
-      .join(base.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh").as("sh_a")),
+    // content keys + sizes attach to the pair stream (40 B/row payload)
+    val keyed = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sk").as("sk_a")),
         Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh").as("sh_b")),
+      .join(base.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sk").as("sk_b")),
         Seq("doc_b"))
       .filter(least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("sk_a"), col("sk_b"))
+    // exact Jaccard once per distinct content pair, on representative arrays
+    val reps = base.select(col("sk"), col("sh")).dropDuplicates("sk")
+    val verified = keyed.select(col("sk_a"), col("sk_b")).distinct()
+      .join(reps.select(col("sk").as("sk_a"), col("sh").as("sh_a")), Seq("sk_a"))
+      .join(reps.select(col("sk").as("sk_b"), col("sh").as("sh_b")), Seq("sk_b"))
       .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
+      .select(col("sk_a"), col("sk_b"), col("jaccard"))
+    keyed.join(verified, Seq("sk_a", "sk_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -121,16 +146,27 @@ object Dedup {
     * "skips" goes unaccounted. (Within-family pairs are dedup_exact's
     * own output: group_size per canonical row.)
     *
-    * Scale shape: one md5(text) window shuffle for the collapse, then
-    * the [[ngramPairsOver]] pipeline on the (strictly smaller)
-    * survivor set, then two survivor-count-sized multiplicity joins. */
+    * Scale shape: the collapse shuffles (text_hash, doc_id) rows ONLY
+    * — a map-side-combined groupBy over 24-byte rows picks each
+    * family's canonical id and size, and document text never enters
+    * that exchange (the former md5(text) window dragged the full
+    * corpus text through one hash-partitioned sort — at 100 TB a
+    * corpus-sized network shuffle of payload). Survivor text is then
+    * recovered by joining the canonical-id list back against the
+    * columnar scan: the id side is survivor-count × 16 B (broadcast
+    * when it fits; even as a shuffle join, text moves once, unsorted
+    * — never worse than the window, and the second local parquet read
+    * is the cheap side of that trade). Then the [[ngramPairsOver]]
+    * pipeline on the (strictly smaller) survivor set, then two
+    * survivor-count-sized multiplicity joins. */
   def dedupNgramSurvivor(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("text_hash"))
-    val survivors = Tables.documents(spark, sfDir)
-      .withColumn("text_hash", md5(col("text")))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("canonical_id"))
+    val docs = Tables.documents(spark, sfDir)
+    val fams = docs
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      .select(col("doc_id"), col("group_size"))
+    val survivors = docs.join(fams, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"), col("group_size"))
       .persist() // feeds the pair pipeline and both multiplicity joins
     val mult = survivors.select(col("doc_id"), col("group_size"))

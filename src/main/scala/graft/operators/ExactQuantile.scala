@@ -122,11 +122,24 @@ object ExactQuantile {
     * between the two passes; exactness never depends on it. */
   final val MaxHotWindowRows = 4000000L
 
+  /** Ceiling on [[accFor]]'s answer: Catalyst reports sizeInBytes ≈
+    * Long.MaxValue for frames it cannot size (LogicalRDD from a
+    * localCheckpoint, unmaterialized caches), and an uncapped estimate
+    * would then hand percentile_approx accuracy 2³¹-1, whose GK
+    * buffers grow ∝ acc and would OOM pass 1. 10⁷ keeps the summary
+    * ~80 MB/column worst-case (one task) while covering 5·10¹² rows
+    * before hot windows exceed [[MaxHotWindowRows]] — beyond that a
+    * caller should supply knownRowsUpper. Exactness is unaffected:
+    * acc only trades cost between the two passes. */
+  final val AccCap = 10000000L
+
   /** Accuracy for an (estimated) row count: the measured-optimum
-    * floor until hot windows would outgrow a task, then ∝ n. */
+    * floor until hot windows would outgrow a task, then ∝ n, capped
+    * so an unknown-stats sentinel estimate cannot inflate the GK
+    * state (see [[AccCap]]). */
   def accFor(estRows: Long): Int =
     math.max(BracketAccuracy.toLong,
-      8L * math.max(estRows, 0L) / MaxHotWindowRows).min(Int.MaxValue).toInt
+      8L * math.max(estRows, 0L) / MaxHotWindowRows).min(AccCap).toInt
 
   /** One row: `qs` = array of exact percentiles of `df.c` (cast to
     * double) at `probes`, in probe order; both dispatch paths produce

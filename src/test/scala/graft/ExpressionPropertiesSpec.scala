@@ -212,4 +212,52 @@ class ExpressionPropertiesSpec extends AnyFunSuite {
     assert(got("abc") == Seq("abc"))
     assert(got("abcd") == Seq("abc", "bcd"))
   }
+
+  test("PatternVotes counts overlapping occurrences, any language cardinality") {
+    def votesOf(text: String, pats: Seq[(String, Int)]): Seq[Long] = {
+      val a = PatternVotes.compute(UTF8String.fromString(text),
+        arr(pats.map(_._1)),
+        new GenericArrayData(pats.map(p => Int.box(p._2)).toArray[Any]))
+      (0 until a.numElements()).map(a.getLong)
+    }
+    def referenceCount(text: String, pat: String): Long = {
+      // overlapping code-point-window occurrences
+      val cps = text.codePoints().toArray
+      if (cps.length < 3) 0L
+      else (0 until cps.length - 2).count(i => new String(cps, i, 3) == pat).toLong
+    }
+    // small cardinality sanity: lang 1 owns both trigrams (2+2 hits)
+    assert(votesOf("ababab", Seq(("aba", 0), ("bab", 1), ("aba", 1)))
+      == Seq(2L, 4L))
+    // multi-word bitset path: 130 languages (3 mask words), the shared
+    // pattern's languages straddle word boundaries (0, 63, 64, 129)
+    val langsAtBits = Seq(0, 63, 64, 129)
+    val pats130 = langsAtBits.map(l => ("中文字", l)) ++ Seq(("xyz", 100))
+    val text = "a中文字b中文字中文字xyzzy"
+    val v = votesOf(text, pats130)
+    assert(v.length == 130)
+    val expectShared = referenceCount(text, "中文字")
+    assert(expectShared == 3L)
+    langsAtBits.foreach(l => assert(v(l) == expectShared, s"lang $l"))
+    assert(v(100) == referenceCount(text, "xyz"))
+    assert((0 until 130).filterNot(l => langsAtBits.contains(l) || l == 100)
+      .forall(l => v(l) == 0L))
+    // randomized agreement with the reference on dense ASCII patterns
+    val alphabet = Gen.oneOf('a', 'b', 'c')
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      s <- Gen.stringOfN(n, alphabet)
+      nl <- Gen.choose(1, 200)
+    } yield (s, nl)
+    samples(gen).foreach { case (s, nl) =>
+      val all = for (x <- "abc"; y <- "abc"; z <- "abc") yield s"$x$y$z"
+      val pats = all.zipWithIndex.map { case (p, i) => (p, i % nl) }
+      val got = votesOf(s, pats)
+      // vote vector length = max assigned index + 1 (data-derived)
+      assert(got.length == pats.map(_._2).max + 1)
+      val want = Array.fill(got.length)(0L)
+      pats.foreach { case (p, l) => want(l) += referenceCount(s, p) }
+      assert(got == want.toSeq, s"text='$s' nl=$nl")
+    }
+  }
 }

@@ -327,10 +327,18 @@ class PlanSpec extends AnyFunSuite {
       // heaviest ONE-SHOT eager pipelines are checked for capture +
       // no-cartesian only — their single sub-plan's exchange count
       // moves with AQE's runtime replanning, so a pin would be noise.
+      // every loop family in the PLANS.md eager appendix has one pinned
+      // representative: HashMin CC (dup_clusters), pagerank/hits power
+      // iterations, BFS frontier, k-core peel, greedy MMR, and ann_pq's
+      // codebook train (Lloyd step + two build guards — ONE captured
+      // sub-plan whose exchange count is iteration-bound by code, 24
+      // observed, constant in corpus size because codebooks are M×K
+      // rows by construction).
       val pinned = Map(
         "graph_pagerank" -> 16, "graph_bfs" -> 8, "dup_clusters" -> 6,
-        "mmr_diversify" -> 16,
-        "containment_dup" -> Int.MaxValue, "ann_pq" -> Int.MaxValue)
+        "mmr_diversify" -> 16, "graph_hits" -> 16, "graph_kcore" -> 8,
+        "ann_pq" -> 36,
+        "containment_dup" -> Int.MaxValue)
       for ((name, maxEx) <- pinned) {
         subs.clear()
         SparkEntry.queries(name)(spark, sf)
@@ -352,5 +360,21 @@ class PlanSpec extends AnyFunSuite {
         }
       }
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("embedding_pca: fully-lazy power iteration, terminal plan bounded") {
+    // embedding_pca is the one loop family with NO eager sub-plans: the
+    // foldLeft composes all PcaIters rounds into ONE declarative plan
+    // (each round's v is a lazy broadcast subtree, never an action), so
+    // its lineage cap lives on the terminal plan — exchange count is
+    // iteration-bound by code (8 rounds × ~4-5 constant-size shuffles +
+    // the eigenvalue tail, 37 observed), independent of corpus size. A
+    // broken composition (an eager count, or a round re-deriving its
+    // predecessor) moves this number.
+    val p = SparkEntry.queries("embedding_pca")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    val ex = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(ex <= 48, s"embedding_pca terminal plan grew to $ex exchanges")
   }
 }

@@ -25,6 +25,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 con.execute(f"SET threads = {THREADS}")
+# same spill hygiene as tools/check.py: big-SF oracle sorts must spill
+# to disk, not get OS-OOM-killed (cap ~75% of physical RAM, DuckDB's
+# own default policy; GRAFT_DUCKDB_MEM overrides)
+import os
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+_mem = os.environ.get("GRAFT_DUCKDB_MEM")
+if _mem is None:
+    _ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+    _mem = f"{max(1, int(_ram_gb * 0.75))}GB"
+con.execute(f"SET memory_limit='{_mem}'")
 for t in TABLES:
     # driver testdata is a single parquet FILE per table; Spark-written
     # scale shards (e.g. /tmp/sfbig) are parquet DIRECTORIES

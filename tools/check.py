@@ -32,7 +32,14 @@ def connect():
     import os
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
-    c.execute("SET memory_limit='96GB'")
+    # cap at ~75% of PHYSICAL RAM (DuckDB's own default policy) so a
+    # smaller host spills to temp_directory instead of getting
+    # OS-OOM-killed; GRAFT_DUCKDB_MEM overrides for the big-SF host.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem is None:
+        ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        mem = f"{max(1, int(ram_gb * 0.75))}GB"
+    c.execute(f"SET memory_limit='{mem}'")
     c.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata is a single parquet FILE per table;
