@@ -110,7 +110,10 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // content keys + sizes attach to the pair stream (40 B/row payload)
+    // content keys + sizes attach to the pair stream (40 B/row payload);
+    // persisted because it feeds BOTH the distinct-content-pair build
+    // and the final fan-back join — without the pin the whole prefix
+    // self-join + distinct subtree would execute twice
     val keyed = cand
       .join(base.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sk").as("sk_a")),
         Seq("doc_a"))
@@ -118,6 +121,7 @@ object Dedup {
         Seq("doc_b"))
       .filter(least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("sk_a"), col("sk_b"))
+      .persist()
     // exact Jaccard once per distinct content pair, on representative arrays
     val reps = base.select(col("sk"), col("sh")).dropDuplicates("sk")
     val verified = keyed.select(col("sk_a"), col("sk_b")).distinct()
