@@ -54,6 +54,24 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos")))
   }
 
+  /** Every vector with its per-row centroid ranking `ranked:
+    * array<struct<c_cos, negid>>`, sorted by (c_cos DESC, c_id ASC) —
+    * ROW-LOCAL over the packed one-row centroid broadcast. Replaces
+    * the former corpus×k crossJoin + rank window, which shuffled every
+    * scored row (embedding payload included) through hash(vec_id) just
+    * to read off per-vector ranks. `reverse(array_sort(...))` on
+    * `struct(c_cos, -c_id)` reproduces the window order exactly,
+    * including the NaN-greatest double corner (array_sort ascending
+    * puts NaN last; reversed, first — where a DESC sort puts it). */
+  private def centRanked(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+    spread(emb).crossJoin(broadcast(packed))
+      .withColumn("ranked", reverse(array_sort(transform(col("cents"), c =>
+        struct(Similarity.cosine(col("embedding"), c.getField("c_emb")).as("c_cos"),
+          (-c.getField("c_id")).as("negid"))))))
+      .select(col("vec_id"), col("embedding"), col("ranked"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector
     * to its nearest of `nlist` centroids (here deterministic seed
     * vectors — a trained k-means drops in without changing the plan);
@@ -65,14 +83,14 @@ object Ann {
     * rerank candidates by exact cosine — the IVF search core, generic
     * over where the centroids came from. */
   private def ivfSearch(emb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val byCos = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val scored = spread(emb).crossJoin(broadcast(cents))
-      .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
-      .withColumn("c_rk", row_number().over(byCos))
-    val assign = scored.filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
-    val probes = scored.filter(pmod(col("vec_id"), lit(100)) === 0 && col("c_rk") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("c_id"))
+    val scored = centRanked(emb, cents)
+    val assign = scored
+      .select(col("vec_id"), col("embedding"),
+        (-element_at(col("ranked"), 1).getField("negid")).as("c_id"))
+    val probes = scored.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(col("ranked"), 1, nprobe)).as("rc"))
+      .select(col("q_id"), col("q_emb"), (-col("rc.negid")).as("c_id"))
     // no distinct needed: a vector lives in exactly one list, so each
     // (query, vector) pair joins at most once
     rankTopK(assign.join(broadcast(probes), Seq("c_id"))
@@ -110,15 +128,15 @@ object Ann {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val byCos = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val scored = spread(emb).crossJoin(broadcast(cents))
-      .withColumn("c_cos", Similarity.cosine(col("embedding"), col("c_emb")))
-      .withColumn("c_rk", row_number().over(byCos))
-    val assign = scored.filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
+    val scored = centRanked(emb, cents)
+    val assign = scored
+      .select(col("vec_id"), col("embedding"),
+        (-element_at(col("ranked"), 1).getField("negid")).as("c_id"))
     val probes = scored.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("c_id"), col("c_rk"))
+        posexplode(slice(col("ranked"), 1, TuneProbes.max)).as(Seq("p0", "rc")))
+      .select(col("q_id"), col("q_emb"), (-col("rc.negid")).as("c_id"),
+        (col("p0") + 1).as("c_rk"))
       .withColumn("nprobe", explode(typedLit(TuneProbes)))
       .filter(col("c_rk") <= col("nprobe"))
     val w = Window.partitionBy(col("nprobe"), col("q_id"))

@@ -42,15 +42,40 @@ object Cluster {
   private def qcos(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
+  /** The k-row centroid table packed into ONE broadcastable row
+    * `(cents: array<struct<c_id, cq, cnorm>>)` — the carrier for
+    * row-local scoring. collect_list order is non-deterministic, but
+    * every consumer reduces over the array with an order-free argmax /
+    * sort, so the packing order never reaches a result. */
+  private def packCents(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("c_id"), col("cq"), col("cnorm"))).as("cents"))
+
+  /** Row-local argmax-cosine term over a packed centroid array column:
+    * `array_max` over per-centroid `struct(cos, -c_id)` picks the
+    * highest cosine and, on ties, the SMALLEST c_id (greater −c_id) —
+    * exactly the old `row_number over (order by cos desc, c_id)` rank-1
+    * row, including the NaN corner (struct comparison and window sort
+    * share Spark's NaN-greatest double ordering). Argmax over a set
+    * under a strict total order is order-independent, so collect_list
+    * nondeterminism is harmless. */
+  private def bestCentroid(q: Column, qnorm: Column, cents: Column): Column =
+    array_max(transform(cents, c =>
+      struct(qcos(qdot(q, c.getField("cq")), qnorm, c.getField("cnorm")).as("cos"),
+        (-c.getField("c_id")).as("negid"))))
+
   /** Argmax-cosine assignment of every vector against a centroid table
-    * `(c_id, cq, cnorm)`; ties break toward the smaller c_id. */
-  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("cos", qcos(qdot(col("q"), col("cq")), col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("q"), col("qnorm"), col("c_id"))
-  }
+    * `(c_id, cq, cnorm)`; ties break toward the smaller c_id.
+    *
+    * ROW-LOCAL: the centroids ride along as one packed broadcast row
+    * and the argmax folds inside the projection — no k× row inflation
+    * and no hash(vec_id) exchange of vector payloads (the former
+    * crossJoin + rank-1 window shuffled corpus×k rows, each carrying
+    * the 64-long q array, just to pick a per-vector max). */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(packCents(cents)))
+      .withColumn("best", bestCentroid(col("q"), col("qnorm"), col("cents")))
+      .select(col("vec_id"), col("q"), col("qnorm"),
+        (-col("best.negid")).as("c_id"))
 
   /** One distributed Lloyd refinement step: per-(cluster, dim) integer
     * sums — exact under any partitioning — then a floor division (via
@@ -201,11 +226,12 @@ object Cluster {
       .select(col("vec_id").as("c_id"), col("q").as("cq"),
         col("qnorm").as("cnorm"))
     val cents1 = refineOnce(cents0, assign(vecs, cents0))
-    val scored = vecs.crossJoin(broadcast(cents1))
-      .withColumn("cos", qcos(qdot(col("q"), col("cq")), col("qnorm"), col("cnorm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
-    val own = scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("c_id"), col("vec_id"), col("cos"))
+    // row-local own-centroid pick (same argmax term as assign): the
+    // former crossJoin + rank-1 window shuffled corpus×k scored rows
+    val own = vecs.crossJoin(broadcast(packCents(cents1)))
+      .withColumn("best", bestCentroid(col("q"), col("qnorm"), col("cents")))
+      .select((-col("best.negid")).as("c_id"), col("vec_id"),
+        col("best.cos").as("cos"))
     val per = own
       .withColumn("cos_e6", floor(col("cos") * lit(1000000.0)).cast("long"))
       .groupBy(col("c_id"))

@@ -77,11 +77,20 @@ object Dedup {
     * composition ([[dedupNgramSurvivor]]) on exact-dedup survivors.
     *
     * VERIFY-STAGE PAYLOAD: candidate pairs never carry shingle arrays.
-    * Each doc's shingle SET gets a 16-byte content key (md5 over the
-    * sorted hash list); the pair stream ships keys only (~250× lighter
-    * than the ~n-long arrays it replaces), and the exact sorted-merge
-    * Jaccard runs once per DISTINCT content pair — the representative
-    * arrays join against a key-deduplicated side. On a clone-heavy
+    * Each doc's shingle SET gets a 128-bit content key — two
+    * independent-seed xxhash64 draws over the sorted hash array,
+    * computed directly on the array (no per-doc string render: the
+    * former md5-over-concat_ws built an ~20·n-char string per doc just
+    * to hash it, and shuffled 32-char hex keys; two longs hash the
+    * same identity at a fraction of the CPU and half the key bytes).
+    * The key is internal only — never oracle-visible — and a key
+    * collision needs BOTH 64-bit draws to collide on the same pair
+    * (~2^-128 per distinct-content pair; the 61-bit shingle hashes
+    * underneath carry far more collision mass). The pair stream ships
+    * keys only (~250× lighter than the ~n-long arrays it replaces),
+    * and the exact sorted-merge Jaccard runs once per DISTINCT content
+    * pair — the representative arrays join against a key-deduplicated
+    * side. On a clone-heavy
     * corpus (the sf10 worst case: 100 identical copies per doc, ~247M
     * candidate pairs) the distinct-content pair set is smaller by the
     * clone multiplicity SQUARED, which is what turns the verify
@@ -94,7 +103,8 @@ object Dedup {
     val base = shingled(docs)
       .withColumn("sh", array_sort(transform(col("shingles"), s => Similarity.md5Mod(s))))
       .withColumn("n", size(col("sh")))
-      .withColumn("sk", md5(concat_ws(",", transform(col("sh"), h => h.cast("string")))))
+      .withColumn("sk", struct(xxhash64(col("sh")).as("k1"),
+        xxhash64(col("sh"), lit(0x9e3779b97f4a7c15L)).as("k2")))
       .select(col("doc_id"), col("lang"), col("n"), col("sk"), col("sh"))
       .persist() // reused by the prefix build, the key rejoins, and the representative side
     val u = base.select(col("doc_id"), col("lang"), col("n"), explode(col("sh")).as("h"))
@@ -648,7 +658,18 @@ object Dedup {
     * corpus-sized after the count aggregation. */
   def pairBleu(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = dedupMinhash(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // Census only docs that appear in some pair: every downstream use
+    // of uni/bi/lens inner-joins against the pair list, so non-member
+    // docs can never reach the output — tokenizing and gram-counting
+    // them was pure discarded work (the pair set is minhash-verified
+    // near-dups, a vanishing fraction of the corpus at any scale). The
+    // member-id list is pair-count-sized → broadcast semi-join prunes
+    // the corpus scan before the explode.
+    val memberIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
     val docs = Tables.documents(spark, sfDir)
+      .join(broadcast(memberIds), Seq("doc_id"), "left_semi")
       .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
     val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))

@@ -394,8 +394,21 @@ object EntityMatch {
     * second corpus pass. Percentages follow the reference's
     * round(empty/total*100, 2). */
   def countEmpty(spark: SparkSession, sfDir: String): DataFrame = {
-    entityCascade(spark, sfDir)
-      .select(col("match_id").isNull.cast("long").as("is_empty"),
+    // Independent derivation instead of replaying the cascade (the
+    // oracle SQL states the same one): under entityCascade, a customer
+    // ends with match_id NULL iff its nation has NO supplier at all —
+    // the fuzzy pass matches ANY same-nation candidate (min over a
+    // non-empty set always exists), and the exact pass only ever fires
+    // inside a same-nation join. Equivalence is value-checked by the
+    // gate (the oracle derives emptiness the same way); this avoids
+    // re-running the blocked levenshtein scoring join (customers ×
+    // same-nation suppliers) only to read off NULL-ness.
+    val suppNations = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey")).distinct()
+    Tables.customer(spark, sfDir)
+      .join(broadcast(suppNations),
+        col("c_nationkey") === col("s_nationkey"), "left")
+      .select(col("s_nationkey").isNull.cast("long").as("is_empty"),
         explode(when(col("c_custkey") % 7 < 3,
           array(lit("test"), lit("real"))).otherwise(array(lit("real"))))
           .as("dataset"))
@@ -559,9 +572,16 @@ object EntityMatch {
         ((col("id_a") < 1000000000L) =!= (col("id_b") < 1000000000L)).as("cross"))
       .filter(col("cross"))
       .select(col("c_custkey"), (col("sid") - 1000000000L).as("match_id"))
-    val snRow = snCand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(snCand.join(gold, Seq("c_custkey", "match_id"))
-        .agg(count(lit(1)).as("n_hits")))
+    // ONE pass over the SN candidates: gold is unique per c_custkey
+    // (argmin), so a broadcast left join marks hits without changing
+    // the row count, and count + conditional sum replace the former
+    // two separate aggregations (each of which re-ran the whole
+    // snPairs interior+straddling subtree).
+    val snRow = snCand
+      .join(broadcast(gold.withColumn("hit", lit(1L))),
+        Seq("c_custkey", "match_id"), "left")
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
       .select(lit("sorted_neighborhood").as("strategy"),
         col("n_candidates"), col("n_hits"))
     nation.unionByName(mod10).unionByName(snRow)

@@ -66,12 +66,10 @@ class PlanSpec extends AnyFunSuite {
     // exempt row names the domain bound that justifies its non-equi
     // join(s). Adding a NEW non-equi join to an exempt query still
     // fails (site counts are pinned).
+    // (r14) the centroid-scoring family needs no exemptions anymore:
+    // the packed-centroid rewrite made every such side a global
+    // aggregate — provably ONE row to the bound above.
     val exempt: Map[String, (Int, String)] = Map(
-      "ann_ivf" -> (2, "IVF centroid table: exactly AnnIvfCells rows by construction"),
-      "ann_tune" -> (2, "same IVF centroid table across the nprobe sweep"),
-      "cluster_assign" -> (4, "k-means centroid tables: exactly KmeansK rows per pass"),
-      "cluster_metrics" -> (4, "same centroid tables as cluster_assign"),
-      "semantic_dedup" -> (3, "same centroid tables as cluster_assign"),
       "audience_overlap" -> (1, "event-type pair enumeration: C(|event types|, 2), |types| fixed by the event schema"),
       "kmv_overlap" -> (4, "per-event-type KMV sketches: one row per type pair"),
       "dedup_cross_source" -> (1, "per-source signature aggregates: one row per source label"),
