@@ -107,30 +107,35 @@ object Dedup {
         xxhash64(col("sh"), lit(0x9e3779b97f4a7c15L)).as("k2")))
       .select(col("doc_id"), col("lang"), col("n"), col("sk"), col("sh"))
       .persist() // reused by the prefix build, the key rejoins, and the representative side
-    val u = base.select(col("doc_id"), col("lang"), col("n"), explode(col("sh")).as("h"))
+    val u = base.select(col("doc_id"), col("lang"), col("n"), col("sk"),
+      explode(col("sh")).as("h"))
     val freq = u.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    // (n, sk) ride the prefix rows through the self-join, so candidate
+    // pairs come out ALREADY keyed — the former shape re-joined `base`
+    // twice (once per side) after the distinct just to re-attach what
+    // the prefix rows knew all along: two whole joins (and their
+    // exchanges) for +24 B/row on the prefix stream.
     val pfx = u.join(freq, Seq("h"))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= expr("n - ceil(n * 0.5) + 1"))
-      .select(col("doc_id"), col("lang"), col("h"))
-    val cand = pfx.select(col("doc_id").as("doc_a"), col("lang"), col("h"))
-      .join(pfx.select(col("doc_id").as("doc_b"), col("lang"), col("h")),
+      .select(col("doc_id"), col("lang"), col("h"), col("n"), col("sk"))
+    // keyed pairs; the size-ratio prune runs BEFORE the distinct so the
+    // pair-dedup exchange only carries survivors. distinct over the six
+    // columns equals distinct over (doc_a, doc_b): n/sk are functions
+    // of the doc id. Persisted: feeds BOTH the distinct-content-pair
+    // build and the final fan-back join — without the pin the whole
+    // prefix self-join + distinct subtree would execute twice.
+    val keyed = pfx
+      .select(col("doc_id").as("doc_a"), col("lang"), col("h"),
+        col("n").as("n_a"), col("sk").as("sk_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("lang"), col("h"),
+        col("n").as("n_b"), col("sk").as("sk_b")),
         Seq("lang", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    // content keys + sizes attach to the pair stream (40 B/row payload);
-    // persisted because it feeds BOTH the distinct-content-pair build
-    // and the final fan-back join — without the pin the whole prefix
-    // self-join + distinct subtree would execute twice
-    val keyed = cand
-      .join(base.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sk").as("sk_a")),
-        Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sk").as("sk_b")),
-        Seq("doc_b"))
-      .filter(least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")) * 2 >= greatest(col("n_a"), col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("sk_a"), col("sk_b"))
+      .distinct()
       .persist()
     // exact Jaccard once per distinct content pair, on representative arrays
     val reps = base.select(col("sk"), col("sh")).dropDuplicates("sk")
@@ -734,11 +739,19 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges.join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("lab"))
-      val next = labels.unionByName(neighborMin)
-        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lab", "prev"), Seq("id"))
-        .filter(col("lab") =!= col("prev")).count()
+      // the previous label rides the union as a sentinel-padded column
+      // (every id has exactly one row in `labels`, so min(pl) recovers
+      // it), letting ONE action both materialize the round's
+      // checkpoint (eager=false) and probe convergence — the former
+      // shape paid an eager-checkpoint job plus a next⋈labels
+      // comparison join per round
+      val next = labels.select(col("id"), col("lab"), col("lab").as("pl"))
+        .unionByName(neighborMin.select(col("id"), col("lab"),
+          lit(Long.MaxValue).as("pl")))
+        .groupBy(col("id"))
+        .agg(min(col("lab")).as("lab"), min(col("pl")).as("prev"))
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("lab") =!= col("prev")).count()
       // the superseded round's checkpoint blocks are freed NOW, not at
       // some future GC — a long loop otherwise stacks one vertex-sized
       // block set per round in the block manager
@@ -747,7 +760,9 @@ object Dedup {
       rounds += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $rounds rounds")
-    (labels, rounds)
+    // drop the fused prev column — callers see the same (id, lab)
+    // contract as before
+    (labels.select(col("id"), col("lab")), rounds)
   }
 
   /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating

@@ -318,11 +318,13 @@ object Graph {
     while (!converged && rounds < KcMaxRounds) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= KcK).select(col("u"))
+      // eager=false: the convergence count IS the materializing action
+      // — the former eager checkpoint paid a full extra pass per round
       val next = e
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n2 = next.count()
       converged = n2 == nEdges
       nEdges = n2
@@ -471,11 +473,16 @@ object Graph {
         .join(dist.filter(col("dist").isNotNull), col("u") === col("id"))
         .select(col("v").as("id"), (col("dist") + 1).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      // the change flag rides the relaxation row itself, so ONE action
+      // both materializes the round's checkpoint (eager=false: the
+      // count is the materializing action) and probes convergence —
+      // the former shape paid a separate eager-checkpoint job PLUS a
+      // next⋈dist comparison join (two more exchanges) per round
       val next = dist.join(nb, Seq("id"), "left")
-        .select(col("id"), least(col("dist"), col("nd")).as("dist"))
-        .localCheckpoint()
-      changed = next.join(dist.select(col("id"), col("dist").as("pd")), Seq("id"))
-        .filter(!(col("dist") <=> col("pd"))).count()
+        .select(col("id"), least(col("dist"), col("nd")).as("dist"),
+          (!(least(col("dist"), col("nd")) <=> col("dist"))).as("chg"))
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("chg")).count()
       graft.plans.Checkpoints.free(dist)
       dist = next
       rounds += 1
@@ -759,8 +766,12 @@ object Graph {
     * equi-join + sum agg inside the cached hash(u) edge layout —
     * cost is iterations × one shuffle, the pagerank discipline. */
   def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = directedEdges(spark, sfDir).filter(col("u") < col("v")).persist()
-    e.count()
+    // no second persist+count: the u<v filter is a narrow predicate
+    // over the already-persisted hash(u) edge layout (partitioning
+    // preserved), so re-caching a filtered copy paid two extra jobs
+    // and double memory for nothing
+    val directed = directedEdges(spark, sfDir)
+    val e = directed.filter(col("u") < col("v"))
     def matvecT(vec: DataFrame): DataFrame = // authᵀ step: mass flows u→v
       e.join(vec.withColumnRenamed("pk", "u"), Seq("u"))
         .groupBy(col("v").as("pk")).agg(sum(col("n")).as("n"))
@@ -768,7 +779,9 @@ object Graph {
       e.join(vec.withColumnRenamed("pk", "v"), Seq("v"))
         .groupBy(col("u").as("pk")).agg(sum(col("n")).as("n"))
     val auth1 = e.groupBy(col("v").as("pk")).agg(count(lit(1)).as("n"))
-    val hub1 = matvec(auth1).localCheckpoint()
+    // hub1 is referenced exactly once (by auth2), so its lineage is
+    // linear — a checkpoint here bought nothing but an extra eager job
+    val hub1 = matvec(auth1)
     val auth2 = matvecT(hub1).localCheckpoint()
     val hub2 = matvec(auth2).localCheckpoint()
     val verts = e.select(col("u").as("partkey"))
@@ -784,10 +797,10 @@ object Graph {
         round(col("auth").cast("double") / col("ma").cast("double"), 6).as("auth_score"),
         round(col("hub").cast("double") / col("mh").cast("double"), 6).as("hub_score"))
       .localCheckpoint()
-    e.unpersist()
+    directed.unpersist()
     // the chained mat-vec intermediates are checkpointed vertex-sized
     // tables out no longer references — free their blocks eagerly
-    Seq(hub1, auth2, hub2).foreach(graft.plans.Checkpoints.free)
+    Seq(auth2, hub2).foreach(graft.plans.Checkpoints.free)
     out
   }
 
