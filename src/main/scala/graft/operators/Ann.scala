@@ -62,7 +62,14 @@ object Ann {
     * to read off per-vector ranks. `reverse(array_sort(...))` on
     * `struct(c_cos, -c_id)` reproduces the window order exactly,
     * including the NaN-greatest double corner (array_sort ascending
-    * puts NaN last; reversed, first — where a DESC sort puts it). */
+    * puts NaN last; reversed, first — where a DESC sort puts it).
+    *
+    * PRECONDITION: `cents` is non-empty — the packing aggregate emits
+    * one EMPTY-array row for an empty table, and `element_at(ranked,
+    * 1)` in consumers would then error under ANSI instead of yielding
+    * the zero rows the old crossJoin produced. Every caller seeds
+    * centroids from vec_id < nlist (always present). (Same contract
+    * as Cluster.packCents.) */
   private def centRanked(emb: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
     spread(emb).crossJoin(broadcast(packed))

@@ -46,7 +46,14 @@ object Cluster {
     * `(cents: array<struct<c_id, cq, cnorm>>)` — the carrier for
     * row-local scoring. collect_list order is non-deterministic, but
     * every consumer reduces over the array with an order-free argmax /
-    * sort, so the packing order never reaches a result. */
+    * sort, so the packing order never reaches a result.
+    *
+    * PRECONDITION: `cents` is non-empty. The global aggregate emits
+    * one row with an EMPTY array for an empty centroid table, and the
+    * downstream argmax would then yield a null c_id per vector where
+    * the old crossJoin shape produced zero rows. Every caller seeds
+    * centroids from vec_id < k, which the embeddings table always
+    * contains. (Same contract as Ann.centRanked.) */
   private def packCents(cents: DataFrame): DataFrame =
     cents.agg(collect_list(struct(col("c_id"), col("cq"), col("cnorm"))).as("cents"))
 

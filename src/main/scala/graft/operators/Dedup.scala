@@ -65,12 +65,24 @@ object Dedup {
     *
     * Shingle hashes are md5-based (Md5Mod61) so the DuckDB oracle
     * reproduces the ordering, the prefixes, and the candidate set
-    * exactly. One shuffle each: frequency agg, per-doc rank, prefix
+    * exactly. (The seed-salted k2 draw below leads with the salt so
+    * the two xxhash64 draws are genuinely independent.) One shuffle each: frequency agg, per-doc rank, prefix
     * self-join (bare ids through the distinct), then the two payload
     * rejoins for the O(n+m) sorted-jaccard verify; an implied
     * size-ratio prune (min ≥ max/2) runs before it. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
     ngramPairsOver(Tables.documents(spark, sfDir))
+
+  /** Clone-ratio cutoff (rows per distinct shingle-set key) above
+    * which the n-gram verify stage takes the distinct-content
+    * representative route. Break-even sits where the rep path's extra
+    * machinery (a corpus-array dropDuplicates exchange + pair distinct
+    * + fan-back join) is repaid by pairs collapsing ~multiplicity² —
+    * at mean multiplicity 1.5 a clone family of 2 already stands for
+    * ~2.2 raw pairs and the trade flips. Below it every pair verifies
+    * against its own arrays (the clone-light shape that was fastest at
+    * sf0.1 before r14 made the rep route unconditional). */
+  final val CloneRepVerifyRatio = 1.5
 
   /** The prefix-filtered pair pipeline over any (doc_id, lang, text)
     * frame — dedup_ngram runs it on the raw corpus; the production
@@ -98,13 +110,27 @@ object Dedup {
     * a clone-free corpus it degrades to one verify per pair — the old
     * cost — while the inter-join shuffles still carry keys, not
     * arrays. Output is identical either way: every (doc_a, doc_b)
-    * pair keeps its own exact Jaccard. */
-  private def ngramPairsOver(docs: DataFrame): DataFrame = {
+    * pair keeps its own exact Jaccard.
+    *
+    * `repVerify`: Some(b) pins the verify route (callers that already
+    * know the clone profile — the survivor composition feeds a
+    * text-distinct frame, so its sk multiplicity is ~1 by
+    * construction and the probe job would be wasted); None probes the
+    * clone ratio and decides. The route is a COST choice only — both
+    * branches emit identical rows — so a pinned route can never
+    * change a result, only its price. */
+  private[graft] def ngramPairsOver(docs: DataFrame,
+      repVerify: Option[Boolean] = None): DataFrame = {
     val base = shingled(docs)
       .withColumn("sh", array_sort(transform(col("shingles"), s => Similarity.md5Mod(s))))
       .withColumn("n", size(col("sh")))
+      // salt FIRST: xxhash64 folds arguments into the running hash, so
+      // a trailing salt would make k2 = H(salt, seed=k1) — a pure
+      // function of k1, collapsing the key to 64 collision bits. With
+      // the salt leading, k2 hashes sh under a different effective
+      // seed and is independent of k1 (~2^-128 joint collision).
       .withColumn("sk", struct(xxhash64(col("sh")).as("k1"),
-        xxhash64(col("sh"), lit(0x9e3779b97f4a7c15L)).as("k2")))
+        xxhash64(lit(0x9e3779b97f4a7c15L), col("sh")).as("k2")))
       .select(col("doc_id"), col("lang"), col("n"), col("sk"), col("sh"))
       .persist() // reused by the prefix build, the key rejoins, and the representative side
     val u = base.select(col("doc_id"), col("lang"), col("n"), col("sk"),
@@ -121,9 +147,10 @@ object Dedup {
       .filter(col("rk") <= expr("n - ceil(n * 0.5) + 1"))
       .select(col("doc_id"), col("lang"), col("h"), col("n"), col("sk"))
     // keyed pairs; the size-ratio prune runs BEFORE the distinct so the
-    // pair-dedup exchange only carries survivors. distinct over the six
-    // columns equals distinct over (doc_a, doc_b): n/sk are functions
-    // of the doc id. Persisted: feeds BOTH the distinct-content-pair
+    // pair-dedup exchange only carries survivors. distinct over
+    // (doc_a, doc_b, sk_a, sk_b) equals distinct over (doc_a, doc_b):
+    // sk is a function of the doc id. Persisted: feeds BOTH the
+    // distinct-content-pair
     // build and the final fan-back join — without the pin the whole
     // prefix self-join + distinct subtree would execute twice.
     val keyed = pfx
@@ -137,16 +164,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sk_a"), col("sk_b"))
       .distinct()
       .persist()
-    // exact Jaccard once per distinct content pair, on representative arrays
-    val reps = base.select(col("sk"), col("sh")).dropDuplicates("sk")
-    val verified = keyed.select(col("sk_a"), col("sk_b")).distinct()
-      .join(reps.select(col("sk").as("sk_a"), col("sh").as("sh_a")), Seq("sk_a"))
-      .join(reps.select(col("sk").as("sk_b"), col("sh").as("sh_b")), Seq("sk_b"))
-      .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("sk_a"), col("sk_b"), col("jaccard"))
-    keyed.join(verified, Seq("sk_a", "sk_b"))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // ADAPTIVE VERIFY (the r14 regression fix): the distinct-content
+    // rep path pays a corpus-array dropDuplicates(sk) shuffle, a pair
+    // distinct, and a fan-back join — a trade that only wins when
+    // clone multiplicity is high (pairs per content pair shrink by the
+    // multiplicity SQUARED; the sf10 spill case). On a clone-light
+    // corpus it is pure overhead over verifying each pair against its
+    // own arrays. One aggregate over the (persisted) base measures the
+    // clone ratio — rows per distinct shingle-set key — and picks the
+    // shape; ±2% HLL error around the 1.5 cutoff only ever flips
+    // near-break-even corpora where both shapes cost the same. Both
+    // branches emit identical rows: sh is a function of sk, so a
+    // rep's Jaccard IS every member pair's Jaccard.
+    val useRep = repVerify.getOrElse {
+      val probe = base.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("sk"), 0.02).as("d")).head()
+      probe.getLong(0).toDouble / math.max(probe.getLong(1), 1L) >=
+        CloneRepVerifyRatio
+    }
+    if (useRep) {
+      // exact Jaccard once per distinct content pair, on representative arrays
+      val reps = base.select(col("sk"), col("sh")).dropDuplicates("sk")
+      val verified = keyed.select(col("sk_a"), col("sk_b")).distinct()
+        .join(reps.select(col("sk").as("sk_a"), col("sh").as("sh_a")), Seq("sk_a"))
+        .join(reps.select(col("sk").as("sk_b"), col("sh").as("sh_b")), Seq("sk_b"))
+        .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("sk_a"), col("sk_b"), col("jaccard"))
+      keyed.join(verified, Seq("sk_a", "sk_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    } else {
+      // clone-light: one exact Jaccard per pair, arrays attached by id
+      keyed
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .withColumn("jaccard", Similarity.sortedJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
   }
 
   /** The PRODUCTION dedup composition — exact-clone collapse FIRST,
@@ -189,7 +246,10 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("text"), col("group_size"))
       .persist() // feeds the pair pipeline and both multiplicity joins
     val mult = survivors.select(col("doc_id"), col("group_size"))
-    val out = ngramPairsOver(survivors.select(col("doc_id"), col("lang"), col("text")))
+    // survivors are text-distinct by construction → sk multiplicity ~1
+    // → pin the per-pair verify route, skipping the clone-ratio probe
+    val out = ngramPairsOver(survivors.select(col("doc_id"), col("lang"), col("text")),
+        repVerify = Some(false))
       .join(mult.select(col("doc_id").as("doc_a"), col("group_size").as("m_a")),
         Seq("doc_a"))
       .join(mult.select(col("doc_id").as("doc_b"), col("group_size").as("m_b")),
@@ -666,15 +726,17 @@ object Dedup {
     // Census only docs that appear in some pair: every downstream use
     // of uni/bi/lens inner-joins against the pair list, so non-member
     // docs can never reach the output — tokenizing and gram-counting
-    // them was pure discarded work (the pair set is minhash-verified
-    // near-dups, a vanishing fraction of the corpus at any scale). The
-    // member-id list is pair-count-sized → broadcast semi-join prunes
-    // the corpus scan before the explode.
+    // them was pure discarded work. The member-id list is pair-count-
+    // sized, which on a clone-heavy corpus can approach corpus-sized
+    // (every doc in some verified pair) — so the semi-join carries NO
+    // forced broadcast hint: AQE broadcasts it while its runtime size
+    // is small and falls back to a shuffle join when it is not,
+    // instead of OOMing the driver on a data-scaled build side.
     val memberIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
     val docs = Tables.documents(spark, sfDir)
-      .join(broadcast(memberIds), Seq("doc_id"), "left_semi")
+      .join(memberIds, Seq("doc_id"), "left_semi")
       .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
     val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))

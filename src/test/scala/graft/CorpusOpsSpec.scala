@@ -200,6 +200,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram adaptive verify: rep and per-pair routes emit identical pairs") {
+    // The clone-ratio probe only picks a COST shape — both verify
+    // branches must produce the same rows on any corpus. Exercise both
+    // routes explicitly on a clone-light frame (the raw test corpus)
+    // and a clone-heavy one (each text cloned under two more doc_ids,
+    // ratio 3 — the profile that sends the probe down the rep route).
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cloned = docs
+      .unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("lang"), col("text")))
+      .unionByName(docs.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        col("lang"), col("text")))
+    for (frame <- Seq(docs, cloned)) {
+      val rep = graft.operators.Dedup.ngramPairsOver(frame, Some(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val perPair = graft.operators.Dedup.ngramPairsOver(frame, Some(false))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rep == perPair, "verify routes disagree")
+    }
+    // the clone-heavy frame must contain every cross-clone pair of a
+    // doc with itself (jaccard 1.0 between clones of the same text)
+    val heavy = graft.operators.Dedup.ngramPairsOver(cloned, Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val someId = docs.select(min(col("doc_id"))).head().getLong(0)
+    assert(heavy.exists { case (a, b, j) =>
+      a == someId && b == someId + 1000000L && j == 1.0 })
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("dup_clusters: components are closed over the pair graph and keyed by their min id") {
     val pairs = graft.operators.Dedup.dedupMinhash(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
