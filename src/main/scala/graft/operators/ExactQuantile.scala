@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *     rank is within n/accuracy of target, so the pair
   *     [approx(p−3ε), approx(p+3ε)] brackets the true order statistics
   *     at floor/ceil(p·(n−1)) with ~ε·n rows of slack (clamped probes
-  *     take a ±∞ sentinel instead). The k-row result is pinned
-  *     (localCheckpoint) so every consumer reads it, not the scan.
+  *     take a ±∞ sentinel instead). The k-row result collects to the
+  *     driver (metadata-sized) and re-enters pass 2 as literals.
   *  2. A second scan assigns every row a SEGMENT id — the count of
   *     the 2m broadcast boundary values ≤ v, a codegen'd chain of
   *     fixed-index comparisons (duplicate boundaries merely leave
@@ -227,48 +227,50 @@ object ExactQuantile {
     // to executor-local disk still beats a second remote parquet read
     // of the same bytes; released as soon as the result is pinned
     val proj = df.select(cols.map(c => col(c).cast("double").as(c)): _*).persist()
-    // PASS 1: exact counts + GK summaries, one scan; k-row result
-    // pinned so consumers never re-run the scan
+    // PASS 1: exact counts + GK summaries, one scan — and the k-row
+    // result COLLECTS to the driver (k columns × 2m doubles: metadata,
+    // not data). The former shape pinned it with a localCheckpoint and
+    // re-derived a one-row boundary table through a groupBy pivot +
+    // broadcast exchange, paying three extra jobs and a checkpoint
+    // scan per consumer for rows the driver could simply hold; the
+    // boundary values now re-enter the plan as LITERALS (bit-exact:
+    // a collected double re-embedded via lit carries the same bits).
     val aggs = cols.flatMap { c => Seq(
       percentile_approx(col(c),
         array(apProbes.map(lit(_)): _*), lit(accEff)).as(s"ap_$c"),
       count(col(c)).as(s"n_$c")) }
-    val colRows = proj.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(lit(c).as("k"),
-        col(s"n_$c").as("n_total"), col(s"ap_$c").as("ap"))): _*)).as("s"))
-      .select(col("s.k").as("k"), col("s.n_total").as("n_total"),
-        array((0 until m).map(j => if (pLo(j) <= 0.0) lit(Double.NegativeInfinity)
-          else col("s.ap")(j)): _*).as("los"),
-        array((0 until m).map(j => if (pHi(j) >= 1.0) lit(Double.PositiveInfinity)
-          else col("s.ap")(m + j)): _*).as("his"))
-      .localCheckpoint()
+    val aggRow = proj.agg(aggs.head, aggs.tail: _*).head()
+    val nTotals: Seq[Long] = cols.map(c => aggRow.getAs[Long](s"n_$c"))
+    val apVals: Seq[IndexedSeq[Any]] = cols.map { c =>
+      Option(aggRow.getAs[scala.collection.Seq[Any]](s"ap_$c"))
+        .map(_.toIndexedSeq).getOrElse(IndexedSeq.fill[Any](2 * m)(null))
+    }
+    def dlit(v: Any): Column =
+      if (v == null) lit(null).cast("double") else lit(v)
+    val losLit: Seq[Column] = cols.indices.map { i =>
+      array((0 until m).map(j => if (pLo(j) <= 0.0) lit(Double.NegativeInfinity)
+        else dlit(apVals(i)(j))): _*) }
+    val hisLit: Seq[Column] = cols.indices.map { i =>
+      array((0 until m).map(j => if (pHi(j) >= 1.0) lit(Double.PositiveInfinity)
+        else dlit(apVals(i)(m + j))): _*) }
     // PASS 2: segment id = #(boundaries ≤ v) over the 2m boundaries.
-    // JOIN-FREE: the k-row boundary table pivots into ONE broadcast
-    // row of per-column boundary arrays, so segment and hot-value
-    // compute on the ORIGINAL primitive columns BEFORE the explode —
-    // no per-row map construction, no fact-sized broadcast-hash-join
-    // probe on a string key, no string group key (the int column
-    // index resolves back to its name on the census result, which is
-    // segment-count sized). The comparison work itself runs inside
-    // the codegen'd SegmentHot kernel (expressions/SegmentHot.scala):
-    // per-boundary `when` chains grow the stage's generated method
-    // with m·k and silently drop the whole stage to interpreted
-    // evaluation past ~30 boundary references (measured: the same
-    // census at sf10 costs 8.8s at m=5 and 98s at m=6 as when-chains;
-    // the kernel is m-independent). The heavy per-column structs land
-    // in their own pre-explode Project so the Generate argument stays
-    // a trivial attribute array.
-    val oneRow = colRows.groupBy().agg(
-      max(when(col("k") === cols.head, col("los"))).as("__graft_los_0"),
-      (cols.zipWithIndex.drop(1).map { case (c, i) =>
-        max(when(col("k") === c, col("los"))).as(s"__graft_los_$i")
-      } ++ cols.zipWithIndex.map { case (c, i) =>
-        max(when(col("k") === c, col("his"))).as(s"__graft_his_$i")
-      }): _*)
+    // JOIN-FREE: the boundary arrays are literals, so segment and
+    // hot-value compute on the ORIGINAL primitive columns BEFORE the
+    // explode — no per-row map construction, no fact-sized broadcast-
+    // hash-join probe on a string key, no string group key (the int
+    // column index resolves back to its name on the census result,
+    // which is segment-count sized). The comparison work itself runs
+    // inside the codegen'd SegmentHot kernel
+    // (expressions/SegmentHot.scala): per-boundary `when` chains grow
+    // the stage's generated method with m·k and silently drop the
+    // whole stage to interpreted evaluation past ~30 boundary
+    // references (measured: the same census at sf10 costs 8.8s at m=5
+    // and 98s at m=6 as when-chains; the kernel is m-independent).
+    // The heavy per-column structs land in their own pre-explode
+    // Project so the Generate argument stays a trivial attribute array.
     val perCol = cols.zipWithIndex.map { case (c, i) =>
       val v = col(c)
-      val sh = graft.functions.Similarity.segmentHot(
-        v, col(s"__graft_los_$i"), col(s"__graft_his_$i"))
+      val sh = graft.functions.Similarity.segmentHot(v, losLit(i), hisLit(i))
       when(v.isNotNull, struct(lit(i).as("ci"),
         shiftright(sh, 1).as("seg"),
         when(sh.bitwiseAND(lit(1L)) === 1L, v).as("hv"))).as(s"__graft_s_$i")
@@ -276,7 +278,7 @@ object ExactQuantile {
     val colName = cols.zipWithIndex.tail.foldLeft(
       when(col("ci") === 0, lit(cols.head))) { case (acc, (c, i)) =>
       acc.when(col("ci") === i, lit(c)) }
-    val census = proj.crossJoin(broadcast(oneRow))
+    val census = proj
       .select(perCol: _*)
       .select(explode(array(cols.indices.map(i => col(s"__graft_s_$i")): _*)).as("s"))
       .filter(col("s").isNotNull)
@@ -301,13 +303,18 @@ object ExactQuantile {
       .join(segTot, Seq("k", "seg"))
       .select(col("k"), col("hv").as("v"), col("c"),
         (col("lc") + col("soff")).as("e"))
-    val probeRows = colRows
-      .select(col("k").as("pk"), col("n_total"),
+    // probe table from the driver-held counts: a k·m-row LocalRelation
+    // (statically bounded — no limit() guard needed). pos/flo/fhi stay
+    // Spark expressions so the interpolation arithmetic is the same
+    // plan either way.
+    val probeRows = df.sparkSession
+      .createDataFrame(cols.indices.map(i => (cols(i), nTotals(i))))
+      .toDF("pk", "n_total")
+      .select(col("pk"), col("n_total"),
         posexplode(array(probes.map(lit(_)): _*)).as(Seq("idx", "p")))
       .withColumn("pos", col("p") * (col("n_total") - 1).cast("double"))
       .withColumn("flo", floor(col("pos")).cast("long"))
       .withColumn("fhi", ceil(col("pos")).cast("long"))
-      .limit(cols.length * m) // restore the static bound the checkpoint scan hides
     // 1-2 hot rows per probe: the ones covering index flo and/or fhi
     val matched = hotRanked.join(broadcast(probeRows),
       col("k") === col("pk") &&
@@ -339,10 +346,17 @@ object ExactQuantile {
           .otherwise(raise_error(concat(lit("ExactQuantile probe dropped: "),
             col("column_name"))).cast("array<double>")).as("qs"),
         transform(col("s"), x => x.getField("cum")).as("cums"))
-      .localCheckpoint()
+    // the k-row result collects to the driver and returns as a
+    // LocalRelation: consumers read literal rows instead of paying a
+    // 32-task checkpoint scan per reference, and the caches can be
+    // released immediately (the same reason the former shape
+    // checkpointed). Rows re-enter verbatim — bit-exact.
+    val outRows = out.collect()
+    val outDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), out.schema)
     census.unpersist()
     proj.unpersist()
-    out
+    outDf
   }
 
   /** The per-value-count census + two-phase range-rank pipeline the
