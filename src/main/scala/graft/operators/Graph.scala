@@ -550,8 +550,15 @@ object Graph {
       .groupBy(col("v").as("dst")).agg(sum(col("c")).as("s"))
     // left join + coalesce: on the both-direction edge list every
     // vertex has an in-edge, but the recurrence keeps the dangling-
-    // vertex semantics explicit so the oracle CTEs replay it verbatim
-    nodes.join(inSum, col("id") === col("dst"), "left")
+    // vertex semantics explicit so the oracle CTEs replay it verbatim.
+    // shuffle_hash pin: hash(id) and hash(dst) are already
+    // co-partitioned (nodes is cached off its groupBy; inSum exits its
+    // own aggregation exchange), so the SHJ is exchange-free — without
+    // the pin AQE rewrites this to a broadcast join, paying a
+    // vertex-table collect to the driver + rebroadcast EVERY round (k
+    // serial driver round-trips per run, and at 100 TB a vertex-scaled
+    // broadcast build each round).
+    nodes.join(inSum.hint("shuffle_hash"), col("id") === col("dst"), "left")
       .select(col("id"), col("deg"), col("n"),
         (expr(s"(3 * (${PrScale}L div n)) div 20") +
           expr("(17 * coalesce(s, 0L)) div 20")).as("pr"))

@@ -23,8 +23,9 @@ import graft.sources.Tables
   * pmod, and ADC totals are exact longs — the DuckDB oracle replays
   * the whole train → encode → search pipeline value-for-value.
   *
-  * Scale shape: both codebook passes broadcast ≤ M×K centroid rows
-  * against the subvector table; the Lloyd update shuffles M×K×8
+  * Scale shape: both codebooks (M×K×Dsub = 1024 longs — metadata)
+  * collect to the driver and ride the encode/ADC kernels as literal
+  * arrays; the Lloyd update shuffles M×K×8
   * partial sums, not vectors; search joins the corpus code table
   * against a broadcast M×K-per-query ADC table and reduces with the
   * bounded-heap TopKPerGroup — the corpus side never shuffles more
@@ -46,25 +47,26 @@ object Pq {
   private def l2(a: Column, b: Column): Column =
     column(L2Long(expression(a), expression(b)))
 
-  /** One-row FLAT codebook in the kernels' book[(s*K+c)*Dsub+j]
-    * layout, from per-(s, c_id) centroid rows. The downstream kernels
+  /** FLAT codebook in the kernels' book[(s*K+c)*Dsub+j] layout,
+    * COLLECTED to the driver from per-(s, c_id) centroid rows — M×K×
+    * Dsub = 1024 longs, metadata, not data. The downstream kernels
     * index BY POSITION, so the contract is that the input carries
     * exactly M×K rows with c_id 0..K-1 per subspace — a 1-based or
-    * sparse id set would mis-index silently; the guard raises at build
-    * time instead (one row pays one array compare — negligible). */
-  private def flatBook(c: DataFrame): DataFrame = {
+    * sparse id set would mis-index silently; the require raises at
+    * build time instead. Returning the array (re-entering the plan as
+    * ONE literal) deletes the former one-row aggregate → broadcast →
+    * corpus crossJoin plumbing around each codebook. */
+  private def flatBookArr(c: DataFrame): Array[Long] = {
+    val rows = c.select(col("s").cast("long"), col("c_id").cast("long"), col("cq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy { case (s, cid, _) => (s, cid) }
     val expect = (0 until M).flatMap(s => (0 until K).map(c => (s.toLong, c.toLong)))
-      .map { case (s, c) => struct(lit(s), lit(c)) }
-    c.agg(array_sort(collect_list(struct(
-        col("s").cast("long").as("s"), col("c_id").cast("long").as("c_id"),
-        col("cq")))).as("packed"))
-      .select(
-        when(transform(col("packed"),
-            x => struct(x.getField("s"), x.getField("c_id"))) === array(expect: _*),
-          flatten(transform(col("packed"), x => x.getField("cq"))))
-          .otherwise(raise_error(
-            lit(s"pq codebook: (s, c_id) pairs are not exactly (0..${M - 1}) x (0..${K - 1})")))
-          .as("book"))
+    require(rows.map { case (s, cid, _) => (s, cid) }.toSeq == expect,
+      s"pq codebook: (s, c_id) pairs are not exactly (0..${M - 1}) x (0..${K - 1})")
+    require(rows.forall(_._3.length == Dsub),
+      s"pq codebook: every centroid must carry $Dsub dims")
+    rows.flatMap(_._3)
   }
 
   /** Train (seed + one exact Lloyd refinement per subspace), encode
@@ -99,7 +101,9 @@ object Pq {
         s"transform(sequence(0, ${M - 1}), s -> slice(q, s*$Dsub+1, $Dsub))"))
         .as(Seq("s", "cq")))
       .select(col("s"), col("c_id"), col("cq"))
-    val book0 = flatBook(cents0)
+    // collecting the seed book also materializes the qfull cache, so
+    // every later pass reads executor memory
+    val book0 = typedLit(flatBookArr(cents0))
 
     // one Lloyd step: exact integer per-(s, c_id, j) sums, floor-div
     // mean (pmod keeps negative sums flooring identically on both
@@ -107,9 +111,9 @@ object Pq {
     // posexplode of the full vector yields every (s, j, value) triple
     // (s = idx div Dsub, j = idx mod Dsub) with the assignment read
     // from the codes array — no per-subspace row materialization.
-    val a0 = qfull.crossJoin(broadcast(book0))
+    val a0 = qfull
       .select(col("vec_id"), col("q"),
-        column(PqAssign(expression(col("q")), expression(col("book")), M, K, Dsub)).as("codes"))
+        column(PqAssign(expression(col("q")), expression(book0), M, K, Dsub)).as("codes"))
     val sums = a0
       .select(col("codes"), posexplode(col("q")).as(Seq("idx", "qd")))
       .select(expr(s"CAST(idx div $Dsub AS BIGINT)").as("s"),
@@ -129,16 +133,16 @@ object Pq {
       .groupBy(col("s"), col("c_id"))
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cd")))),
         x => x.getField("cd")).as("cq"))
-    val book1 = flatBook(cents1)
+    val book1 = typedLit(flatBookArr(cents1))
 
     // encode + query-side ADC tables: row-local kernels over the full
-    // vectors, no explode, no pivot shuffle
-    val withBook = qfull.crossJoin(broadcast(book1))
-    val codes = withBook.select(col("vec_id"),
-      column(PqAssign(expression(col("q")), expression(col("book")), M, K, Dsub)).as("codes"))
-    val qtab = withBook.filter(pmod(col("vec_id"), lit(100)) === 0)
+    // vectors against the LITERAL codebook — no explode, no pivot
+    // shuffle, no broadcast crossJoin
+    val codes = qfull.select(col("vec_id"),
+      column(PqAssign(expression(col("q")), expression(book1), M, K, Dsub)).as("codes"))
+    val qtab = qfull.filter(pmod(col("vec_id"), lit(100)) === 0)
       .select(col("vec_id").as("q_id"),
-        column(PqTab(expression(col("q")), expression(col("book")), M, K, Dsub)).as("dtab"))
+        column(PqTab(expression(col("q")), expression(book1), M, K, Dsub)).as("dtab"))
 
     // ADC scan: corpus codes × broadcast query tables, the distance a
     // pure 8-lookup integer fold — no join key, no aggregation, no

@@ -332,10 +332,14 @@ class PlanSpec extends AnyFunSuite {
       // sub-plan whose exchange count is iteration-bound by code, 24
       // observed, constant in corpus size because codebooks are M×K
       // rows by construction).
+      // ann_pq pin tightened 36 → 12 in r15: the codebooks collect to
+      // the driver and re-enter as literals, deleting the per-book
+      // one-row-aggregate → broadcast → corpus-crossJoin plumbing
+      // (observed max sub-plan: 8 exchanges at sf0.1).
       val pinned = Map(
         "graph_pagerank" -> 16, "graph_bfs" -> 8, "dup_clusters" -> 6,
         "mmr_diversify" -> 16, "graph_hits" -> 16, "graph_kcore" -> 8,
-        "ann_pq" -> 36,
+        "ann_pq" -> 12,
         "containment_dup" -> Int.MaxValue)
       for ((name, maxEx) <- pinned) {
         subs.clear()
