@@ -26,8 +26,10 @@ object GraftSession {
       // re-run pays Janino compilation again (measured 25-45% of warm
       // per-query time at sf0.1: graph_pagerank 4.4→2.5s, blocking_eval
       // 2.0→1.3s min-of-5 with the cache sized to hold the suite).
-      // 10k compiled stages is a few hundred MB of metaspace at most —
-      // the right trade for any repeated-workload deployment.
+      // Metaspace cost MEASURED (r15, MicroBench ALL): 69.6 MB before
+      // → 219.8 MB after one full 244-query pass → 223.5 MB after a
+      // second — ~150 MB, saturating once every suite stage is cached.
+      // The right trade for any repeated-workload deployment.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,7 +12,11 @@ object MicroBench {
     // first arg may be a round count or already a query name
     val rounds = args.headOption.flatMap(_.toIntOption).getOrElse(4)
     val rest = if (args.headOption.exists(_.toIntOption.isDefined)) args.drop(1) else args
-    val names = if (rest.nonEmpty) rest.toSeq
+    // "ALL" = one alternating pass over every registered query — the
+    // shape used to gauge the suite-sized codegen cache's metaspace
+    // footprint (printed after each round)
+    val names = if (rest.toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else if (rest.nonEmpty) rest.toSeq
       else Seq("entity_match", "match_certitude")
     // GRAFT_CONF="k=v;k=v" passes extra SparkConf pairs for config A/B
     // experiments (core settings like spark.shuffle.compress must be set
@@ -51,11 +55,19 @@ object MicroBench {
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       ((System.nanoTime() - t0) / 1e9, jobs.get() - j0)
     }
+    def metaspaceMb(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains("Metaspace"))
+        .map(_.getUsage.getUsed).sum / 1048576.0
+    }
+    println(f"metaspace before: ${metaspaceMb()}%.1f MB")
     for (i <- 1 to rounds) {
       val line = names.map { n =>
         val (sec, nj) = t(n); f"$n=$sec%.2f/${nj}j"
       }.mkString(" ")
       println(s"round $i: $line")
+      println(f"metaspace after round $i: ${metaspaceMb()}%.1f MB")
     }
     spark.stop()
   }
