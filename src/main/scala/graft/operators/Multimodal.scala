@@ -167,7 +167,12 @@ object Multimodal {
     * the generator is one codegen'd projection, no driver state). */
   def mediaPayloads(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    // spread BEFORE synthesizing payloads: the decode/feature
+    // consumers are per-row-heavy and the test scan is one row group —
+    // without it they run single-task (the shingled() discipline; the
+    // payload hex embeds the document text, so the source columns ride
+    // the spread and the heavy unhex runs on the parallel side)
+    Partitioning.spread(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
       .selectExpr("doc_id", s"unhex($mediaHexSql) AS payload")
       .as[MediaRecord]
   }

@@ -188,7 +188,10 @@ object TextMetrics {
     * scale); every ratio is an exact-integer pair divided once, so
     * both engines emit the identical double. */
   def repetitionScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // spread: two array_distincts + two sorted-run scans per row over
+    // a single-row-group test scan otherwise run single-task (the
+    // shingled() discipline; no-op where scans split naturally)
+    val docs = Partitioning.spread(Tables.documents(spark, sfDir))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")).cast("long"))
       // sequence() flips to a descending range when n < 2 — guard it

@@ -88,7 +88,12 @@ object ReferenceOps {
     * particles to the searchable surname. */
   def nameStatus(spark: SparkSession, sfDir: String): DataFrame = {
     val t = typedlit(statusSample)
-    Tables.customer(spark, sfDir)
+    // spread: three giant status-alternation regex passes per row over
+    // a single-row-group test scan otherwise run as ONE task (measured
+    // 1.16s serial at sf0.1, the whole operator); the shuffled rows are
+    // two narrow columns — the shingled()/Ann spread discipline
+    graft.operators.Partitioning.spread(
+        Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")))
       .withColumn("name", trim(concat(
         element_at(t, (pmod(col("c_custkey"), lit(6)) + 1).cast("int")),
         lit(" "), col("c_name"))))
