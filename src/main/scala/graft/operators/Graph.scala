@@ -779,20 +779,31 @@ object Graph {
     // and double memory for nothing
     val directed = directedEdges(spark, sfDir)
     val e = directed.filter(col("u") < col("v"))
+    // the u > v slice of the SAME cached both-direction layout IS the
+    // transposed edge list (every (u, v) ∈ e appears reversed as
+    // (v, u)): hub steps and the in-degree seed join/aggregate on the
+    // cache's own hash(u) partitioning instead of re-exchanging the
+    // edge list by v — at 100 TB those were edge-sized shuffles, one
+    // per hub step plus one for the seed
+    val rev = directed.filter(col("u") > col("v"))
     def matvecT(vec: DataFrame): DataFrame = // authᵀ step: mass flows u→v
       e.join(vec.withColumnRenamed("pk", "u"), Seq("u"))
         .groupBy(col("v").as("pk")).agg(sum(col("n")).as("n"))
-    def matvec(vec: DataFrame): DataFrame =   // hub step: collect from v
-      e.join(vec.withColumnRenamed("pk", "v"), Seq("v"))
-        .groupBy(col("u").as("pk")).agg(sum(col("n")).as("n"))
-    val auth1 = e.groupBy(col("v").as("pk")).agg(count(lit(1)).as("n"))
+    def matvec(vec: DataFrame): DataFrame =   // hub step: collect from v,
+      // via rev: Σ_{(u,v)∈e} vec(v) grouped by u ≡ Σ_{(v,u)∈rev} vec
+      // joined on rev's first column, grouped by its second
+      rev.join(vec.withColumnRenamed("pk", "u"), Seq("u"))
+        .groupBy(col("v").as("pk")).agg(sum(col("n")).as("n"))
+    val auth1 = rev.groupBy(col("u").as("pk")).agg(count(lit(1)).as("n"))
     // hub1 is referenced exactly once (by auth2), so its lineage is
     // linear — a checkpoint here bought nothing but an extra eager job
     val hub1 = matvec(auth1)
     val auth2 = matvecT(hub1).localCheckpoint()
     val hub2 = matvec(auth2).localCheckpoint()
-    val verts = e.select(col("u").as("partkey"))
-      .union(e.select(col("v"))).distinct()
+    // every endpoint of e appears in the both-direction list's u
+    // column, so the vertex census is a distinct ON the cache's own
+    // partitioning key — no union, no exchange
+    val verts = directed.select(col("u").as("partkey")).distinct()
     val maxes = auth2.agg(max(col("n")).as("ma"))
       .crossJoin(hub2.agg(max(col("n")).as("mh")))
     val out = verts
